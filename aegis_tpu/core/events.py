@@ -1,0 +1,353 @@
+"""Frame data → note events (host side).
+
+The device pipeline emits fixed-shape per-frame arrays (f0, voiced, probs,
+rms, rake, trend, articulation codes...).  This module segments them into the
+ragged event-dict list that is the framework's inter-layer currency
+(schema from reference midi_logic.py:74-79):
+
+  {note, start, end, confidence, velocity, track, technique, slope,
+   rms_energy}
+
+Segmentation is vectorized NumPy (boundary detection via diffs + per-segment
+gathers); only the post-processing passes that are inherently sequential over
+*events* (sustain merge, hammer-on pairing) are loops — event counts are tiny.
+
+Behavioral notes vs the reference (deliberate fixes, in the spirit of
+SURVEY.md Appendix A):
+  * v1 trend smoothing: the reference's softmask call raises at runtime
+    (midi_logic.py:41-44 passes a kwarg librosa doesn't accept) so raw f0 was
+    silently used; we apply the *intended* 3-point median trend filter.
+  * hammer-on/pull-off "weak attack": the reference divides negative dB values
+    (midi_logic.py:133-135), inverting the test for louder attacks; we use
+    velocity ratio < 0.7 OR an energy *drop* > 1 dB.
+  * RSI ghost filter: the reference bins event times in frame units while
+    documenting 100 ms bins (financial_analysis.py:339-344); we bin in
+    seconds.
+  * technique field: only real techniques (bend/vibrato/slide/hammer_on/
+    pull_off) are stored; the reference sometimes stored 'normal'/'noise'.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy.signal import medfilt
+
+from aegis_tpu.ref import trend_ref
+from aegis_tpu.ref.dsp_ref import amplitude_to_db, hz_to_midi
+
+
+# --------------------------------------------------------------------------
+# Articulation detection (v1): slope + detrended oscillation
+# (reference midi_logic.py:6-30)
+# --------------------------------------------------------------------------
+
+def detect_articulations_v1(
+    f0: np.ndarray, start: int, end: int
+) -> Tuple[Optional[str], float]:
+    if end <= start:
+        return None, 0.0
+    seg = f0[start : end + 1]
+    seg = seg[np.isfinite(seg) & (seg > 0)]
+    if len(seg) < 3:
+        return None, 0.0
+    notes = hz_to_midi(seg)
+    x = np.arange(len(notes))
+    coeffs = np.polyfit(x, notes, 1)
+    slope = float(coeffs[0])
+    detrended = notes - np.polyval(coeffs, x)
+    vibrato_amp = float(np.max(detrended) - np.min(detrended))
+    if vibrato_amp > 0.3:
+        return "vibrato", slope
+    if slope > 0.05:
+        return "bend", slope
+    if abs(slope) > 0.02:
+        return "slide", slope
+    return None, 0.0
+
+
+# --------------------------------------------------------------------------
+# Vectorized segmentation
+# --------------------------------------------------------------------------
+
+def _segment(active: np.ndarray, notes: np.ndarray):
+    """Split the active mask into constant-note segments.
+
+    Returns (starts, ends) frame indices (inclusive) per segment.
+    """
+    T = len(active)
+    if T == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    prev_active = np.concatenate([[False], active[:-1]])
+    prev_notes = np.concatenate([[-1], notes[:-1]])
+    new_seg = active & (~prev_active | (notes != prev_notes))
+    nxt_active = np.concatenate([active[1:], [False]])
+    nxt_notes = np.concatenate([notes[1:], [-1]])
+    end_seg = active & (~nxt_active | (notes != nxt_notes))
+    return np.where(new_seg)[0], np.where(end_seg)[0]
+
+
+def _build_events(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    notes: np.ndarray,
+    confidence: np.ndarray,
+    velocity: np.ndarray,
+    rms_db: np.ndarray,
+    confidence_threshold: float,
+) -> List[dict]:
+    events = []
+    for s, e in zip(starts, ends):
+        conf = float(confidence[s])
+        events.append(
+            {
+                "note": int(notes[s]),
+                "start": int(s),
+                "end": int(e),
+                "confidence": conf,
+                "velocity": int(velocity[s]),
+                "track": "main" if conf >= confidence_threshold else "safe",
+                "rms_energy": float(rms_db[s]),
+                "technique": None,
+                "slope": 0.0,
+            }
+        )
+    return events
+
+
+def _sustain_merge(events: List[dict], sustain_frames: int) -> List[dict]:
+    """Merge same-note events separated by short gaps (no merge across a
+    technique; reference midi_logic.py:112-124)."""
+    if len(events) < 2:
+        return events
+    merged = []
+    curr = events[0]
+    for nxt in events[1:]:
+        gap = nxt["start"] - curr["end"]
+        if nxt["note"] == curr["note"] and gap <= sustain_frames and not curr.get("technique"):
+            curr["end"] = nxt["end"]
+        else:
+            merged.append(curr)
+            curr = nxt
+    merged.append(curr)
+    return merged
+
+
+def _hammer_pull_pairs(events: List[dict], ms_per_frame: float) -> None:
+    """Tag hammer-on / pull-off on near-adjacent pairs with a weak attack
+    (reference midi_logic.py:127-146; see module docstring for the fixed
+    weak-attack test)."""
+    for i in range(len(events) - 1):
+        curr, nxt = events[i], events[i + 1]
+        gap_ms = (nxt["start"] - curr["end"]) * ms_per_frame
+        if gap_ms >= 30:
+            continue
+        pitch_diff = nxt["note"] - curr["note"]
+        velocity_ratio = nxt["velocity"] / max(curr["velocity"], 1)
+        energy_drop = nxt.get("rms_energy", 0.0) - curr.get("rms_energy", 0.0)
+        weak_attack = velocity_ratio < 0.7 or energy_drop < -1.0
+        if 0 < pitch_diff <= 2 and weak_attack:
+            nxt["technique"] = "hammer_on"
+            nxt["slope"] = 0.0
+        elif -2 <= pitch_diff < 0 and weak_attack:
+            nxt["technique"] = "pull_off"
+            nxt["slope"] = 0.0
+
+
+# --------------------------------------------------------------------------
+# v1 extraction (reference midi_logic.get_midi_events)
+# --------------------------------------------------------------------------
+
+def extract_events_v1(
+    rake_mask: np.ndarray,
+    f0: np.ndarray,
+    voiced_flag: np.ndarray,
+    active_probs: np.ndarray,
+    rms: np.ndarray,
+    sr: int,
+    hop_length: int,
+    confidence_threshold: float = 0.70,
+    noise_gate_db: float = -40.0,
+    sustain_ms: float = 50.0,
+    min_note_duration_ms: float = 50.0,
+    smooth: bool = True,
+) -> List[dict]:
+    """v1 note-event extraction.  f0 convention here: 0 on unvoiced frames
+    (the engine nan_to_nums pYIN output, reference aegis_engine.py:69)."""
+    T = min(len(rake_mask), len(f0), len(rms), len(voiced_flag), len(active_probs))
+    rake_mask, f0, voiced_flag, active_probs, rms = (
+        a[:T] for a in (rake_mask, f0, voiced_flag, active_probs, rms)
+    )
+
+    f0_smooth = medfilt(np.nan_to_num(f0), kernel_size=3) if smooth else np.nan_to_num(f0)
+    rms_db = amplitude_to_db(rms)
+
+    min_frames = int((min_note_duration_ms / 1000.0) * sr / hop_length)
+    sustain_frames = int((sustain_ms / 1000.0) * sr / hop_length)
+    ms_per_frame = 1000.0 * hop_length / sr
+
+    active = (
+        voiced_flag.astype(bool)
+        & (rms_db >= noise_gate_db)
+        & (f0_smooth > 0)
+        & ~rake_mask.astype(bool)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        notes = np.where(active, np.round(hz_to_midi(np.maximum(f0_smooth, 1e-6))), -1)
+    velocity = np.clip((rms_db + 80.0) * 1.5, 0, 127).astype(np.int64)
+
+    starts, ends = _segment(active, notes)
+    events = _build_events(
+        starts, ends, notes, active_probs, velocity, rms_db, confidence_threshold
+    )
+    for evt in events:
+        technique, slope = detect_articulations_v1(f0_smooth, evt["start"], evt["end"])
+        evt["technique"], evt["slope"] = technique, slope
+
+    events = [e for e in events if (e["end"] - e["start"]) >= min_frames]
+    events = _sustain_merge(events, sustain_frames)
+    _hammer_pull_pairs(events, ms_per_frame)
+    return events
+
+
+# --------------------------------------------------------------------------
+# v2 "financial" extraction (reference midi_logic_financial.py)
+# --------------------------------------------------------------------------
+
+def filter_ghost_notes_rsi(
+    events: List[dict], sr: int, hop_length: int, rsi_threshold: float = 70.0
+) -> List[dict]:
+    """RSI over 100 ms note-density bins removes notes in overdense regions
+    (reference financial_analysis.py:322-362, with time in real seconds)."""
+    if not events:
+        return events
+    spf = hop_length / sr
+    max_time = max(e["end"] * spf for e in events)
+    n_bins = max(int(max_time * 10), 1)
+    density = np.zeros(n_bins)
+    for e in events:
+        s = int(e["start"] * spf * 10)
+        t = int(e["end"] * spf * 10)
+        if s < n_bins:
+            density[s : min(max(t, s + 1), n_bins)] += 1
+    rsi_values = trend_ref.rsi(density, period=14)
+    out = []
+    for e in events:
+        idx = int(e["start"] * spf * 10)
+        if idx >= len(rsi_values) or rsi_values[idx] < rsi_threshold:
+            out.append(e)
+    return out
+
+
+_TECHNIQUE_CODES = {2: "bend", 3: "vibrato"}  # from trend ARTIC codes
+
+
+def extract_events_financial(
+    rake_mask: np.ndarray,
+    f0: np.ndarray,  # NaN on unvoiced
+    voiced_flag: np.ndarray,
+    active_probs: np.ndarray,
+    rms: np.ndarray,
+    sr: int,
+    hop_length: int,
+    *,
+    trend: np.ndarray,
+    artic_codes: np.ndarray,
+    slide_codes: np.ndarray,
+    financial_confidence: np.ndarray,
+    confidence_threshold: Optional[float] = None,
+    noise_gate_db: float = -40.0,
+    sustain_ms: float = 50.0,
+    min_note_duration_ms: float = 50.0,
+    use_harmonic_filter: bool = True,
+    harmonic_tolerance: int = 1,
+    rsi_threshold: float = 70.0,
+) -> Tuple[List[dict], dict]:
+    """v2 event extraction from device-side financial analysis outputs.
+
+    Returns (events, info) where info carries {threshold, key_info}.
+    Mirrors reference midi_logic_financial.py:117-386 (vectorized; see module
+    docstring for deliberate fixes).
+    """
+    T = min(len(rake_mask), len(f0), len(rms), len(voiced_flag), len(active_probs))
+    arrays = [rake_mask, f0, voiced_flag, active_probs, rms, trend, artic_codes,
+              slide_codes, financial_confidence]
+    (rake_mask, f0, voiced_flag, active_probs, rms, trend, artic_codes,
+     slide_codes, financial_confidence) = (a[:T] for a in arrays)
+
+    rms_db = amplitude_to_db(rms)
+    combined_conf = active_probs * 0.5 + financial_confidence * 0.5
+
+    if confidence_threshold is None:
+        confidence_threshold = trend_ref.adaptive_confidence_threshold(combined_conf)
+
+    min_frames = int((min_note_duration_ms / 1000.0) * sr / hop_length)
+    sustain_frames = int((sustain_ms / 1000.0) * sr / hop_length)
+
+    freq = np.asarray(trend, dtype=np.float64)
+    finite = np.isfinite(freq)
+    active = (
+        voiced_flag.astype(bool)
+        & finite
+        & (np.nan_to_num(freq) > 0)
+        & (rms_db >= noise_gate_db)
+        & ~rake_mask.astype(bool)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        notes = np.where(active, np.round(hz_to_midi(np.where(finite, freq, 1.0))), -1)
+    velocity = np.clip((rms_db + 80.0) * 1.5, 0, 127).astype(np.int64)
+
+    starts, ends = _segment(active, notes)
+    events = _build_events(
+        starts, ends, notes, combined_conf, velocity, rms_db, confidence_threshold
+    )
+
+    # per-segment articulation: last non-normal code; else first-frame code
+    codes = np.asarray(artic_codes)
+    for evt, s, e in zip(events, starts, ends):
+        seg = codes[s : e + 1]
+        special = np.where((seg >= 2) & (seg <= 4))[0]
+        code = int(seg[special[-1]]) if len(special) else int(seg[0])
+        evt["financial_artic"] = trend_ref.ARTIC_NAMES.get(code)
+        evt["financial_slide"] = trend_ref.SLIDE_NAMES.get(int(slide_codes[s]))
+        evt["technique"] = _TECHNIQUE_CODES.get(code)
+
+    events = [e for e in events if (e["end"] - e["start"]) >= min_frames]
+    events = _sustain_merge(events, sustain_frames)
+
+    if len(events) > 10:
+        events = filter_ghost_notes_rsi(events, sr, hop_length, rsi_threshold)
+
+    key_info = None
+    if use_harmonic_filter and len(events) > 5:
+        from aegis_tpu.harmony.key import HarmonicAnalyzer
+
+        analyzer = HarmonicAnalyzer()
+        midi_notes = np.array([e["note"] for e in events])
+        confidences = np.array([e["confidence"] for e in events])
+        times_ms = np.array(
+            [e["start"] * (hop_length / sr) * 1000.0 for e in events]
+        )
+        key_info = analyzer.detect_key(midi_notes)
+        _, filtered_conf, out_of_scale = analyzer.filter_out_of_scale_notes(
+            midi_notes, confidences, key_info, tolerance=harmonic_tolerance
+        )
+        kept = [e for e, bad in zip(events, out_of_scale) if not bad]
+        for e, c in zip(kept, confidences[~out_of_scale]):
+            e["confidence"] = float(c)
+            e["harmonic_valid"] = True
+        if kept:
+            adjusted = analyzer.adaptive_filter_by_context(
+                np.array([e["note"] for e in kept]),
+                np.array([e["start"] * (hop_length / sr) * 1000.0 for e in kept]),
+                np.array([e["confidence"] for e in kept]),
+                key_info,
+            )
+            for e, c in zip(kept, adjusted):
+                e["confidence"] = float(c)
+                e["track"] = "main" if c >= confidence_threshold else "safe"
+        events = kept
+
+    info = {"threshold": float(confidence_threshold), "key_info": key_info}
+    return events, info

@@ -1,0 +1,92 @@
+"""Host-side constant generation: windows and mel filterbanks.
+
+Pure NumPy (no JAX import) so both the CPU oracle (aegis_tpu.ref) and the
+device pipeline (aegis_tpu.core) share bit-identical constants.
+
+The mel filterbank follows the Slaney formulation (the default used by the
+reference's librosa.feature.melspectrogram calls, aegis_engine.py:25): 128
+triangular filters, Slaney area normalization, fmin=0, fmax=sr/2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_F_SP = 200.0 / 3.0
+_MIN_LOG_HZ = 1000.0
+_MIN_LOG_MEL = _MIN_LOG_HZ / _F_SP
+_LOGSTEP = np.log(6.4) / 27.0
+
+
+def hz_to_mel(freq):
+    freq = np.asanyarray(freq, dtype=np.float64)
+    mels = freq / _F_SP
+    log_region = freq >= _MIN_LOG_HZ
+    mels = np.where(
+        log_region,
+        _MIN_LOG_MEL + np.log(np.maximum(freq, _MIN_LOG_HZ) / _MIN_LOG_HZ) / _LOGSTEP,
+        mels,
+    )
+    return mels
+
+
+def mel_to_hz(mel):
+    mel = np.asanyarray(mel, dtype=np.float64)
+    freq = _F_SP * mel
+    log_region = mel >= _MIN_LOG_MEL
+    freq = np.where(
+        log_region,
+        _MIN_LOG_HZ * np.exp(_LOGSTEP * (np.maximum(mel, _MIN_LOG_MEL) - _MIN_LOG_MEL)),
+        freq,
+    )
+    return freq
+
+
+def hann_window(n: int, periodic: bool = True) -> np.ndarray:
+    """Hann window.  periodic=True matches scipy.signal.get_window('hann', n,
+    fftbins=True), the STFT default."""
+    m = n if periodic else n - 1
+    if m <= 0:
+        return np.ones(n, dtype=np.float32)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / m)
+    return w.astype(np.float32)
+
+
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int = 128, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, shape (n_mels, 1+n_fft//2)."""
+    if fmax is None:
+        fmax = sr / 2.0
+    n_bins = 1 + n_fft // 2
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_bins)
+
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+
+    weights = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0.0, np.minimum(lower, upper))
+
+    # Slaney-style area normalization
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as two matmul operands: (cos, sin) with shape (n_fft, 1+n_fft//2).
+
+    power_spectrum = (frames @ cos)**2 + (frames @ sin)**2.  Keeps the STFT on
+    the MXU instead of the FFT unit when that is faster.
+    """
+    n_bins = 1 + n_fft // 2
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)

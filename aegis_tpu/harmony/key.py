@@ -1,0 +1,176 @@
+"""Harmonic (key/scale/chord) analysis for musical-context note filtering.
+
+Host-side NumPy: operates on event lists (tens of notes), not frame data, so
+there is nothing to accelerate.  Mirrors the reference's HarmonicAnalyzer
+(aegis_engine_core_v2/harmonic_analysis.py): pitch-class histogram scored
+against major/minor/blues interval templates over all 12 roots, scale-
+membership filtering with semitone tolerance, windowed chord-progression
+estimation, and chord-context confidence adjustment.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+CHROMATIC = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"]
+
+MAJOR_INTERVALS = (0, 2, 4, 5, 7, 9, 11)
+MINOR_INTERVALS = (0, 2, 3, 5, 7, 8, 10)
+BLUES_INTERVALS = (0, 3, 5, 6, 7, 10)
+PENTA_MINOR_INTERVALS = (0, 3, 5, 7, 10)
+
+_MODE_TABLE = {
+    "major": MAJOR_INTERVALS,
+    "minor": MINOR_INTERVALS,
+    "blues": BLUES_INTERVALS,
+    "penta_minor": PENTA_MINOR_INTERVALS,
+}
+
+
+class HarmonicAnalyzer:
+    """Key detection and music-theory filtering."""
+
+    @staticmethod
+    def midi_to_pitch_class(midi_note: int) -> int:
+        return int(midi_note) % 12
+
+    def detect_key(
+        self,
+        midi_notes: np.ndarray,
+        use_duration: bool = False,
+        durations: Optional[np.ndarray] = None,
+    ) -> Dict:
+        """Best (root, mode) over major/minor/blues templates by weighted
+        pitch-class histogram mass."""
+        midi_notes = np.asarray(midi_notes)
+        if len(midi_notes) == 0:
+            return {"key": "C", "mode": "major", "confidence": 0.0}
+
+        weights = (
+            np.asarray(durations, dtype=np.float64)
+            if (use_duration and durations is not None)
+            else np.ones(len(midi_notes))
+        )
+        histogram = np.zeros(12)
+        np.add.at(histogram, midi_notes.astype(int) % 12, weights)
+        histogram = histogram / (histogram.sum() + 1e-6)
+
+        best = ("C", "major", 0.0)
+        for root in range(12):
+            for mode in ("major", "minor", "blues"):
+                score = sum(
+                    histogram[(root + iv) % 12] for iv in _MODE_TABLE[mode]
+                )
+                if score > best[2]:
+                    best = (CHROMATIC[root], mode, score)
+        return {"key": best[0], "mode": best[1], "confidence": float(best[2])}
+
+    def get_scale_notes(self, key: str, mode: str) -> List[int]:
+        root = CHROMATIC.index(key)
+        intervals = _MODE_TABLE.get(mode, MAJOR_INTERVALS)
+        return [(root + iv) % 12 for iv in intervals]
+
+    def filter_out_of_scale_notes(
+        self,
+        midi_notes: np.ndarray,
+        confidences: np.ndarray,
+        key_info: Dict,
+        tolerance: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(filtered_midi, filtered_confidence, out_of_scale_mask).
+
+        tolerance: 0 scale-only, 1 allows +/-1 semitone (bends), 2 chromatic.
+        """
+        midi_notes = np.asarray(midi_notes)
+        confidences = np.asarray(confidences)
+        scale = np.array(self.get_scale_notes(key_info["key"], key_info["mode"]))
+        pcs = midi_notes.astype(int) % 12
+        # circular distance of each pitch class to the nearest scale tone
+        d = np.abs(pcs[:, None] - scale[None, :])
+        dist = np.minimum(d, 12 - d).min(axis=1)
+        out_of_scale = dist > tolerance
+        return midi_notes[~out_of_scale], confidences[~out_of_scale], out_of_scale
+
+    def analyze_chord_progression(
+        self, midi_notes: np.ndarray, times: np.ndarray, window_size: float = 2000.0
+    ) -> List[Dict]:
+        """Per-2s-window chord estimate: modal pitch class as root, quality
+        from the present third."""
+        midi_notes = np.asarray(midi_notes)
+        times = np.asarray(times)
+        if len(midi_notes) == 0:
+            return []
+        chords = []
+        for t in range(0, int(np.max(times)) + 1, int(window_size)):
+            mask = (times >= t) & (times < t + window_size)
+            window_notes = midi_notes[mask]
+            if len(window_notes) == 0:
+                continue
+            pcs = [int(n) % 12 for n in window_notes]
+            root = Counter(pcs).most_common(1)[0][0]
+            if (root + 4) % 12 in pcs:
+                quality = "major"
+            elif (root + 3) % 12 in pcs:
+                quality = "minor"
+            else:
+                quality = "unknown"
+            chords.append({"time": t, "chord": CHROMATIC[root], "quality": quality})
+        return chords
+
+    def adaptive_filter_by_context(
+        self,
+        midi_notes: np.ndarray,
+        times: np.ndarray,
+        confidences: np.ndarray,
+        key_info: Dict,
+        window_size: float = 2000.0,
+    ) -> np.ndarray:
+        """Confidence penalties for non-chord tones: x0.8 if still in scale,
+        x0.5 if fully out of scale."""
+        chords = self.analyze_chord_progression(midi_notes, times, window_size)
+        adjusted = np.asarray(confidences, dtype=np.float64).copy()
+        if not chords:
+            return adjusted
+        scale_notes = set(self.get_scale_notes(key_info["key"], key_info["mode"]))
+        for i, (note, time) in enumerate(zip(midi_notes, times)):
+            current = next(
+                (c for c in chords if c["time"] <= time < c["time"] + window_size),
+                None,
+            )
+            if current is None or current["quality"] == "unknown":
+                continue
+            root = CHROMATIC.index(current["chord"])
+            third = 4 if current["quality"] == "major" else 3
+            chord_tones = {root, (root + third) % 12, (root + 7) % 12}
+            pc = int(note) % 12
+            if pc not in chord_tones:
+                adjusted[i] *= 0.8 if pc in scale_notes else 0.5
+        return adjusted
+
+
+def apply_harmonic_filter(
+    midi_notes: np.ndarray,
+    confidences: np.ndarray,
+    times: Optional[np.ndarray] = None,
+    tolerance: int = 1,
+) -> Dict:
+    """Standalone harmonic filtering entry point (reference
+    harmonic_analysis.py:289-330)."""
+    analyzer = HarmonicAnalyzer()
+    key_info = analyzer.detect_key(midi_notes)
+    filtered_midi, filtered_conf, out_mask = analyzer.filter_out_of_scale_notes(
+        np.asarray(midi_notes), np.asarray(confidences), key_info, tolerance
+    )
+    if times is not None and len(filtered_midi):
+        filtered_conf = analyzer.adaptive_filter_by_context(
+            filtered_midi, np.asarray(times)[~out_mask], filtered_conf, key_info
+        )
+    return {
+        "key_info": key_info,
+        "filtered_midi": filtered_midi,
+        "filtered_confidence": filtered_conf,
+        "out_of_scale_mask": out_mask,
+    }

@@ -1,0 +1,57 @@
+"""Audio loading with resampling / offset / duration semantics.
+
+Mirrors the behavioral contract of the reference's loader (librosa.load calls
+at aegis_engine.py:22-27 and aegis_engine_financial.py:52-63): mono mixdown,
+resample to the engine rate, optional [offset, offset+duration) slice.
+
+Resampling uses a polyphase FIR (scipy.signal.resample_poly) — high quality,
+deterministic, and an exact match between the CPU oracle and the device
+pipeline because resampling always happens on host before ingest
+(SURVEY.md §7.4 "Resampling parity").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from scipy import signal as _signal
+
+from aegis_tpu.io.wav import read_wav
+
+
+def to_mono(x: np.ndarray) -> np.ndarray:
+    if x.ndim == 2:
+        return x.mean(axis=1).astype(np.float32)
+    return x.astype(np.float32)
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample to target_sr. Identity if rates match."""
+    if orig_sr == target_sr:
+        return x.astype(np.float32)
+    g = math.gcd(int(orig_sr), int(target_sr))
+    up, down = target_sr // g, orig_sr // g
+    y = _signal.resample_poly(x.astype(np.float64), up, down)
+    return y.astype(np.float32)
+
+
+def load_audio(
+    path_or_bytes: Union[str, bytes],
+    sr: int = 22050,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+) -> Tuple[np.ndarray, int]:
+    """Load a WAV file as mono float32 at the requested sample rate.
+
+    Offset/duration are applied at the *native* rate before resampling, like
+    librosa.load's offset/duration arguments.
+    """
+    x, native_sr = read_wav(path_or_bytes)
+    x = to_mono(x)
+    if offset:
+        x = x[int(round(offset * native_sr)) :]
+    if duration is not None:
+        x = x[: int(round(duration * native_sr))]
+    return resample(x, native_sr, sr), sr

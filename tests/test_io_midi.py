@@ -1,0 +1,87 @@
+"""WAV codec and SMF codec round-trip tests."""
+
+import io
+
+import numpy as np
+
+from aegis_tpu.io import load_audio, read_wav, write_wav
+from aegis_tpu.midi.decode import midi_to_notes
+from aegis_tpu.midi.smf import MidiFile, MidiMessage, MidiTrack
+
+
+def test_wav_roundtrip_int16(tmp_path):
+    sr = 22050
+    y = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, y, sr)
+    x, sr2 = read_wav(path)
+    assert sr2 == sr
+    assert x.shape == y.shape
+    assert np.max(np.abs(x - y)) < 1.0 / 16384
+
+
+def test_wav_roundtrip_float32_bytesio():
+    sr = 8000
+    y = np.random.default_rng(0).normal(0, 0.1, sr).astype(np.float32)
+    buf = io.BytesIO()
+    write_wav(buf, y, sr, dtype="float32")
+    x, sr2 = read_wav(buf.getvalue())
+    assert sr2 == sr
+    np.testing.assert_allclose(x, y, rtol=0, atol=0)
+
+
+def test_wav_stereo_to_mono(tmp_path):
+    sr = 8000
+    y = np.stack([np.ones(100), -np.ones(100)], axis=1).astype(np.float32) * 0.25
+    path = str(tmp_path / "st.wav")
+    write_wav(path, y, sr)
+    x, _ = load_audio(path, sr=sr)
+    assert np.max(np.abs(x)) < 1e-4  # L/R cancel
+
+
+def test_load_audio_resample(tmp_path):
+    sr = 44100
+    y = np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+    path = str(tmp_path / "r.wav")
+    write_wav(path, y, sr)
+    x, sr2 = load_audio(path, sr=22050)
+    assert sr2 == 22050
+    assert abs(len(x) - 22050) <= 2
+    # 440 Hz survives resampling: zero crossings ~ 880/s
+    zc = np.sum(np.abs(np.diff(np.signbit(x[1000:-1000]))))
+    assert abs(zc / (len(x[1000:-1000]) / 22050) - 880) < 20
+
+
+def test_smf_roundtrip():
+    mid = MidiFile()
+    tr = MidiTrack()
+    mid.tracks.append(tr)
+    tr.append(MidiMessage("track_name", name="Test"))
+    tr.append(MidiMessage("program_change", program=27, time=0))
+    tr.append(MidiMessage("note_on", note=60, velocity=90, time=10))
+    tr.append(MidiMessage("pitchwheel", pitch=-1234, time=5))
+    tr.append(MidiMessage("note_off", note=60, velocity=0, time=485))
+    blob = mid.save(None)
+
+    mid2 = MidiFile.load(blob)
+    assert mid2.ticks_per_beat == 480
+    msgs = [m for m in mid2.tracks[0]]
+    types = [m.type for m in msgs]
+    assert types[:5] == ["track_name", "program_change", "note_on", "pitchwheel", "note_off"]
+    assert msgs[2].note == 60 and msgs[2].velocity == 90 and msgs[2].time == 10
+    assert msgs[3].pitch == -1234
+
+
+def test_midi_to_notes_tempo():
+    mid = MidiFile(ticks_per_beat=480)
+    tr = MidiTrack()
+    mid.tracks.append(tr)
+    tr.append(MidiMessage("set_tempo", tempo=500000))  # 120 BPM
+    tr.append(MidiMessage("note_on", note=64, velocity=80, time=480))  # at 0.5 s
+    tr.append(MidiMessage("note_off", note=64, velocity=0, time=960))  # 1 s long
+    notes = midi_to_notes(mid.save(None))
+    assert len(notes) == 1
+    n = notes[0]
+    assert n["note"] == 64
+    assert abs(n["start"] - 0.5) < 1e-9
+    assert abs(n["end"] - 1.5) < 1e-9
