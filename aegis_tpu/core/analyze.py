@@ -1,0 +1,150 @@
+"""The fused device analyze step — the framework's hot path.
+
+One jitted XLA program per (sample-count bucket, config):
+
+    y ──► frames ──► |STFT|² (MXU matmul-DFT) ──► mel ──► dB ──► rake mask
+      └─► pYIN frames ──► CMNDF ──► trough probs ──► observations ─► Viterbi
+      └─► RMS
+
+plus, for the financial engine, the guitar-specific filters and the full
+financial trend/articulation analysis — all inside the same program so
+nothing round-trips to host between stages (the reference runs each stage as
+a separate librosa/NumPy pass, SURVEY.md §3.1/§3.3).
+
+Input lengths are bucketed to powers of two so recompilation is rare; callers
+truncate the returned frame arrays to ``n_frames(true_length)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aegis_tpu.config import AudioConfig, PyinConfig
+from aegis_tpu.core import dsp, masks, trend
+from aegis_tpu.core.pyin import extract_pyin_frames, pyin_from_frames
+
+MIN_BUCKET = 1 << 16  # ~3 s @ 22050
+
+
+def bucket_length(n: int) -> int:
+    b = MIN_BUCKET
+    while b < n:
+        b <<= 1
+    return b
+
+
+def pad_to_bucket(y: np.ndarray) -> np.ndarray:
+    b = bucket_length(len(y))
+    if b == len(y):
+        return y
+    return np.pad(y, (0, b - len(y)))
+
+
+@functools.partial(jax.jit, static_argnames=("audio", "pyin_cfg"))
+def analyze_program(
+    y: jnp.ndarray,
+    rake_sensitivity: jnp.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+) -> Dict[str, jnp.ndarray]:
+    """v1 Perception Phase (reference aegis_engine.py:41-75) as one program.
+
+    Returns time-major arrays; f0 is NaN on unvoiced frames.
+    """
+    y = y.astype(jnp.float32)
+    mel = dsp.melspectrogram_t(y, audio.sample_rate, audio.n_fft, audio.hop_length,
+                               audio.n_mels)
+    mel_db = dsp.power_to_db(mel)
+    rake = masks.detect_rake(mel_db, audio.hop_length, audio.sample_rate,
+                             rake_sensitivity)
+
+    frames = extract_pyin_frames(y, audio.hop_length, pyin_cfg)
+    f0, voiced, probs = pyin_from_frames(frames, audio.sample_rate,
+                                         audio.hop_length, pyin_cfg)
+    rms_ = dsp.rms(y, pyin_cfg.frame_length, audio.hop_length)
+    return {
+        "mel_db": mel_db,
+        "rake_mask": rake,
+        "f0": f0,
+        "voiced_flag": voiced,
+        "voiced_probs": probs,
+        "rms": rms_,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("audio", "pyin_cfg", "use_guitar_filters"))
+def analyze_financial_program(
+    y: jnp.ndarray,
+    rake_sensitivity: jnp.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    use_guitar_filters: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """v2 pipeline phases 1-4a on device (reference
+    aegis_engine_financial.py:73-188 + financial_analysis.py:368-423):
+    mel/rake/pYIN/RMS plus guitar-specific filters and the financial trend,
+    articulation, slide and confidence analysis."""
+    base = analyze_program(y, rake_sensitivity, audio, pyin_cfg)
+    f0, voiced, rake = base["f0"], base["voiced_flag"], base["rake_mask"]
+    mel_db = base["mel_db"]
+
+    if use_guitar_filters:
+        f0, voiced = masks.filter_subharmonic(f0, voiced, fmin_hz=82.4)
+        rake = masks.enhance_rake(mel_db, audio.hop_length, audio.sample_rate, rake)
+        mute = masks.detect_palm_mute(mel_db, audio.hop_length, audio.sample_rate)
+        voiced = voiced & ~mute
+        dist = masks.distortion_score(mel_db)
+    else:
+        mute = jnp.zeros_like(rake)
+        dist = jnp.float32(0.0)
+
+    f0_clean = jnp.where(voiced, f0, jnp.nan)
+    fin = trend.analyze_pitch_financial(f0_clean)
+    combined_conf = base["voiced_probs"] * 0.5 + fin["confidence"] * 0.5
+    adaptive_thr = trend.adaptive_confidence_threshold(combined_conf)
+
+    return {
+        **base,
+        "f0": f0,
+        "voiced_flag": voiced,
+        "rake_mask": rake,
+        "mute_mask": mute,
+        "distortion_score": dist,
+        "trend": fin["trend"],
+        "artic_codes": fin["articulations"],
+        "slide_codes": fin["slides"],
+        "financial_confidence": fin["confidence"],
+        "combined_confidence": combined_conf,
+        "adaptive_threshold": adaptive_thr,
+    }
+
+
+def run_analyze(
+    y: np.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    rake_sensitivity: float = 0.6,
+    financial: bool = False,
+    use_guitar_filters: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Host wrapper: bucket-pad, run the device program, truncate to the true
+    frame count, return NumPy arrays."""
+    true_frames = audio.n_frames(len(y))
+    y_pad = pad_to_bucket(np.asarray(y, np.float32))
+    rs = jnp.float32(rake_sensitivity)
+    if financial:
+        out = analyze_financial_program(jnp.asarray(y_pad), rs, audio, pyin_cfg,
+                                        use_guitar_filters)
+    else:
+        out = analyze_program(jnp.asarray(y_pad), rs, audio, pyin_cfg)
+    host = jax.device_get(out)
+    result = {}
+    for k, v in host.items():
+        v = np.asarray(v)
+        result[k] = v[:true_frames] if v.ndim >= 1 and v.shape[0] > true_frames else v
+    return result

@@ -338,7 +338,9 @@ def _nan_stats3(a, b, c):
     v = jnp.where(valid, stack, 0.0)
     c1 = jnp.maximum(cnt, 1)
     mean = v.sum(axis=0) / c1
-    var = jnp.maximum((v * v).sum(axis=0) / c1 - mean * mean, 0.0)
+    # two-pass variance: avoids f32 cancellation at Hz magnitudes
+    dev = jnp.where(valid, stack - mean, 0.0)
+    var = (dev * dev).sum(axis=0) / c1
     std = jnp.where(cnt > 0, jnp.sqrt(var), NAN)
     return median, std
 

@@ -1,0 +1,190 @@
+"""AegisEngine — the v1 two-phase engine facade.
+
+API surface mirrors the reference engine (aegis_engine.py:16-216):
+
+  * ``audio_to_midi(input_wav, output_mid=None, **kw) -> raw_data`` — the
+    heavy, cacheable "Perception Phase".  Here it is ONE fused device program
+    (core.analyze) instead of four librosa passes; Turbo mode is sharded
+    device tiling (engine.turbo) instead of a process pool.
+  * ``extract_events(raw_data, output_mid, **kw) -> events`` — the fast
+    "Logic Filter Layer" that re-runs on every slider move.
+  * ``load_audio``, ``separate_stems``, ``generate_tabs``, ``export_musicxml``,
+    ``detect_rake_patterns`` helpers.
+
+raw_data dict schema (reference aegis_engine.py:72-75) is preserved:
+  {rake_mask, f0, voiced_flag, voiced_probs, rms, y} (+ mel_db extra).
+f0 is zero-filled on unvoiced frames, matching the reference's
+``np.nan_to_num`` contract (aegis_engine.py:69).
+
+Failure ladder (SURVEY.md §5.3): device program -> NumPy oracle fallback.
+Checkpoint/resume (SURVEY.md §5.4): ``save_raw`` / ``load_raw`` persist
+raw_data as .npz so sessions survive restarts.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from aegis_tpu.config import AudioConfig, PyinConfig
+from aegis_tpu.core.events import extract_events_v1
+from aegis_tpu.io.audio import load_audio as _load_audio
+from aegis_tpu.midi.encode import events_to_midi
+from aegis_tpu.utils.logging import get_logger
+
+log = get_logger("Aegis")
+
+
+class AegisEngine:
+    def __init__(self, sample_rate: int = 44100, hop_length: int = 512,
+                 n_fft: int = 2048, backend: str = "auto"):
+        """backend: 'auto' (device with oracle fallback), 'device', or 'ref'
+        (NumPy oracle only)."""
+        self.audio = AudioConfig(sample_rate=sample_rate, hop_length=hop_length,
+                                 n_fft=n_fft)
+        self.pyin_cfg = PyinConfig()
+        self.backend = backend
+
+    # ------------------------------------------------------------------ audio
+
+    @property
+    def sr(self) -> int:
+        return self.audio.sample_rate
+
+    @property
+    def hop_length(self) -> int:
+        return self.audio.hop_length
+
+    def load_audio(self, file_path: Union[str, bytes], start_time: float = 0,
+                   end_time: Optional[float] = None):
+        """Returns (y, S_dB) with S_dB in librosa layout (n_mels, T)."""
+        duration = (end_time - start_time) if end_time else None
+        y, _ = _load_audio(file_path, sr=self.sr, offset=start_time,
+                           duration=duration)
+        from aegis_tpu.ref.dsp_ref import melspectrogram, power_to_db
+
+        S_dB = power_to_db(melspectrogram(y, self.sr, self.audio.n_fft,
+                                          self.hop_length, self.audio.n_mels))
+        return y, S_dB
+
+    # -------------------------------------------------------------- phase one
+
+    def _analyze(self, y: np.ndarray, rake_sensitivity: float,
+                 turbo: bool) -> Dict[str, np.ndarray]:
+        if self.backend != "ref":
+            try:
+                if turbo:
+                    from aegis_tpu.engine.turbo import run_analyze_turbo
+
+                    return run_analyze_turbo(y, self.audio, self.pyin_cfg,
+                                             rake_sensitivity)
+                from aegis_tpu.core.analyze import run_analyze
+
+                return run_analyze(y, self.audio, self.pyin_cfg, rake_sensitivity)
+            except Exception as e:  # graceful degradation, SURVEY.md §5.3
+                if self.backend == "device":
+                    raise
+                log.warning(f"device analyze failed ({e}); NumPy oracle fallback")
+        from aegis_tpu.ref.pipeline_ref import run_analyze_ref
+
+        return run_analyze_ref(y, self.audio, self.pyin_cfg, rake_sensitivity)
+
+    def audio_to_midi(self, input_wav: Union[str, bytes, np.ndarray],
+                      output_mid=None, **kwargs) -> Optional[Dict]:
+        """Perception Phase (analyze once): returns the cacheable raw_data."""
+        start_time = kwargs.get("start_time", 0)
+        end_time = kwargs.get("end_time", None)
+        turbo_mode = kwargs.get("turbo_mode", False)
+        rake_sensitivity = kwargs.get("rake_sensitivity", 0.6)
+
+        if isinstance(input_wav, np.ndarray):
+            y = input_wav.astype(np.float32)
+        else:
+            duration = (end_time - start_time) if end_time else None
+            y, _ = _load_audio(input_wav, sr=self.sr, offset=start_time,
+                               duration=duration)
+        if len(y) == 0:
+            return None
+
+        log.info(f"Perception Phase (turbo={turbo_mode}, {len(y)/self.sr:.1f}s)")
+        out = self._analyze(y, rake_sensitivity, turbo_mode)
+
+        raw = {
+            "rake_mask": np.asarray(out["rake_mask"]),
+            "f0": np.nan_to_num(np.asarray(out["f0"], dtype=np.float64)),
+            "voiced_flag": np.asarray(out["voiced_flag"]),
+            "voiced_probs": np.asarray(out["voiced_probs"], dtype=np.float64),
+            "rms": np.asarray(out["rms"], dtype=np.float64),
+            "y": y,
+            "mel_db": np.asarray(out["mel_db"]),
+        }
+        if output_mid is not None:
+            self.extract_events(raw, output_mid, **kwargs)
+        return raw
+
+    # -------------------------------------------------------------- phase two
+
+    def extract_events(self, raw_data: Dict, output_mid=None, **kwargs) -> List[dict]:
+        """Logic Filter Layer: fast re-runnable event extraction + MIDI encode."""
+        events = extract_events_v1(
+            rake_mask=raw_data["rake_mask"],
+            f0=raw_data["f0"],
+            voiced_flag=raw_data["voiced_flag"],
+            active_probs=raw_data["voiced_probs"],
+            rms=raw_data["rms"],
+            sr=self.sr,
+            hop_length=self.hop_length,
+            confidence_threshold=kwargs.get("confidence_threshold", 0.70),
+            noise_gate_db=kwargs.get("noise_gate_db", -40),
+            sustain_ms=kwargs.get("sustain_ms", 50),
+            min_note_duration_ms=kwargs.get("min_note_duration_ms", 50),
+        )
+        if output_mid is not None:
+            events_to_midi(
+                events,
+                self.sr,
+                self.hop_length,
+                midi_program=kwargs.get("midi_program", 27),
+                vibrato_rate=kwargs.get("vibrato_rate", 5.0),
+                vibrato_depth=kwargs.get("vibrato_depth", 0.3),
+                output=output_mid,
+            )
+        return events
+
+    # ------------------------------------------------------------ persistence
+
+    @staticmethod
+    def save_raw(raw_data: Dict, path: str) -> None:
+        np.savez_compressed(path, **raw_data)
+
+    @staticmethod
+    def load_raw(path: str) -> Dict:
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+
+    # --------------------------------------------------------------- helpers
+
+    def detect_rake_patterns(self, S_dB: np.ndarray,
+                             rake_sensitivity: float = 0.6) -> np.ndarray:
+        """S_dB in (n_mels, T) librosa layout (host helper)."""
+        from aegis_tpu.ref.masks_ref import detect_rake
+
+        return detect_rake(S_dB.T, self.hop_length, self.sr, rake_sensitivity)
+
+    def separate_stems(self, input_wav: str, output_dir: str) -> str:
+        from aegis_tpu.synth.stems import separate_stems
+
+        return separate_stems(input_wav, output_dir)
+
+    def generate_tabs(self, events: List[dict]) -> List[dict]:
+        from aegis_tpu.midi.tabs import generate_tabs
+
+        return generate_tabs(events)
+
+    def export_musicxml(self, tab_data: List[dict], xml_path: str) -> str:
+        from aegis_tpu.midi.musicxml import export_musicxml
+
+        return export_musicxml(tab_data, xml_path)

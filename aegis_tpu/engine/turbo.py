@@ -1,0 +1,249 @@
+"""Turbo: sharded/tiled device execution for long audio and track batches.
+
+The reference's Turbo mode chunks the waveform across CPU processes with *no
+overlap*, accepting pYIN seam artifacts (aegis_engine.py:183-216, SURVEY.md
+§5.7).  Here Turbo is a ``shard_map`` over a ``jax.sharding.Mesh``:
+
+  * axis "time" — the audio is cut into fixed tiles of ``tile_frames`` frames
+    with ``halo_frames`` of context on each side; every tile runs the full
+    analyze program (mel → rake → pYIN Viterbi → RMS) and the halo frames are
+    dropped on merge, so the HMM has warm context at every seam (what the
+    reference's chunking approximates, done properly).
+  * axis "data" — independent tracks batch along the leading axis (the
+    reference's "folder sweep" scenario).
+  * the only cross-tile communication is a ``jax.lax.pmax`` so the dB
+    reference (power_to_db ref=max, SURVEY's load-bearing convention) is
+    global rather than per-tile — one scalar collective riding ICI.
+
+Single-chip execution uses the same code with a 1-device mesh (vmap over
+tiles); multi-chip correctness is validated on a virtual CPU mesh
+(tests/test_turbo.py, __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
+from aegis_tpu.core import dsp, masks
+from aegis_tpu.core.filters import dft_matrices, hann_window, mel_filterbank
+from aegis_tpu.core.pyin import pyin_from_frames
+
+
+# --------------------------------------------------------------------------
+# Host-side tiling
+# --------------------------------------------------------------------------
+
+def _slab_span(tile_frames: int, halo: int, hop: int, frame_length: int) -> int:
+    return (tile_frames + 2 * halo - 1) * hop + frame_length
+
+
+def make_slabs(
+    y: np.ndarray, audio: AudioConfig, pyin_cfg: PyinConfig, turbo: TurboConfig,
+    n_tiles_round: int = 1,
+) -> tuple[np.ndarray, int]:
+    """Cut a 1-D signal into overlapping tile slabs.
+
+    Returns (slabs (n_tiles, span), true_frames).  Slab t covers global frames
+    [t*tile - halo, (t+1)*tile + halo); each frame's window is
+    y_centerpad[f*hop : f*hop + frame_length].
+    """
+    hop, fl = audio.hop_length, pyin_cfg.frame_length
+    tile, halo = turbo.tile_frames, turbo.halo_frames
+    true_frames = audio.n_frames(len(y))
+    n_tiles = max(1, -(-true_frames // tile))
+    n_tiles = -(-n_tiles // n_tiles_round) * n_tiles_round
+
+    pad = fl // 2
+    span = _slab_span(tile, halo, hop, fl)
+    total_needed = ((n_tiles * tile + halo) * hop) + fl
+    y_p = np.pad(y.astype(np.float32), (pad, max(0, total_needed - len(y) - pad)))
+
+    slabs = np.empty((n_tiles, span), np.float32)
+    for t in range(n_tiles):
+        start = (t * tile - halo) * hop
+        if start < 0:  # first tile: left halo is zeros
+            left = -start
+            slabs[t, :left] = 0.0
+            slabs[t, left:] = y_p[: span - left]
+        else:
+            slabs[t] = y_p[start : start + span]
+    return slabs, true_frames
+
+
+# --------------------------------------------------------------------------
+# Per-tile device program
+# --------------------------------------------------------------------------
+
+def _tile_mel_power(slab: jnp.ndarray, audio: AudioConfig,
+                    pyin_cfg: PyinConfig, turbo: TurboConfig) -> jnp.ndarray:
+    """(T2, n_mels) mel power for one slab (T2 = tile + 2*halo frames)."""
+    hop, fl, n_fft = audio.hop_length, pyin_cfg.frame_length, audio.n_fft
+    t2 = turbo.tile_frames + 2 * turbo.halo_frames
+    # STFT frames: window n_fft centered at frame*hop + fl//2 within the slab
+    # (slab already includes the center padding offset).
+    off = (fl - n_fft) // 2
+    idx = np.arange(t2)[:, None] * hop + off + np.arange(n_fft)[None, :]
+    frames = slab[idx] * jnp.asarray(hann_window(n_fft))[None, :]
+    cos_m, sin_m = dft_matrices(n_fft)
+    re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    fb = jnp.asarray(mel_filterbank(audio.sample_rate, n_fft, audio.n_mels).T)
+    return jnp.dot(power, fb, preferred_element_type=jnp.float32)
+
+
+def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray,
+                  audio: AudioConfig, pyin_cfg: PyinConfig,
+                  turbo: TurboConfig) -> Dict[str, jnp.ndarray]:
+    """pYIN + RMS + rake for one slab, cropped to the tile interior."""
+    hop, fl = audio.hop_length, pyin_cfg.frame_length
+    tile, halo = turbo.tile_frames, turbo.halo_frames
+    t2 = tile + 2 * halo
+
+    idx = np.arange(t2)[:, None] * hop + np.arange(fl)[None, :]
+    frames = slab[idx]
+    f0, voiced, probs = pyin_from_frames(frames, audio.sample_rate, hop, pyin_cfg)
+    rms_ = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    rake = masks.detect_rake(mel_db, hop, audio.sample_rate, rake_sens)
+
+    sl = slice(halo, halo + tile)
+    return {
+        "f0": f0[sl],
+        "voiced_flag": voiced[sl],
+        "voiced_probs": probs[sl],
+        "rms": rms_[sl],
+        "rake_mask": rake[sl],
+        "mel_db": mel_db[sl],
+    }
+
+
+# --------------------------------------------------------------------------
+# Sharded batch program
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("audio", "pyin_cfg", "turbo", "mesh", "data_axis", "time_axis"),
+)
+def analyze_slabs_sharded(
+    slabs: jnp.ndarray,  # (B, n_tiles, span)
+    rake_sens: jnp.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    turbo: TurboConfig,
+    mesh: Mesh,
+    data_axis: str = "data",
+    time_axis: str = "time",
+) -> Dict[str, jnp.ndarray]:
+    """shard_map over (data, time): tiles of every track run in parallel
+    across the mesh; outputs come back (B, n_tiles, tile_frames, ...)."""
+
+    def worker(slabs_local, rs):
+        # slabs_local: (b, k, span) on this device
+        b, k, span = slabs_local.shape
+        flat = slabs_local.reshape(b * k, span)
+        mel_power = jax.vmap(
+            lambda s: _tile_mel_power(s, audio, pyin_cfg, turbo)
+        )(flat)
+        # global dB reference: max over every tile on every device
+        gmax = jax.lax.pmax(
+            jax.lax.pmax(jnp.max(mel_power), time_axis), data_axis
+        )
+        amin = 1e-10
+        log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
+        log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, gmax))
+        mel_db = jnp.maximum(log_spec, -80.0)  # global max -> 0 dB ceiling
+
+        out = jax.vmap(
+            lambda s, m: _tile_analyze(s, m, rs, audio, pyin_cfg, turbo)
+        )(flat, mel_db)
+        return {k_: v.reshape((b, k) + v.shape[1:]) for k_, v in out.items()}
+
+    from jax import shard_map
+
+    return shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=(P(data_axis, time_axis, None), P()),
+        out_specs=P(data_axis, time_axis),
+        check_vma=False,
+    )(slabs, rake_sens)
+
+
+def _default_mesh(time_only: bool = True) -> Mesh:
+    devs = np.array(jax.devices())
+    if time_only:
+        return Mesh(devs.reshape(1, -1), ("data", "time"))
+    return Mesh(devs.reshape(-1, 1), ("data", "time"))
+
+
+def run_analyze_turbo(
+    y: np.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    rake_sensitivity: float = 0.6,
+    turbo: Optional[TurboConfig] = None,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """Single-track turbo analyze: tile over the time axis of the mesh and
+    stitch the interiors back together.  Output schema matches
+    core.analyze.run_analyze."""
+    turbo = turbo or TurboConfig()
+    mesh = mesh or _default_mesh(time_only=True)
+    n_time = mesh.shape["time"]
+
+    slabs, true_frames = make_slabs(y, audio, pyin_cfg, turbo,
+                                    n_tiles_round=n_time)
+    out = analyze_slabs_sharded(
+        jnp.asarray(slabs)[None], jnp.float32(rake_sensitivity),
+        audio, pyin_cfg, turbo, mesh,
+    )
+    host = jax.device_get(out)
+    result = {}
+    for k, v in host.items():
+        v = np.asarray(v)[0]  # drop batch
+        flat = v.reshape((-1,) + v.shape[2:])  # (n_tiles*tile, ...)
+        result[k] = flat[:true_frames]
+    return result
+
+
+def run_analyze_batch(
+    ys: np.ndarray,  # (B, n_samples) equal-length tracks
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    rake_sensitivity: float = 0.6,
+    turbo: Optional[TurboConfig] = None,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """Batched multi-track analyze sharded over (data, time)."""
+    turbo = turbo or TurboConfig()
+    if mesh is None:
+        devs = np.array(jax.devices())
+        b_axis = int(np.gcd(len(devs), len(ys)))
+        mesh = Mesh(devs.reshape(b_axis, -1), ("data", "time"))
+    n_time = mesh.shape["time"]
+
+    slab_list, true_frames = [], None
+    for y in ys:
+        s, true_frames = make_slabs(y, audio, pyin_cfg, turbo, n_tiles_round=n_time)
+        slab_list.append(s)
+    slabs = np.stack(slab_list)  # (B, n_tiles, span)
+
+    out = analyze_slabs_sharded(
+        jnp.asarray(slabs), jnp.float32(rake_sensitivity),
+        audio, pyin_cfg, turbo, mesh,
+    )
+    host = jax.device_get(out)
+    result = {}
+    for k, v in host.items():
+        v = np.asarray(v)
+        flat = v.reshape((v.shape[0], -1) + v.shape[3:])
+        result[k] = flat[:, :true_frames]
+    return result

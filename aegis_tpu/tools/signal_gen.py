@@ -1,0 +1,123 @@
+"""Synthetic test-signal generation — the framework's ground-truth oracle.
+
+Mirrors the reference's evaluation fixtures (SURVEY.md §4):
+  * Karplus-Strong plucked-string notes (generate_test_signal.py:5-42) —
+    implemented as an IIR filter (scipy.lfilter) over a noise-burst impulse
+    instead of the reference's per-sample Python loop.
+  * enveloped broadband rake bursts (generate_test_signal.py:44-53)
+  * the three-note E2/A2/D3 + rakes test track (generate_test_signal.py:55-97)
+  * the C-major-scale sine benchmark with injected rake + hiss
+    (benchmark_aegis.py:16-53), with its MIDI ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy import signal as _signal
+
+from aegis_tpu.config import midi_to_hz
+from aegis_tpu.midi.smf import MidiFile, MidiMessage, MidiTrack
+
+
+def karplus_strong(frequency: float, duration: float, sr: int = 44100,
+                   decay_factor: float = 0.996,
+                   rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Plucked string: y[n] = x[n] + decay*0.5*(y[n-N] + y[n-N-1]) with a
+    white-noise burst of length N as excitation."""
+    rng = rng or np.random.default_rng(0)
+    N = int(sr / frequency)
+    n_samples = int(sr * duration)
+    x = np.zeros(n_samples)
+    x[:N] = rng.uniform(-1, 1, min(N, n_samples))
+    a = np.zeros(N + 2)
+    a[0] = 1.0
+    a[N] = -0.5 * decay_factor
+    a[N + 1] = -0.5 * decay_factor
+    return _signal.lfilter([1.0], a, x).astype(np.float32)
+
+
+def rake_burst(duration: float, sr: int = 44100,
+               rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Percussive broadband noise burst (a 'rake')."""
+    rng = rng or np.random.default_rng(1)
+    n = int(sr * duration)
+    envelope = np.linspace(1.0, 0.0, n) ** 2
+    return (rng.normal(0, 0.8, n) * envelope).astype(np.float32)
+
+
+def generate_test_track(sr: int = 44100, seed: int = 0) -> Tuple[np.ndarray, List[dict]]:
+    """The canonical fixture: silence, E2, silence, rake, A2, rake, D3.
+
+    Returns (track, truth) where truth lists {note, start, end} in seconds.
+    """
+    rng = np.random.default_rng(seed)
+    e2 = karplus_strong(82.41, 1.0, sr, rng=rng)
+    a2 = karplus_strong(110.00, 1.0, sr, rng=rng)
+    d3 = karplus_strong(146.83, 1.5, sr, rng=rng)
+    rake = rake_burst(0.025, sr, rng=rng)
+    silence = np.zeros(int(0.2 * sr), np.float32)
+    gap = np.zeros(1000, np.float32)
+
+    parts = [silence, e2, silence, rake, gap, a2, silence, rake, d3]
+    track = np.concatenate(parts)
+    track = track / np.max(np.abs(track)) * 0.9
+
+    t = 0.0
+    truth = []
+    for arr, note in zip(parts, [None, 40, None, None, None, 45, None, None, 50]):
+        if note is not None:
+            truth.append({"note": note, "start": t, "end": t + len(arr) / sr})
+        t += len(arr) / sr
+    return track.astype(np.float32), truth
+
+
+def generate_scale_benchmark(
+    sr: int = 22050, seed: int = 0, note_duration: float = 0.5,
+    with_rake: bool = True, hiss: float = 0.02,
+) -> Tuple[np.ndarray, bytes, List[dict]]:
+    """C-major-scale sine audio with an injected rake burst and hiss, plus its
+    ground-truth MIDI.  Returns (audio, midi_bytes, truth_notes)."""
+    rng = np.random.default_rng(seed)
+    notes = [60, 62, 64, 65, 67, 69, 71, 72]
+
+    mid = MidiFile()
+    track = MidiTrack()
+    mid.tracks.append(track)
+    ticks = 480  # one note per beat at 120 BPM = 0.5 s
+    for n in notes:
+        track.append(MidiMessage("note_on", note=n, velocity=80, time=0))
+        track.append(MidiMessage("note_off", note=n, velocity=0, time=ticks))
+
+    n_per = int(sr * note_duration)
+    t = np.arange(n_per) / sr
+    y = np.concatenate(
+        [0.5 * np.sin(2 * np.pi * midi_to_hz(n) * t) for n in notes]
+    )
+    if with_rake:
+        rs, rd = int(sr * 1.0), int(sr * 0.05)
+        y[rs : rs + rd] += rng.normal(0, 0.8, rd)
+    if hiss:
+        y = y + rng.normal(0, hiss, len(y))
+
+    truth = [
+        {"note": n, "start": i * note_duration, "end": (i + 1) * note_duration}
+        for i, n in enumerate(notes)
+    ]
+    return y.astype(np.float32), mid.save(None), truth
+
+
+def two_tone(sr: int = 22050, f1: float = 196.0, f2: float = 293.66,
+             dur: float = 0.7) -> np.ndarray:
+    """Two decaying tones with a 2nd harmonic — a minimal clean fixture."""
+    t = np.arange(int(sr * dur)) / sr
+    decay = np.exp(-2 * t)
+
+    def note(f):
+        return (0.4 * np.sin(2 * np.pi * f * t)
+                + 0.15 * np.sin(2 * np.pi * 2 * f * t)) * decay
+
+    return np.concatenate(
+        [note(f1), note(f2), np.zeros(sr // 4)]
+    ).astype(np.float32)

@@ -1,0 +1,84 @@
+"""Headline benchmark: transcription realtime factor on one chip.
+
+Measures the full two-phase pipeline on a 60 s synthetic guitar-style track:
+device analyze (fused mel+rake+pYIN+RMS+financial program) + host event
+extraction + MIDI encode.  Prints ONE JSON line:
+
+    {"metric": "realtime_factor", "value": N, "unit": "x_realtime",
+     "vs_baseline": N/4.8}
+
+Baseline: the reference engine transcribes at 4.8x realtime on an M1
+(BASELINE.md; README_FINANCIAL.md:306-310).  Driver target: >= 50x per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_track(duration: float = 60.0, sr: int = 22050) -> np.ndarray:
+    """Synthetic melody: Karplus-Strong plucks over a pentatonic walk with a
+    few rake bursts — representative of the real workload."""
+    from aegis_tpu.tools.signal_gen import karplus_strong, rake_burst
+
+    rng = np.random.default_rng(42)
+    notes = [40, 43, 45, 47, 50, 52, 55, 57, 60]
+    pieces = []
+    t = 0.0
+    i = 0
+    while t < duration:
+        note = notes[int(rng.integers(0, len(notes)))]
+        freq = 440.0 * 2 ** ((note - 69) / 12)
+        dur = float(rng.uniform(0.2, 0.6))
+        pieces.append(karplus_strong(freq, dur, sr, rng=rng))
+        if i % 7 == 6:
+            pieces.append(rake_burst(0.02, sr, rng=rng))
+        t += dur
+        i += 1
+    y = np.concatenate(pieces)[: int(duration * sr)]
+    if len(y) < duration * sr:
+        y = np.pad(y, (0, int(duration * sr) - len(y)))
+    return (y / np.max(np.abs(y)) * 0.9).astype(np.float32)
+
+
+def main() -> None:
+    duration = 60.0
+    sr = 22050
+    y = make_track(duration, sr)
+
+    from aegis_tpu.engine.financial import AegisFinancialEngine
+
+    engine = AegisFinancialEngine(sample_rate=sr, backend="device")
+
+    # warmup / compile
+    t0 = time.time()
+    analysis = engine.analyze(y)
+    events, _ = engine.extract_events(analysis)
+    warm = time.time() - t0
+    print(f"# warmup (incl. compile): {warm:.1f}s, events={len(events)}",
+          file=sys.stderr)
+
+    n_iter = 5
+    t0 = time.time()
+    for _ in range(n_iter):
+        analysis = engine.analyze(y)
+        events, _ = engine.extract_events(analysis)
+    elapsed = (time.time() - t0) / n_iter
+
+    rtf = duration / elapsed
+    print(f"# steady-state: {elapsed:.3f}s per {duration:.0f}s audio, "
+          f"{len(events)} events", file=sys.stderr)
+    print(json.dumps({
+        "metric": "realtime_factor",
+        "value": round(rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 4.8, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""End-to-end engine tests: device pipeline vs CPU oracle vs ground truth.
+
+This is the framework's correctness gate (BASELINE.md): note-event F1 >= 0.99
+between the device pipeline and the NumPy oracle.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from aegis_tpu.engine.engine import AegisEngine
+from aegis_tpu.engine.financial import AegisFinancialEngine
+from aegis_tpu.midi.decode import midi_to_notes
+from aegis_tpu.tools.signal_gen import generate_scale_benchmark, generate_test_track
+from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def ks_track():
+    return generate_test_track(sr=SR)
+
+
+def test_v1_device_vs_oracle_f1(ks_track):
+    track, truth = ks_track
+    dev = AegisEngine(sample_rate=SR, backend="device")
+    ref = AegisEngine(sample_rate=SR, backend="ref")
+    raw_d = dev.audio_to_midi(track)
+    raw_r = ref.audio_to_midi(track)
+    ev_d = dev.extract_events(raw_d, None, confidence_threshold=0.5)
+    ev_r = ref.extract_events(raw_r, None, confidence_threshold=0.5)
+    m = note_event_f1(
+        events_to_seconds(ev_r, SR, 512), events_to_seconds(ev_d, SR, 512)
+    )
+    assert m["f1"] >= 0.99, m
+
+    # against ground truth: all three notes must be found
+    truth_f1 = note_event_f1(truth, events_to_seconds(ev_d, SR, 512),
+                             onset_tolerance=0.2)
+    assert truth_f1["recall"] == 1.0, truth_f1
+
+
+def test_v1_midi_output(ks_track):
+    track, truth = ks_track
+    eng = AegisEngine(sample_rate=SR, backend="device")
+    raw = eng.audio_to_midi(track)
+    buf = io.BytesIO()
+    events = eng.extract_events(raw, buf, confidence_threshold=0.5,
+                                sustain_ms=150)
+    assert events
+    notes = midi_to_notes(buf.getvalue())
+    assert len(notes) >= 3
+    pitches = {n["note"] for n in notes}
+    assert {40, 45, 50} <= pitches
+
+
+def test_raw_data_roundtrip(tmp_path, ks_track):
+    track, _ = ks_track
+    eng = AegisEngine(sample_rate=SR, backend="ref")
+    raw = eng.audio_to_midi(track)
+    p = str(tmp_path / "raw.npz")
+    eng.save_raw(raw, p)
+    raw2 = eng.load_raw(p)
+    ev1 = eng.extract_events(raw, None)
+    ev2 = eng.extract_events(raw2, None)
+    assert ev1 == ev2
+
+
+def test_financial_device_vs_oracle(tmp_path):
+    y, _, truth = generate_scale_benchmark(sr=SR)
+    dev = AegisFinancialEngine(sample_rate=SR, backend="device")
+    ref = AegisFinancialEngine(sample_rate=SR, backend="ref")
+    a_d = dev.analyze(y)
+    a_r = ref.analyze(y)
+    ev_d, info_d = dev.extract_events(a_d)
+    ev_r, info_r = ref.extract_events(a_r)
+    assert abs(info_d["threshold"] - info_r["threshold"]) < 0.02
+    m = note_event_f1(
+        events_to_seconds(ev_r, SR, 512), events_to_seconds(ev_d, SR, 512)
+    )
+    assert m["f1"] >= 0.99, m
+
+    # end-to-end file output
+    out = str(tmp_path / "fin.mid")
+    path = dev.audio_to_midi_financial(y, out)
+    assert path == out
+    notes = midi_to_notes(out)
+    assert len(notes) >= 6  # most of the 8 scale notes survive filtering
+
+
+def test_financial_key_detection():
+    y, _, _ = generate_scale_benchmark(sr=SR, with_rake=False, hiss=0.0)
+    eng = AegisFinancialEngine(sample_rate=SR, backend="ref")
+    a = eng.analyze(y)
+    events, info = eng.extract_events(a)
+    assert info["key_info"] is not None
+    assert info["key_info"]["key"] == "C"
+
+
+def test_tabs_and_musicxml(tmp_path, ks_track):
+    track, _ = ks_track
+    eng = AegisEngine(sample_rate=SR, backend="ref")
+    raw = eng.audio_to_midi(track)
+    events = eng.extract_events(raw, None, confidence_threshold=0.5)
+    tabs = eng.generate_tabs(events)
+    assert tabs and all(0 <= t["fret"] <= 24 for t in tabs)
+    xml_path = str(tmp_path / "tab.xml")
+    eng.export_musicxml(tabs, xml_path)
+    content = open(xml_path).read()
+    assert "<string>" in content and "<fret>" in content

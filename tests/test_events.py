@@ -1,0 +1,101 @@
+"""Event segmentation, merging, articulation and pairing logic."""
+
+import numpy as np
+
+from aegis_tpu.core.events import (
+    _hammer_pull_pairs,
+    _sustain_merge,
+    detect_articulations_v1,
+    extract_events_v1,
+)
+from aegis_tpu.ref.dsp_ref import midi_to_hz
+
+SR, HOP = 22050, 512
+
+
+def _frames_for(notes_per_frame, rms_db=-20.0):
+    """Build frame arrays for a note-id sequence (-1 = silence)."""
+    T = len(notes_per_frame)
+    f0 = np.array(
+        [midi_to_hz(n) if n >= 0 else 0.0 for n in notes_per_frame]
+    )
+    voiced = np.array([n >= 0 for n in notes_per_frame])
+    probs = np.where(voiced, 0.9, 0.0)
+    # invert amplitude_to_db(ref=max): make rms constant so db == 0 (max ref)
+    rms = np.where(voiced, 0.1, 0.001)
+    rake = np.zeros(T, bool)
+    return rake, f0, voiced, probs, rms
+
+
+def test_basic_segmentation():
+    seq = [-1] * 3 + [60] * 10 + [-1] * 2 + [64] * 8 + [-1] * 2
+    events = extract_events_v1(*_frames_for(seq), SR, HOP,
+                               min_note_duration_ms=0, sustain_ms=0)
+    assert [e["note"] for e in events] == [60, 64]
+    assert events[0]["start"] == 3 and events[0]["end"] == 12
+    assert events[1]["start"] == 15 and events[1]["end"] == 22
+
+
+def test_min_duration_filter():
+    seq = [-1] * 2 + [60] * 2 + [-1] * 4 + [62] * 12 + [-1]
+    events = extract_events_v1(*_frames_for(seq), SR, HOP,
+                               min_note_duration_ms=150, sustain_ms=0)
+    assert [e["note"] for e in events] == [62]
+
+
+def test_note_change_splits_segment():
+    seq = [60] * 6 + [62] * 6
+    events = extract_events_v1(*_frames_for(seq), SR, HOP,
+                               min_note_duration_ms=0, sustain_ms=0)
+    assert [e["note"] for e in events] == [60, 62]
+
+
+def test_rake_masks_frames():
+    seq = [60] * 12
+    rake, f0, voiced, probs, rms = _frames_for(seq)
+    rake[5:7] = True
+    events = extract_events_v1(rake, f0, voiced, probs, rms, SR, HOP,
+                               min_note_duration_ms=0, sustain_ms=0)
+    assert len(events) == 2  # split by the rake gap
+
+
+def test_sustain_merge_and_technique_block():
+    base = {"note": 60, "confidence": 0.9, "velocity": 90, "track": "main",
+            "rms_energy": -20.0, "slope": 0.0}
+    a = dict(base, start=0, end=10, technique=None)
+    b = dict(base, start=12, end=20, technique=None)
+    merged = _sustain_merge([dict(a), dict(b)], sustain_frames=3)
+    assert len(merged) == 1 and merged[0]["end"] == 20
+
+    a2 = dict(a, technique="bend")
+    merged2 = _sustain_merge([dict(a2), dict(b)], sustain_frames=3)
+    assert len(merged2) == 2  # technique blocks merging
+
+
+def test_hammer_on_detection():
+    evts = [
+        {"note": 60, "start": 0, "end": 10, "velocity": 100,
+         "rms_energy": -10.0, "technique": None, "slope": 0.0},
+        {"note": 62, "start": 10, "end": 20, "velocity": 50,
+         "rms_energy": -25.0, "technique": None, "slope": 0.0},
+        {"note": 60, "start": 20, "end": 30, "velocity": 48,
+         "rms_energy": -28.0, "technique": None, "slope": 0.0},
+    ]
+    _hammer_pull_pairs(evts, ms_per_frame=23.2)
+    assert evts[1]["technique"] == "hammer_on"
+    assert evts[2]["technique"] == "pull_off"
+
+
+def test_articulation_vibrato_and_bend():
+    # vibrato: oscillating +-0.4 semitone around note 60
+    t = np.arange(30)
+    vib = midi_to_hz(60 + 0.4 * np.sin(t))
+    tech, _ = detect_articulations_v1(vib, 0, 29)
+    assert tech == "vibrato"
+    # bend: rising 1.5 semitones
+    bend = midi_to_hz(60 + np.linspace(0, 1.5, 20))
+    tech, slope = detect_articulations_v1(bend, 0, 19)
+    assert tech == "bend" and slope > 0.05
+    # stable note: nothing
+    tech, _ = detect_articulations_v1(np.full(20, midi_to_hz(60)), 0, 19)
+    assert tech is None
