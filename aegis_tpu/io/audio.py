@@ -37,18 +37,46 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return y.astype(np.float32)
 
 
+def _decode_with_ffmpeg(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
+    """Fallback decode (mp3/ogg/m4a/...) through ffmpeg when available."""
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise ValueError("unsupported audio format and ffmpeg not available")
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        src = ["-i", "pipe:0"]
+        stdin = bytes(path_or_bytes)
+    else:
+        src = ["-i", str(path_or_bytes)]
+        stdin = None
+    out = subprocess.run(
+        [ffmpeg, "-v", "error", *src, "-f", "f32le", "-ac", "1",
+         "-ar", "44100", "pipe:1"],
+        input=stdin, capture_output=True, timeout=120,
+    )
+    if out.returncode != 0:
+        raise ValueError(f"ffmpeg decode failed: {out.stderr[:200]!r}")
+    return np.frombuffer(out.stdout, dtype="<f4").copy(), 44100
+
+
 def load_audio(
     path_or_bytes: Union[str, bytes],
     sr: int = 22050,
     offset: float = 0.0,
     duration: Optional[float] = None,
 ) -> Tuple[np.ndarray, int]:
-    """Load a WAV file as mono float32 at the requested sample rate.
+    """Load an audio file as mono float32 at the requested sample rate.
 
+    WAV is decoded natively; other formats fall back to ffmpeg when present.
     Offset/duration are applied at the *native* rate before resampling, like
     librosa.load's offset/duration arguments.
     """
-    x, native_sr = read_wav(path_or_bytes)
+    try:
+        x, native_sr = read_wav(path_or_bytes)
+    except ValueError:
+        x, native_sr = _decode_with_ffmpeg(path_or_bytes)
     x = to_mono(x)
     if offset:
         x = x[int(round(offset * native_sr)) :]

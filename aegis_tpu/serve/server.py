@@ -1,0 +1,401 @@
+"""REST API server — the framework's primary serving surface.
+
+Same endpoint surface as the reference FastAPI backend (server.py, port
+8508; SURVEY.md §2.3), on the stdlib HTTP layer (serve.http):
+
+  GET  /                            SPA
+  GET  /api/presets
+  POST /api/upload                  multipart "file" or raw body
+  POST /api/analyze/{sid}           Phase 1 + 2
+  POST /api/refilter/{sid}          Phase 2 only (cached raw_data)
+  GET  /api/midi/{sid}
+  POST /api/crossfade/{sid}
+  GET  /api/midi-wav/{sid}  GET /api/original-wav/{sid}
+  POST /api/adsr-synth/{sid}
+  POST /api/reverse-analysis/{sid}
+  POST /api/auto-match/{sid}
+  POST /api/effect-loop/{sid}
+  POST /api/per-note-optimize/{sid}
+  POST /api/fret-filter/{sid}
+  GET  /api/tabs/{sid}
+
+Fixed vs the reference (SURVEY.md Appendix A): /api/fret-filter regenerates
+the downloadable MIDI from the *filtered* events, not the unfiltered
+raw_data.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import os
+import tempfile
+from typing import Dict, Optional
+
+import numpy as np
+
+from aegis_tpu.engine.engine import AegisEngine
+from aegis_tpu.io.audio import load_audio
+from aegis_tpu.io.wav import read_wav, write_wav
+from aegis_tpu.midi.encode import events_to_midi
+from aegis_tpu.serve.http import (HTTPError, Response, Router, coerce,
+                                  json_response, parse_multipart)
+from aegis_tpu.serve.sessions import SessionStore
+from aegis_tpu.synth.adsr import analyze_envelope, synthesize_midi_adsr
+from aegis_tpu.synth.fluidsynth import synthesize_midi
+from aegis_tpu.synth.presets import EFFECT_PRESETS, GUITAR_ADSR_PRESETS
+from aegis_tpu.utils.logging import get_logger
+
+log = get_logger("Server")
+
+STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+
+def _events_json(events):
+    return [
+        {
+            "note": e["note"],
+            "start": int(e["start"]),
+            "end": int(e["end"]),
+            "velocity": int(e["velocity"]),
+            "confidence": round(float(e.get("confidence", 0.0)), 3),
+            "track": e.get("track", "main"),
+            "technique": e.get("technique") or "normal",
+        }
+        for e in events
+    ]
+
+
+def _wav_bytes(y: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    write_wav(buf, y, sr)
+    return buf.getvalue()
+
+
+class AegisServer:
+    """All state + routes.  ``router`` can be mounted by serve.http."""
+
+    def __init__(self, engine: Optional[AegisEngine] = None,
+                 persist_dir: Optional[str] = None,
+                 temp_dir: Optional[str] = None):
+        self.engine = engine or AegisEngine(sample_rate=44100)
+        self.sessions = SessionStore(persist_dir=persist_dir)
+        self.temp_dir = temp_dir or tempfile.mkdtemp(prefix="aegis_")
+        self.router = Router()
+        self._register()
+
+    # ------------------------------------------------------------------ util
+
+    def _sess(self, sid: str) -> Dict:
+        sess = self.sessions.get(sid)
+        if sess is None:
+            raise HTTPError(404, "Session not found. Upload a file first.")
+        return sess
+
+    def _load_original(self, sess: Dict, duration: float = 30.0) -> np.ndarray:
+        y, _ = load_audio(sess["file_path"], sr=self.engine.sr,
+                          duration=duration)
+        return y
+
+    def _extract(self, sess: Dict, query: Dict[str, str]):
+        params = {
+            "confidence_threshold": coerce(query, "confidence_threshold", 0.70),
+            "min_note_duration_ms": coerce(query, "min_note_duration_ms", 100),
+            "sustain_ms": coerce(query, "sustain_ms", 200),
+            "midi_program": coerce(query, "midi_program", 27),
+        }
+        buf = io.BytesIO()
+        events = self.engine.extract_events(sess["raw_data"], buf, **params)
+        return events, buf.getvalue(), params
+
+    # ---------------------------------------------------------------- routes
+
+    def _register(self) -> None:
+        r = self.router
+
+        @r.get("/")
+        def root(**kw):
+            index = os.path.join(STATIC_DIR, "index.html")
+            if os.path.exists(index):
+                with open(index, "rb") as f:
+                    return Response(f.read(), "text/html")
+            return Response(b"<h1>aegis_tpu server</h1>", "text/html")
+
+        @r.get("/api/presets")
+        def presets(**kw):
+            return json_response({
+                "adsr_presets": GUITAR_ADSR_PRESETS,
+                "effect_presets": list(EFFECT_PRESETS.keys()),
+            })
+
+        @r.post("/api/upload")
+        def upload(query, body, content_type, **kw):
+            if "multipart/form-data" in content_type:
+                fields = parse_multipart(body, content_type)
+                if "file" not in fields:
+                    raise HTTPError(400, "missing 'file' field")
+                filename, data = fields["file"]
+            else:
+                filename = query.get("name", "upload.wav")
+                data = body
+            if not data:
+                raise HTTPError(400, "empty upload")
+            suffix = os.path.splitext(filename)[1] or ".wav"
+            sid = self.sessions.create(file_name=filename, raw_data=None,
+                                       events=None, midi_data=None)
+            path = os.path.join(self.temp_dir, f"{sid}{suffix}")
+            with open(path, "wb") as f:
+                f.write(data)
+            self.sessions.update(sid, file_path=path)
+            return json_response({"session_id": sid, "file_name": filename,
+                                  "message": "Upload successful"})
+
+        @r.post("/api/analyze/{sid}")
+        def analyze(sid, query, **kw):
+            sess = self._sess(sid)
+            raw = self.engine.audio_to_midi(
+                sess["file_path"], None,
+                start_time=coerce(query, "start_time", 0.0),
+                end_time=coerce(query, "end_time", None, float),
+                turbo_mode=coerce(query, "turbo_mode", False, bool),
+                rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
+            )
+            if raw is None:
+                raise HTTPError(400, "Analysis failed - empty audio?")
+            sess["raw_data"] = raw
+            events, midi_data, params = self._extract(sess, query)
+            self.sessions.update(sid, events=events, midi_data=midi_data,
+                                 params=params)
+            self.sessions.checkpoint_raw(sid)
+            return json_response({
+                "session_id": sid,
+                "num_events": len(events),
+                "events": _events_json(events),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+                "message": f"Analysis complete: {len(events)} notes detected",
+            })
+
+        @r.post("/api/refilter/{sid}")
+        def refilter(sid, query, **kw):
+            sess = self._sess(sid)
+            if sess.get("raw_data") is None:
+                raise HTTPError(400, "No analysis data. Run /api/analyze first.")
+            events, midi_data, params = self._extract(sess, query)
+            self.sessions.update(sid, events=events, midi_data=midi_data,
+                                 params=params)
+            return json_response({
+                "num_events": len(events),
+                "events": _events_json(events),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+            })
+
+        @r.get("/api/midi/{sid}")
+        def download_midi(sid, **kw):
+            sess = self._sess(sid)
+            if sess.get("midi_data") is None:
+                raise HTTPError(400, "No MIDI data. Run analysis first.")
+            return Response(
+                sess["midi_data"], "audio/midi",
+                headers={"Content-Disposition":
+                         f'attachment; filename="aegis_{sess["file_name"]}.mid"'},
+            )
+
+        @r.post("/api/crossfade/{sid}")
+        def crossfade(sid, query, **kw):
+            sess = self._sess(sid)
+            if sess.get("midi_data") is None:
+                raise HTTPError(400, "No MIDI. Run analysis first.")
+            fade = coerce(query, "crossfade", 0.5)
+            wav = synthesize_midi(sess["midi_data"], sample_rate=self.engine.sr)
+            if wav is None:
+                raise HTTPError(500, "MIDI synthesis failed")
+            y_midi, msr = read_wav(wav)
+            if y_midi.ndim == 2:
+                y_midi = y_midi.mean(axis=1)
+            y_orig = self._load_original(sess)
+            n = min(len(y_orig), len(y_midi))
+            mix = (1.0 - fade) * y_orig[:n] + fade * y_midi[:n]
+            peak = np.max(np.abs(mix))
+            if peak > 0:
+                mix = mix / peak * 0.9
+            return Response(_wav_bytes(mix, self.engine.sr), "audio/wav")
+
+        @r.get("/api/midi-wav/{sid}")
+        def midi_wav(sid, **kw):
+            sess = self._sess(sid)
+            if sess.get("midi_data") is None:
+                raise HTTPError(400, "No MIDI.")
+            wav = synthesize_midi(sess["midi_data"], sample_rate=self.engine.sr)
+            if wav is None:
+                raise HTTPError(500, "Synthesis failed")
+            return Response(wav, "audio/wav")
+
+        @r.get("/api/original-wav/{sid}")
+        def original_wav(sid, **kw):
+            sess = self._sess(sid)
+            y = self._load_original(sess, duration=60.0)
+            return Response(_wav_bytes(y, self.engine.sr), "audio/wav")
+
+        @r.post("/api/adsr-synth/{sid}")
+        def adsr_synth(sid, query, **kw):
+            sess = self._sess(sid)
+            if sess.get("midi_data") is None:
+                raise HTTPError(400, "No MIDI.")
+            overrides = {}
+            if coerce(query, "envelope_match", False, bool):
+                y = self._load_original(sess, duration=10.0)
+                overrides = analyze_envelope(y, self.engine.sr)
+            wav = synthesize_midi_adsr(
+                sess["midi_data"],
+                preset=query.get("preset", "electric_clean"),
+                sample_rate=self.engine.sr, **overrides,
+            )
+            if wav is None:
+                raise HTTPError(500, "ADSR synthesis failed")
+            result = {"wav_base64": base64.b64encode(wav).decode()}
+            if overrides:
+                result["envelope_params"] = overrides
+            return json_response(result)
+
+        @r.post("/api/reverse-analysis/{sid}")
+        def reverse(sid, **kw):
+            sess = self._sess(sid)
+            if sess.get("midi_data") is None:
+                raise HTTPError(400, "No MIDI.")
+            from aegis_tpu.verify.reverse import reverse_analysis
+
+            result = reverse_analysis(sess["midi_data"], self.engine,
+                                      sample_rate=self.engine.sr)
+            if not result:
+                raise HTTPError(500, "Reverse analysis failed")
+            return json_response({
+                "original_notes": result["original_notes"],
+                "reversed_notes": result["reversed_notes"],
+                "note_accuracy": round(result["note_accuracy"], 3),
+                "pitch_accuracy": round(result["pitch_accuracy"], 3),
+                "timing_accuracy": round(result["timing_accuracy"], 3),
+            })
+
+        @r.post("/api/auto-match/{sid}")
+        def auto_match(sid, **kw):
+            sess = self._sess(sid)
+            if sess.get("raw_data") is None:
+                raise HTTPError(400, "No analysis data.")
+            from aegis_tpu.verify.auto_match import auto_match_parameters
+
+            y = self._load_original(sess)
+            result = auto_match_parameters(y, self.engine, sess["raw_data"],
+                                           sample_rate=self.engine.sr)
+            if not result:
+                raise HTTPError(500, "Auto-match failed")
+            return json_response(result)
+
+        @r.post("/api/effect-loop/{sid}")
+        def effect_loop(sid, query, **kw):
+            sess = self._sess(sid)
+            if sess.get("midi_data") is None:
+                raise HTTPError(400, "No MIDI.")
+            from aegis_tpu.verify.effect_loop import learning_loop
+
+            preset = query.get("preset", "clean")
+            if preset not in EFFECT_PRESETS:
+                preset = "clean"
+            result = learning_loop(
+                sess["midi_data"], self.engine, preset=preset,
+                max_iterations=coerce(query, "max_iterations", 5),
+                target_accuracy=0.95, sample_rate=self.engine.sr,
+            )
+            if not result:
+                raise HTTPError(500, "Learning loop failed")
+            return json_response({
+                "best_accuracy": result["best_accuracy"],
+                "best_params": result["best_params"],
+                "iterations": len(result["history"]),
+                "history": [
+                    {"iteration": h["iteration"],
+                     "overall": h["accuracy"]["overall"]}
+                    for h in result["history"]
+                ],
+            })
+
+        @r.post("/api/per-note-optimize/{sid}")
+        def per_note(sid, query, **kw):
+            sess = self._sess(sid)
+            if sess.get("events") is None:
+                raise HTTPError(400, "No events.")
+            from aegis_tpu.verify.per_note import (
+                generate_optimization_report, optimize_all_notes,
+                synthesize_with_per_note_params)
+
+            y = self._load_original(sess)
+            mode = "quick" if coerce(query, "quick_mode", True, bool) else "precise"
+            params = optimize_all_notes(y, sess["events"], self.engine.sr,
+                                        self.engine.hop_length, mode=mode)
+            if not params:
+                raise HTTPError(500, "Optimization failed")
+            report = generate_optimization_report(params)
+            audio = synthesize_with_per_note_params(
+                sess["events"], params, self.engine.sr, self.engine.hop_length
+            )
+            return json_response({
+                "report": report,
+                "wav_base64": base64.b64encode(
+                    _wav_bytes(audio, self.engine.sr)).decode(),
+            })
+
+        @r.post("/api/fret-filter/{sid}")
+        def fret_filter(sid, query, **kw):
+            sess = self._sess(sid)
+            if sess.get("events") is None:
+                raise HTTPError(400, "No events. Run analysis first.")
+            from aegis_tpu.midi.fret_filter import apply_fret_filter
+
+            filtered, report = apply_fret_filter(
+                sess["events"], sr=self.engine.sr,
+                hop_length=self.engine.hop_length,
+                max_fret_speed=coerce(query, "max_fret_speed", 40.0),
+                protect_long_notes_ms=coerce(query, "protect_long_notes_ms",
+                                             200.0),
+            )
+            # regenerate MIDI from the FILTERED events (reference bug fixed)
+            params = sess.get("params", {})
+            midi_data = events_to_midi(
+                filtered, self.engine.sr, self.engine.hop_length,
+                midi_program=params.get("midi_program", 27), output=None,
+            )
+            self.sessions.update(sid, events=filtered, midi_data=midi_data)
+            return json_response({
+                "report": report,
+                "events": _events_json(filtered),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+            })
+
+        @r.get("/api/tabs/{sid}")
+        def tabs(sid, **kw):
+            sess = self._sess(sid)
+            if sess.get("events") is None:
+                raise HTTPError(400, "No events. Run analysis first.")
+            from aegis_tpu.midi.tabs import generate_tabs, render_ascii_tab
+
+            tab_data = generate_tabs(sess["events"])
+            spf = self.engine.hop_length / self.engine.sr
+            for t in tab_data:
+                t["time_sec"] = round(t["m_start"] * spf, 4)
+                t["end_sec"] = round(t["m_end"] * spf, 4)
+            return json_response({
+                "tabs": tab_data,
+                "total_notes": len(tab_data),
+                "ascii": render_ascii_tab(tab_data),
+            })
+
+
+def main(host: str = "0.0.0.0", port: int = 8508) -> None:
+    from aegis_tpu.serve.http import serve_forever
+
+    server = AegisServer()
+    log.info(f"aegis_tpu server on {host}:{port}")
+    serve_forever(server.router, host, port)
+
+
+if __name__ == "__main__":
+    main()

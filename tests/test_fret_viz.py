@@ -1,0 +1,78 @@
+"""Fret filter and visualizers."""
+
+import numpy as np
+
+from aegis_tpu.midi.fret_filter import (apply_fret_filter, midi_to_fret_positions,
+                                        min_fret_distance)
+from aegis_tpu.midi.smf import MidiFile, MidiMessage, MidiTrack
+from aegis_tpu.viz.piano_roll import (events_to_svg, midi_to_svg,
+                                      render_piano_roll)
+
+SR, HOP = 44100, 512
+
+
+def _evt(note, start, end, conf=0.5, vel=80, technique=None):
+    return {"note": note, "start": start, "end": end, "confidence": conf,
+            "velocity": vel, "technique": technique, "track": "main",
+            "rms_energy": -20.0, "slope": 0.0}
+
+
+def test_fret_positions():
+    # E2 (40): only the low-E open string
+    assert midi_to_fret_positions(40) == [(5, 0)]
+    # middle C (60): several positions
+    assert len(midi_to_fret_positions(60)) >= 3
+    # out of range
+    assert midi_to_fret_positions(20) == []
+
+
+def test_min_fret_distance_open_string_free():
+    a = midi_to_fret_positions(40)  # open low E
+    b = midi_to_fret_positions(52)  # E3: 12th fret low E, 7th A, 2nd D
+    d, _, _ = min_fret_distance(a, b)
+    assert d == 0  # open string involvement is free
+
+
+def test_fret_filter_removes_impossible_jump():
+    # fret 2 (F#2, low E only) -> fret 23 (D#6, high e only) in ~12 ms:
+    # 21 frets at ~1800 frets/s, far beyond any human hand
+    events = [
+        _evt(42, 0, 4),
+        _evt(87, 5, 9),
+    ]
+    filtered, report = apply_fret_filter(events, SR, HOP, max_fret_speed=40)
+    assert report["removed_count"] >= 1
+    reasons = {r["reason"] for r in report["removed_notes"]}
+    assert "fret_speed_exceeded" in reasons
+
+
+def test_fret_filter_out_of_range():
+    events = [_evt(30, 0, 10), _evt(60, 20, 30), _evt(95, 40, 50)]
+    filtered, report = apply_fret_filter(events, SR, HOP)
+    kept = {e["note"] for e in filtered}
+    assert 30 not in kept and 95 not in kept and 60 in kept
+
+
+def test_fret_filter_protection():
+    long_note = _evt(41, 0, 100)          # long => protected
+    confident = _evt(87, 101, 104, conf=0.9)  # high confidence => protected
+    filtered, report = apply_fret_filter([long_note, confident], SR, HOP,
+                                         max_fret_speed=1.0)
+    assert report["removed_count"] == 0
+
+
+def test_svg_renderers():
+    events = [_evt(60, 0, 40), dict(_evt(64, 50, 90), track="safe")]
+    svg = events_to_svg(events, SR, HOP)
+    assert svg.startswith("<svg") and "#34c759" in svg and "#ff6b9d" in svg
+
+    mid = MidiFile()
+    tr = MidiTrack()
+    mid.tracks.append(tr)
+    tr.append(MidiMessage("note_on", note=60, velocity=90, time=0))
+    tr.append(MidiMessage("note_off", note=60, velocity=0, time=480))
+    blob = mid.save(None)
+    assert "<svg" in midi_to_svg(blob)
+    for engine in ("svg", "html_midi_player", "tonejs", "webaudiofont"):
+        out = render_piano_roll(blob, engine=engine)
+        assert isinstance(out, str) and len(out) > 50

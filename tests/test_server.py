@@ -1,0 +1,124 @@
+"""API server: full session lifecycle over real HTTP."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from aegis_tpu.engine.engine import AegisEngine
+from aegis_tpu.io.wav import write_wav
+from aegis_tpu.serve.http import make_handler
+from aegis_tpu.serve.server import AegisServer
+from aegis_tpu.tools.signal_gen import two_tone
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    srv = AegisServer(engine=AegisEngine(sample_rate=SR, backend="device"))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv.router))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _req(url, method="GET", body=None):
+    req = urllib.request.Request(url, data=body, method=method)
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        data = resp.read()
+        ctype = resp.headers.get("Content-Type", "")
+        return resp.status, ctype, data
+
+
+def test_full_session_lifecycle(server_url):
+    # presets
+    status, _, data = _req(f"{server_url}/api/presets")
+    assert status == 200
+    presets = json.loads(data)
+    assert "electric_clean" in presets["adsr_presets"]
+
+    # root SPA
+    status, ctype, data = _req(server_url + "/")
+    assert status == 200 and b"Aegis" in data
+
+    # upload
+    buf = io.BytesIO()
+    write_wav(buf, two_tone(sr=SR), SR)
+    status, _, data = _req(f"{server_url}/api/upload?name=test.wav",
+                           "POST", buf.getvalue())
+    assert status == 200
+    sid = json.loads(data)["session_id"]
+
+    # analyze
+    status, _, data = _req(
+        f"{server_url}/api/analyze/{sid}?confidence_threshold=0.5", "POST")
+    assert status == 200
+    j = json.loads(data)
+    assert j["num_events"] >= 2
+    notes = {e["note"] for e in j["events"]}
+    assert {55, 62} <= notes  # G3, D4
+
+    # refilter with stricter duration
+    status, _, data = _req(
+        f"{server_url}/api/refilter/{sid}?confidence_threshold=0.5"
+        f"&min_note_duration_ms=100", "POST")
+    assert status == 200
+    assert json.loads(data)["num_events"] >= 1
+
+    # MIDI download
+    status, ctype, data = _req(f"{server_url}/api/midi/{sid}")
+    assert status == 200 and ctype == "audio/midi" and data[:4] == b"MThd"
+
+    # tabs
+    status, _, data = _req(f"{server_url}/api/tabs/{sid}")
+    assert status == 200
+    tabs = json.loads(data)
+    assert tabs["total_notes"] >= 1 and "ascii" in tabs
+
+    # fret filter
+    status, _, data = _req(f"{server_url}/api/fret-filter/{sid}", "POST")
+    assert status == 200
+    j = json.loads(data)
+    assert "report" in j and j["midi_base64"]
+
+    # ADSR synth
+    status, _, data = _req(
+        f"{server_url}/api/adsr-synth/{sid}?preset=electric_clean", "POST")
+    assert status == 200
+    assert json.loads(data)["wav_base64"]
+
+    # crossfade audio
+    status, ctype, data = _req(f"{server_url}/api/crossfade/{sid}?crossfade=0.5",
+                               "POST")
+    assert status == 200 and ctype == "audio/wav" and data[:4] == b"RIFF"
+
+
+def test_error_paths(server_url):
+    # unknown session
+    try:
+        _req(f"{server_url}/api/analyze/zzzzzzzz", "POST")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # refilter before analyze
+    status, _, data = _req(f"{server_url}/api/upload?name=x.wav", "POST",
+                           b"RIFF")  # invalid wav: upload ok, analyze fails
+    sid = json.loads(data)["session_id"]
+    try:
+        _req(f"{server_url}/api/refilter/{sid}", "POST")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown route
+    try:
+        _req(f"{server_url}/api/nope")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
