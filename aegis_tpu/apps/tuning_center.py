@@ -1,0 +1,118 @@
+"""Aegis Tuning Center — the main v1 UI (reference aegis_app.py).
+
+Two-phase workflow: Phase 1 (device analysis) runs once per
+(file, range, rake, turbo) key and is cached in session_state; Phase 2
+re-extracts events instantly on every slider move inside a fragment.
+Includes analysis modes (turbo / zen / external stem), spectrogram view,
+event table, ASCII tab with technique symbols, and the rake-ratio report
+(aegis_app.py:41-103, 284-456).
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from aegis_tpu.apps.common import audio_player, phase1_cache_key, require_streamlit, svg_panel
+from aegis_tpu.engine.engine import AegisEngine
+from aegis_tpu.midi.tabs import generate_tabs, render_ascii_tab
+from aegis_tpu.viz.piano_roll import events_to_svg
+
+
+def main() -> None:
+    st = require_streamlit()
+    st.set_page_config(page_title="Aegis Tuning Center", layout="wide")
+    st.title("🎸 Aegis TPU — Tuning Center")
+
+    with st.sidebar:
+        st.header("Analysis modes")
+        turbo = st.checkbox("Turbo (sharded tiles)", value=False)
+        zen = st.checkbox("Zen mode (minimal UI)", value=False)
+        use_stem = st.checkbox("External stem (Demucs)", value=False)
+
+        st.header("Phase 1 — Perception")
+        rake_sens = st.slider("Rake sensitivity", 0.1, 1.0, 0.6, 0.05)
+        start_time = st.number_input("Start (s)", 0.0, 9999.0, 0.0)
+        end_time = st.number_input("End (s, 0 = all)", 0.0, 9999.0, 0.0)
+
+        st.header("Phase 2 — Logic filter")
+        conf = st.slider("Confidence", 0.1, 0.95, 0.30, 0.01)
+        gate = st.slider("Noise gate (dB)", -80, -10, -40, 1)
+        min_dur = st.slider("Min duration (ms)", 10, 500, 60, 10)
+        sustain = st.slider("Sustain merge (ms)", 0, 1000, 150, 10)
+        program = st.number_input("MIDI program", 0, 127, 27)
+
+    upload = st.file_uploader("Audio file", type=["wav", "mp3", "ogg", "flac"])
+    if upload is None:
+        st.info("Upload a guitar recording to begin.")
+        return
+
+    file_bytes = upload.getvalue()
+    engine = st.session_state.setdefault("engine", AegisEngine(sample_rate=44100))
+
+    if use_stem:
+        import tempfile, os
+
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            f.write(file_bytes)
+        stem_path = engine.separate_stems(f.name, tempfile.mkdtemp())
+        with open(stem_path, "rb") as sf_:
+            file_bytes = sf_.read()
+        os.unlink(f.name)
+
+    key = phase1_cache_key(file_bytes, start=start_time, end=end_time,
+                           rake=rake_sens, turbo=turbo, stem=use_stem)
+    if st.session_state.get("p1_key") != key:
+        with st.status("Perception Phase (analyze once)…"):
+            raw = engine.audio_to_midi(
+                file_bytes, None,
+                start_time=start_time,
+                end_time=end_time or None,
+                turbo_mode=turbo,
+                rake_sensitivity=rake_sens,
+            )
+        if raw is None:
+            st.error("Empty audio.")
+            return
+        st.session_state["p1_key"] = key
+        st.session_state["raw_data"] = raw
+    raw = st.session_state["raw_data"]
+
+    # Phase 2: instant re-filter
+    buf = io.BytesIO()
+    events = engine.extract_events(
+        raw, buf,
+        confidence_threshold=conf, noise_gate_db=gate,
+        min_note_duration_ms=min_dur, sustain_ms=sustain,
+        midi_program=int(program),
+    )
+    midi_bytes = buf.getvalue()
+
+    col1, col2 = st.columns([3, 1])
+    with col1:
+        svg_panel(st, events_to_svg(events, engine.sr, engine.hop_length,
+                                    title=f"{len(events)} events"))
+    with col2:
+        main_n = sum(1 for e in events if e["track"] == "main")
+        st.metric("Events", len(events))
+        st.metric("Main / Safe", f"{main_n} / {len(events) - main_n}")
+        rake_ratio = float(np.mean(raw["rake_mask"])) if len(raw["rake_mask"]) else 0.0
+        st.metric("Rake frames", f"{rake_ratio:.1%}")
+        st.download_button("⬇ MIDI", midi_bytes, "aegis.mid", "audio/midi")
+
+    if not zen:
+        st.subheader("Tablature")
+        st.code(render_ascii_tab(generate_tabs(events)) or "—")
+        st.subheader("Events")
+        st.dataframe(
+            [{k: e[k] for k in ("note", "start", "end", "confidence",
+                                "velocity", "track", "technique")}
+             for e in events]
+        )
+        with st.expander("Spectrogram (mel dB)"):
+            st.line_chart(np.asarray(raw["mel_db"]).mean(axis=1))
+
+
+if __name__ == "__main__":
+    main()

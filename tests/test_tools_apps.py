@@ -1,0 +1,92 @@
+"""Collectors (gated), benchmark harness, minifier, app import gating."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aegis_tpu.tools.collectors import (BatchCollector, CollectorConfig,
+                                        have_ytdlp, normalize_title,
+                                        package_zip)
+from aegis_tpu.tools.minify_html import minify_html
+
+
+def test_normalize_title():
+    assert normalize_title("Song (Official Video) [HD]!") == "song"
+    assert normalize_title("  Foo   Bar  ") == "foo_bar"
+    assert normalize_title("") == "untitled"
+
+
+def test_collector_gating(tmp_path):
+    c = BatchCollector(CollectorConfig(output_dir=str(tmp_path)))
+    if not have_ytdlp():
+        assert c.search("test") == []
+        assert c.download("test query") is None
+        assert c.stats.downloaded == 0
+
+
+def test_collector_blocklist_and_dedup(tmp_path):
+    c = BatchCollector(CollectorConfig(output_dir=str(tmp_path)))
+    assert c._blocked("Great Song (Live at Venue)")
+    assert not c._blocked("Great Song")
+    # dedup key detection from folder
+    p = tmp_path / "great_song.mp3"
+    p.write_bytes(b"x" * 2048)
+    keys = c._existing_keys(str(tmp_path))
+    assert "great_song" in keys
+    # small files re-download (not counted as existing)
+    (tmp_path / "tiny.mp3").write_bytes(b"x")
+    assert "tiny" not in c._existing_keys(str(tmp_path))
+
+
+def test_package_zip(tmp_path):
+    folder = tmp_path / "col"
+    folder.mkdir()
+    (folder / "a.mp3").write_bytes(b"abc")
+    out = package_zip(str(folder), str(tmp_path / "out.zip"))
+    assert os.path.getsize(out) > 0
+
+
+def test_benchmark_harness():
+    from aegis_tpu.tools.benchmark import run_benchmark
+
+    result = run_benchmark(duration_per_note=0.4, backend="ref")
+    assert result["truth_notes"] == 8
+    # the engine must beat the naive no-filter baseline on F1
+    assert result["aegis"]["f1"] > result["naive_baseline"]["f1"]
+    assert result["aegis"]["recall"] >= 0.8
+
+
+def test_minify_html():
+    src = """<!-- comment --><html><head><style>
+/* css comment */ body { color: red; }
+</style><script>
+// js comment
+const url = "http://x/y"; /* block */ let a = 1;
+</script></head>
+<body>  <p>hi</p>  </body></html>"""
+    out = minify_html(src, manifest="test")
+    assert "comment" not in out
+    assert "http://x/y" in out  # URL survived
+    assert "aegis_tpu SPA | test" in out
+    assert "><" in out
+
+
+def test_apps_import_gating():
+    # app modules import cleanly; main() raises a helpful ImportError
+    # only when streamlit is missing
+    import aegis_tpu.apps.tuning_center as tc
+    import aegis_tpu.apps.financial_realtime as fr
+
+    try:
+        import streamlit  # noqa: F401
+
+        has_st = True
+    except ImportError:
+        has_st = False
+    if not has_st:
+        with pytest.raises(ImportError, match="streamlit"):
+            tc.main()
+        with pytest.raises(ImportError, match="streamlit"):
+            fr.main()
