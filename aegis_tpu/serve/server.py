@@ -17,6 +17,7 @@ Same endpoint surface as the reference FastAPI backend (server.py, port
   POST /api/effect-loop/{sid}
   POST /api/per-note-optimize/{sid}
   POST /api/fret-filter/{sid}
+  POST /api/events/{sid}            sync client piano-roll edits
   GET  /api/tabs/{sid}
 
 Fixed vs the reference (SURVEY.md Appendix A): /api/fret-filter regenerates
@@ -103,6 +104,7 @@ class AegisServer:
             "min_note_duration_ms": coerce(query, "min_note_duration_ms", 100),
             "sustain_ms": coerce(query, "sustain_ms", 200),
             "midi_program": coerce(query, "midi_program", 27),
+            "noise_gate_db": coerce(query, "noise_gate_db", -40.0),
         }
         buf = io.BytesIO()
         events = self.engine.extract_events(sess["raw_data"], buf, **params)
@@ -367,6 +369,51 @@ class AegisServer:
             return json_response({
                 "report": report,
                 "events": _events_json(filtered),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+            })
+
+        @r.post("/api/events/{sid}")
+        def put_events(sid, query, body, **kw):
+            """Sync client-side piano-roll edits: body = JSON list of event
+            dicts.  The server re-encodes MIDI from the edited events so
+            /api/midi, crossfade, tabs etc. all reflect the edit."""
+            import json as _json
+
+            sess = self._sess(sid)
+            try:
+                edited = _json.loads(body.decode("utf-8"))
+            except Exception:
+                raise HTTPError(400, "body must be a JSON list of events")
+            if not isinstance(edited, list):
+                raise HTTPError(400, "body must be a JSON list of events")
+            events = []
+            for e in edited:
+                try:
+                    ev = {
+                        "note": int(e["note"]),
+                        "start": int(e["start"]),
+                        "end": int(e["end"]),
+                        "velocity": int(e.get("velocity", 100)),
+                        "confidence": float(e.get("confidence", 1.0)),
+                        "track": e.get("track", "main"),
+                        "technique": None if e.get("technique") in
+                        (None, "normal") else e["technique"],
+                    }
+                except (KeyError, TypeError, ValueError):
+                    raise HTTPError(400, "each event needs note/start/end ints")
+                if ev["end"] <= ev["start"] or not 0 <= ev["note"] <= 127:
+                    raise HTTPError(400, f"invalid event {ev}")
+                events.append(ev)
+            events.sort(key=lambda e: (e["start"], e["note"]))
+            params = sess.get("params", {})
+            midi_data = events_to_midi(
+                events, self.engine.sr, self.engine.hop_length,
+                midi_program=params.get("midi_program", 27), output=None,
+            )
+            self.sessions.update(sid, events=events, midi_data=midi_data)
+            return json_response({
+                "num_events": len(events),
+                "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
             })
 

@@ -99,6 +99,28 @@ def test_full_session_lifecycle(server_url):
                                "POST")
     assert status == 200 and ctype == "audio/wav" and data[:4] == b"RIFF"
 
+    # push client-side edits: MIDI download must reflect the edited events
+    edited = [{"note": 64, "start": 0, "end": 40, "velocity": 90,
+               "track": "main", "technique": "normal"}]
+    status, _, data = _req(f"{server_url}/api/events/{sid}", "POST",
+                           json.dumps(edited).encode())
+    assert status == 200
+    j = json.loads(data)
+    assert j["num_events"] == 1 and j["events"][0]["note"] == 64
+    status, _, data = _req(f"{server_url}/api/midi/{sid}")
+    assert status == 200 and data[:4] == b"MThd"
+    from aegis_tpu.midi.decode import midi_to_notes
+    assert {n["note"] for n in midi_to_notes(data)} == {64}
+
+    # invalid edits rejected
+    for bad in (b"not json", b"{}", b'[{"note": 200, "start": 0, "end": 1}]',
+                b'[{"note": 64, "start": 5, "end": 5}]'):
+        try:
+            _req(f"{server_url}/api/events/{sid}", "POST", bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
 
 def test_error_paths(server_url):
     # unknown session
