@@ -76,8 +76,10 @@ const url = "http://x/y"; /* block */ let a = 1;
 def test_apps_import_gating():
     # app modules import cleanly; main() raises a helpful ImportError
     # only when streamlit is missing
-    import aegis_tpu.apps.tuning_center as tc
+    import aegis_tpu.apps.collector_studio as cs
     import aegis_tpu.apps.financial_realtime as fr
+    import aegis_tpu.apps.intelligence_dashboard as dash
+    import aegis_tpu.apps.tuning_center as tc
 
     try:
         import streamlit  # noqa: F401
@@ -86,7 +88,15 @@ def test_apps_import_gating():
     except ImportError:
         has_st = False
     if not has_st:
-        with pytest.raises(ImportError, match="streamlit"):
-            tc.main()
-        with pytest.raises(ImportError, match="streamlit"):
-            fr.main()
+        for mod in (tc, fr, cs, dash):
+            with pytest.raises(ImportError, match="streamlit"):
+                mod.main()
+
+
+def test_dashboard_simulated_trends_deterministic():
+    from aegis_tpu.apps.intelligence_dashboard import GENRES, _simulated_trends
+
+    i1, h1 = _simulated_trends()
+    i2, h2 = _simulated_trends()
+    assert i1 == i2 and np.allclose(h1, h2)
+    assert set(i1) == set(GENRES) and h1.shape == (7, 24)
