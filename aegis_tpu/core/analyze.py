@@ -124,6 +124,67 @@ def analyze_financial_program(
     }
 
 
+# Per-frame output rows packed alongside mel_db into ONE device buffer: a
+# remote/tunneled backend pays ~25ms latency PER device->host transfer, so
+# fetching the analyze outputs as 14 separate arrays cost more than the
+# entire device program.  Scalars ride along broadcast to (T,).
+_V1_ROWS = ("f0", "voiced_flag", "voiced_probs", "rms", "rake_mask")
+_FIN_ROWS = _V1_ROWS + (
+    "mute_mask", "trend", "artic_codes", "slide_codes",
+    "financial_confidence", "combined_confidence",
+    "adaptive_threshold", "distortion_score",
+)
+_BOOL_ROWS = {"voiced_flag", "rake_mask", "mute_mask"}
+_INT_ROWS = {"artic_codes": np.int8, "slide_codes": np.int8}
+
+
+def _pack(out: Dict[str, jnp.ndarray], rows, include_mel: bool) -> jnp.ndarray:
+    T = out["f0"].shape[0]
+    cols = [jnp.broadcast_to(out[k].astype(jnp.float32), (T,))[:, None]
+            for k in rows]
+    head = [out["mel_db"]] if include_mel else []
+    return jnp.concatenate(head + cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("audio", "pyin_cfg",
+                                             "include_mel"))
+def analyze_program_packed(y, scale, rake_sensitivity, audio, pyin_cfg,
+                           include_mel=True):
+    y = y.astype(jnp.float32) * scale
+    return _pack(analyze_program(y, rake_sensitivity, audio, pyin_cfg),
+                 _V1_ROWS, include_mel)
+
+
+@functools.partial(jax.jit, static_argnames=("audio", "pyin_cfg",
+                                             "use_guitar_filters",
+                                             "include_mel"))
+def analyze_financial_program_packed(y, scale, rake_sensitivity, audio,
+                                     pyin_cfg, use_guitar_filters=True,
+                                     include_mel=True):
+    y = y.astype(jnp.float32) * scale
+    return _pack(
+        analyze_financial_program(y, rake_sensitivity, audio, pyin_cfg,
+                                  use_guitar_filters),
+        _FIN_ROWS, include_mel,
+    )
+
+
+def _unpack(buf: np.ndarray, rows, n_mels: int) -> Dict[str, np.ndarray]:
+    result: Dict[str, np.ndarray] = (
+        {"mel_db": buf[:, :n_mels]} if n_mels else {})
+    for i, k in enumerate(rows):
+        col = buf[:, n_mels + i]
+        if k in _BOOL_ROWS:
+            result[k] = col > 0.5
+        elif k in _INT_ROWS:
+            result[k] = col.astype(_INT_ROWS[k])
+        elif k in ("adaptive_threshold", "distortion_score"):
+            result[k] = np.float32(col[0])
+        else:
+            result[k] = col.astype(np.float64) if k == "f0" else col
+    return result
+
+
 def run_analyze(
     y: np.ndarray,
     audio: AudioConfig,
@@ -131,20 +192,42 @@ def run_analyze(
     rake_sensitivity: float = 0.6,
     financial: bool = False,
     use_guitar_filters: bool = True,
+    fetch_mel: bool = True,
+    transport: str = "int16",
 ) -> Dict[str, np.ndarray]:
-    """Host wrapper: bucket-pad, run the device program, truncate to the true
-    frame count, return NumPy arrays."""
+    """Host wrapper: bucket-pad, run the device program, fetch the single
+    packed buffer, truncate to the true frame count, return NumPy arrays.
+
+    transport="int16" uploads peak-normalized 16-bit PCM (half the bytes of
+    float32 — host->device bandwidth is the pipeline bottleneck on tunneled
+    backends) and rescales on device; quantization noise is -96 dBFS, far
+    below the pYIN/noise-gate sensitivity.  Pass "float32" for bit-exact
+    ingest.  fetch_mel=False drops the (T, n_mels) spectrogram from the
+    device->host fetch (the reference's raw_data contract has no mel;
+    aegis_engine.py:72-75) — event extraction never reads it.
+    """
     true_frames = audio.n_frames(len(y))
     y_pad = pad_to_bucket(np.asarray(y, np.float32))
+    if transport == "int16":
+        peak = float(np.max(np.abs(y_pad))) if y_pad.size else 0.0
+        if peak > 0:
+            y_dev = jnp.asarray(
+                np.round(y_pad * (32767.0 / peak)).astype(np.int16))
+            scale = jnp.float32(peak / 32767.0)
+        else:
+            y_dev = jnp.asarray(np.zeros_like(y_pad, np.int16))
+            scale = jnp.float32(0.0)
+    else:
+        y_dev = jnp.asarray(y_pad)
+        scale = jnp.float32(1.0)
     rs = jnp.float32(rake_sensitivity)
     if financial:
-        out = analyze_financial_program(jnp.asarray(y_pad), rs, audio, pyin_cfg,
-                                        use_guitar_filters)
+        packed = analyze_financial_program_packed(
+            y_dev, scale, rs, audio, pyin_cfg, use_guitar_filters, fetch_mel)
+        rows = _FIN_ROWS
     else:
-        out = analyze_program(jnp.asarray(y_pad), rs, audio, pyin_cfg)
-    host = jax.device_get(out)
-    result = {}
-    for k, v in host.items():
-        v = np.asarray(v)
-        result[k] = v[:true_frames] if v.ndim >= 1 and v.shape[0] > true_frames else v
-    return result
+        packed = analyze_program_packed(y_dev, scale, rs, audio, pyin_cfg,
+                                        fetch_mel)
+        rows = _V1_ROWS
+    buf = np.asarray(packed)[:true_frames]
+    return _unpack(buf, rows, audio.n_mels if fetch_mel else 0)

@@ -26,11 +26,29 @@ from aegis_tpu.core.filters import dft_matrices, hann_window, mel_filterbank
 
 def frame_signal(y: jnp.ndarray, frame_length: int, hop_length: int,
                  pad_mode: str = "reflect") -> jnp.ndarray:
-    """Centered framing, shape (T, frame_length), T = 1 + len(y)//hop."""
+    """Centered framing, shape (T, frame_length), T = 1 + len(y)//hop.
+
+    When frame_length is a multiple of hop_length (the standard 2048/512
+    case) frames are built from frame_length//hop_length contiguous
+    slice+reshape views concatenated along the last axis — XLA lowers this
+    to plain copies.  The general case falls back to a gather, which is
+    dramatically slower on TPU (row-indexed gathers don't tile).
+    """
     pad = frame_length // 2
     mode = "reflect" if pad_mode == "reflect" else "constant"
     y_p = jnp.pad(y, pad, mode=mode)
     n_frames = 1 + y.shape[0] // hop_length
+    if frame_length % hop_length == 0:
+        k = frame_length // hop_length
+        need = (n_frames + k - 1) * hop_length
+        if y_p.shape[0] < need:  # ragged tail (len(y) not hop-aligned)
+            y_p = jnp.pad(y_p, (0, need - y_p.shape[0]))
+        parts = [
+            y_p[i * hop_length: (i + n_frames) * hop_length].reshape(
+                n_frames, hop_length)
+            for i in range(k)
+        ]
+        return jnp.concatenate(parts, axis=1)
     idx = (
         np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
     )

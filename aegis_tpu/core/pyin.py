@@ -217,15 +217,15 @@ def pyin_from_frames(frames: jnp.ndarray, sr: int, hop_length: int,
 
 
 def extract_pyin_frames(y: jnp.ndarray, hop_length: int, cfg: PyinConfig) -> jnp.ndarray:
-    """Centered zero-padded frames for pYIN, (T, frame_length)."""
-    pad = cfg.frame_length // 2
-    y_p = jnp.pad(y, pad, mode="constant")
-    n_frames = 1 + y.shape[0] // hop_length
-    idx = (
-        np.arange(n_frames)[:, None] * hop_length
-        + np.arange(cfg.frame_length)[None, :]
-    )
-    return y_p[idx]
+    """Centered zero-padded frames for pYIN, (T, frame_length).
+
+    Delegates to dsp.frame_signal, which builds overlapping frames from
+    contiguous slices instead of a gather (a (T, 2048) row gather was the
+    single most expensive op in the fused analyze program on TPU).
+    """
+    from aegis_tpu.core import dsp
+
+    return dsp.frame_signal(y, cfg.frame_length, hop_length, "constant")
 
 
 def pyin(y: jnp.ndarray, sr: int, hop_length: int = 512,

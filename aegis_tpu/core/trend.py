@@ -1,11 +1,16 @@
 """Device-side "financial" trend/noise filters (JAX).
 
-Recurrent filters (EMA, Kalman, Holt-Winters, Wilder RSI, ATR hold-last,
-Bollinger articulation state machine) are ``lax.scan`` recurrences; windowed
-statistics (SMA, Bollinger std, Ichimoku, stochastic) are cumulative-sum /
-gathered-window reductions — no per-frame Python loops (replaces the
-reference's frame loops at financial_analysis.py / financial_filters.py; see
-SURVEY.md §7.1).
+Recurrent filters (EMA, Kalman, Holt-Winters, Wilder RSI) are expressed as
+**affine recurrences y[t] = a[t]*y[t-1] + b[t]** and evaluated with
+log-depth ``jax.lax.associative_scan`` — a sequential ``lax.scan`` over T
+frames costs ~T * step-latency on TPU, which dominated the fused analyze
+program; the associative form is embarrassingly parallel on the VPU.
+Hold-last-value recurrences (ATR spike replacement, the Bollinger
+articulation state machine's counter) reduce to cummax-of-index + gather.
+Windowed statistics (SMA, Bollinger std, Ichimoku, stochastic) are
+cumulative-sum / gathered-window reductions.  No per-frame Python loops
+(replaces the reference's frame loops at financial_analysis.py /
+financial_filters.py; see SURVEY.md §7.1).
 
 Semantics contract is defined by the CPU oracle ``aegis_tpu.ref.trend_ref``
 (including the documented Savitzky-Golay forward-fill deviation); every
@@ -39,6 +44,42 @@ def _isnan(x):
     return jnp.isnan(x)
 
 
+def _affine_scan(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """y[t] = a[t] * y[t-1] + b[t] with y[-1] = 0, in log depth.
+
+    Affine maps compose associatively: (a2,b2)∘(a1,b1) = (a1*a2, a2*b1+b2).
+    Callers encode "reset to v" elements as (a=0, b=v) and "skip" elements
+    as (a=1, b=0); b must be finite everywhere (NaNs are re-applied by the
+    caller) so 0*NaN can never poison a later segment.
+    """
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    _, y = jax.lax.associative_scan(combine, (a.astype(jnp.float32),
+                                              b.astype(jnp.float32)))
+    return y
+
+
+def _affine_scan_2x2(M: jnp.ndarray, v: jnp.ndarray,
+                     init: jnp.ndarray) -> jnp.ndarray:
+    """State recurrence s[t] = M[t] @ s[t-1] + v[t], s[-1] = init, log depth.
+
+    M: (T, 2, 2), v: (T, 2), init: (2,).  Returns states (T, 2).
+    """
+
+    def combine(left, right):
+        M_l, v_l = left
+        M_r, v_r = right
+        return (jnp.einsum("tij,tjk->tik", M_r, M_l),
+                jnp.einsum("tij,tj->ti", M_r, v_l) + v_r)
+
+    M_c, v_c = jax.lax.associative_scan(combine, (M, v))
+    return jnp.einsum("tij,j->ti", M_c, init) + v_c
+
+
 def _trailing_window(x: jnp.ndarray, w: int, include_current: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gathered trailing windows.  Returns (vals (T, w), valid_pos (T, w)).
 
@@ -67,18 +108,22 @@ def sma(data: jnp.ndarray, window: int = 5) -> jnp.ndarray:
 
 
 def ema(data: jnp.ndarray, span: int = 5) -> jnp.ndarray:
-    """EMA with NaN-gap reset (scan; see ref.trend_ref.ema)."""
+    """EMA with NaN-gap reset (see ref.trend_ref.ema), as an affine scan.
+
+    The EMA state is NaN exactly when the previous sample was NaN, so every
+    valid sample that follows a NaN (or t=0) is a segment start emitting x
+    verbatim — encoded (a=0, b=x); other valid samples are (1-α, αx); NaN
+    samples contribute (0, 0) and get their NaN re-applied afterwards.
+    """
     alpha = 2.0 / (span + 1.0)
-
-    def step(prev, x):
-        is_nan = _isnan(x)
-        blended = jnp.where(_isnan(prev), x, alpha * x + (1 - alpha) * prev)
-        out = jnp.where(is_nan, NAN, blended)
-        new_prev = jnp.where(is_nan, NAN, out)
-        return new_prev, out
-
-    _, out = jax.lax.scan(step, jnp.float32(NAN), data.astype(jnp.float32))
-    return out
+    data = data.astype(jnp.float32)
+    valid = ~_isnan(data)
+    prev_valid = jnp.concatenate([jnp.array([False]), valid[:-1]])
+    start = valid & ~prev_valid
+    x = jnp.where(valid, data, 0.0)
+    a = jnp.where(start | ~valid, 0.0, 1.0 - alpha)
+    b = jnp.where(start, x, jnp.where(valid, alpha * x, 0.0))
+    return jnp.where(valid, _affine_scan(a, b), NAN)
 
 
 def _rolling_std_trailing(data: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -113,28 +158,32 @@ def detect_articulation_bollinger(f0: jnp.ndarray, window: int = 10,
     above = (~_isnan(upper)) & (f0 > upper)
     below = (~_isnan(lower)) & (f0 < lower)
     state = jnp.where(above, 1, jnp.where(below, 2, 0)).astype(jnp.int32)
-    is_nan = _isnan(f0)
+    valid = ~_isnan(f0)
+    T = f0.shape[0]
+    idx = jnp.arange(T)
 
-    def step(carry, inp):
-        prev_state, counter = carry
-        s, nan = inp
-        crossed = (prev_state != s) & (prev_state != 0)
-        new_counter = jnp.where(crossed, counter + 1, 0)
-        artic = jnp.where(
-            new_counter >= 2,
-            ARTIC_VIBRATO,
-            jnp.where(s == 1, ARTIC_BEND, jnp.where(s == 2, ARTIC_NOISE, ARTIC_NORMAL)),
-        )
-        artic = jnp.where(nan, ARTIC_NONE, artic)
-        # NaN frames skip both state and counter updates
-        out_state = jnp.where(nan, prev_state, s)
-        out_counter = jnp.where(nan, counter, new_counter)
-        return (out_state, out_counter), artic
+    # The scan carry (prev_state, counter) only advances on valid frames, so
+    # both resolve to gathers over the valid-frame subsequence:
+    #   prev_state[t] = state at the previous valid frame (0 if none)
+    #   counter[t]    = valid-rank distance since the last "crossed=False"
+    #                   valid frame (the first valid frame is always one).
+    last_valid = jax.lax.cummax(jnp.where(valid, idx, -1))
+    prev_valid = jnp.concatenate([jnp.array([-1]), last_valid[:-1]])
+    prev_state = jnp.where(prev_valid >= 0,
+                           state[jnp.clip(prev_valid, 0, T - 1)], 0)
+    crossed = valid & (prev_state != state) & (prev_state != 0)
 
-    (_, _), artics = jax.lax.scan(
-        step, (jnp.int32(0), jnp.int32(0)), (state, is_nan)
+    rank = jnp.cumsum(valid) - 1
+    zero_rank = jax.lax.cummax(jnp.where(valid & ~crossed, rank, -1))
+    counter = rank - zero_rank
+
+    artic = jnp.where(
+        counter >= 2,
+        ARTIC_VIBRATO,
+        jnp.where(state == 1, ARTIC_BEND,
+                  jnp.where(state == 2, ARTIC_NOISE, ARTIC_NORMAL)),
     )
-    return artics.astype(jnp.int8)
+    return jnp.where(valid, artic, ARTIC_NONE).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------- MACD
@@ -170,16 +219,16 @@ def rsi(data: jnp.ndarray, period: int = 14) -> jnp.ndarray:
     init_g = jnp.mean(gains[:period])
     init_l = jnp.mean(losses[:period])
 
-    def step(carry, inp):
-        ag, al = carry
-        g, l = inp
-        ag = (ag * (period - 1) + g) / period
-        al = (al * (period - 1) + l) / period
-        return (ag, al), (ag, al)
-
-    (_, _), (avg_g_tail, avg_l_tail) = jax.lax.scan(
-        step, (init_g, init_l), (gains[period:], losses[period:])
-    )
+    # Wilder smoothing is a constant-coefficient affine recurrence
+    # avg' = avg*(p-1)/p + g/p; seed with (a=0, b=init) and evaluate both
+    # gain/loss paths in log depth.
+    a_const = (period - 1.0) / period
+    g_tail, l_tail = gains[period:], losses[period:]
+    a = jnp.concatenate([jnp.zeros((1,)), jnp.full(g_tail.shape, a_const)])
+    avg_g_tail = _affine_scan(
+        a, jnp.concatenate([init_g[None], g_tail / period]))[1:]
+    avg_l_tail = _affine_scan(
+        a, jnp.concatenate([init_l[None], l_tail / period]))[1:]
     avg_g = jnp.concatenate([init_g[None], avg_g_tail])
     avg_l = jnp.concatenate([init_l[None], avg_l_tail])
     vals = jnp.where(
@@ -192,23 +241,35 @@ def rsi(data: jnp.ndarray, period: int = 14) -> jnp.ndarray:
 
 def kalman(data: jnp.ndarray, process_variance: float = 1e-5,
            measurement_variance: float = 1e-1) -> jnp.ndarray:
+    """Scalar Kalman with NaN skip, as an affine scan.
+
+    The error-covariance path p/k only advances on valid samples and never
+    depends on their values, so the gain for the j-th valid sample is a
+    trace-time constant: precompute k[1..T] in NumPy, gather by the running
+    valid count, and the x path becomes x' = (1-k_j)x + k_j z — affine.
+    The very first valid sample yields exactly z (x_est is initialized to
+    it), encoded (a=0, b=z).
+    """
+    data = data.astype(jnp.float32)
+    T = data.shape[0]
     valid = ~_isnan(data)
-    first = jnp.argmax(valid)
-    x0 = jnp.where(valid.any(), data[first], 0.0)
 
-    def step(carry, x):
-        x_est, p_est = carry
-        nan = _isnan(x)
-        p_pred = p_est + process_variance
-        k = p_pred / (p_pred + measurement_variance)
-        x_new = x_est + k * (x - x_est)
-        p_new = (1 - k) * p_pred
-        x_est = jnp.where(nan, x_est, x_new)
-        p_est = jnp.where(nan, p_est, p_new)
-        out = jnp.where(nan, NAN, x_est)
-        return (x_est, p_est), out
+    ks = np.empty(T + 1, np.float32)
+    ks[0] = 0.0  # unused (j is 1-indexed over valid samples)
+    p = 1.0
+    for j in range(1, T + 1):
+        p_pred = p + process_variance
+        ks[j] = p_pred / (p_pred + measurement_variance)
+        p = (1.0 - ks[j]) * p_pred
+    k_table = jnp.asarray(ks)
 
-    _, out = jax.lax.scan(step, (x0, jnp.float32(1.0)), data.astype(jnp.float32))
+    j = jnp.cumsum(valid)  # 1-indexed rank at valid positions
+    k = k_table[j]
+    z = jnp.where(valid, data, 0.0)
+    first = valid & (j == 1)
+    a = jnp.where(first, 0.0, jnp.where(valid, 1.0 - k, 1.0))
+    b = jnp.where(first, z, jnp.where(valid, k * z, 0.0))
+    out = jnp.where(valid, _affine_scan(a, b), NAN)
     return jnp.where(valid.any(), out, data)
 
 
@@ -221,18 +282,23 @@ def holt_winters(data: jnp.ndarray, alpha: float = 0.3, beta: float = 0.1) -> jn
     level0 = data[fv0]
     trend0 = data[fv1] - data[fv0]
 
-    def step(carry, x):
-        level, trend = carry
-        nan = _isnan(x)
-        forecast = level + trend
-        level_new = alpha * x + (1 - alpha) * forecast
-        trend_new = beta * (level_new - level) + (1 - beta) * trend
-        level = jnp.where(nan, level, level_new)
-        trend = jnp.where(nan, trend, trend_new)
-        out = jnp.where(nan, NAN, level)
-        return (level, trend), out
-
-    _, out = jax.lax.scan(step, (level0, trend0), data.astype(jnp.float32))
+    # (level, trend) is a 2-state affine recurrence:
+    #   level' = αx + (1-α)level + (1-α)trend
+    #   trend' = βαx −  βα level + (1-βα)trend
+    # NaN samples apply the identity map.  Evaluated in log depth.
+    data = data.astype(jnp.float32)
+    T = data.shape[0]
+    vmask = ~_isnan(data)
+    x = jnp.where(vmask, data, 0.0)
+    M_upd = jnp.array([[1 - alpha, 1 - alpha],
+                       [-beta * alpha, 1 - beta * alpha]], jnp.float32)
+    M = jnp.where(vmask[:, None, None], M_upd[None],
+                  jnp.eye(2, dtype=jnp.float32)[None])
+    v = jnp.where(vmask[:, None],
+                  jnp.stack([alpha * x, beta * alpha * x], axis=1), 0.0)
+    init = jnp.stack([level0, trend0]).astype(jnp.float32)
+    states = _affine_scan_2x2(M, v, init)
+    out = jnp.where(vmask, states[:, 0], NAN)
     return jnp.where(enough, out, data)
 
 
@@ -281,12 +347,10 @@ def atr_filter(data: jnp.ndarray, window: int = 14, threshold: float = 2.0):
     )
     noise = noise.at[0].set(False)
 
-    def step(prev, inp):
-        x, is_noise = inp
-        out = jnp.where(is_noise, prev, x)
-        return out, out
-
-    _, filtered = jax.lax.scan(step, data[0], (data, noise))
+    # hold-last-value = gather at the most recent non-noise index
+    # (noise[0] is forced False so the cummax is always >= 0)
+    keep_idx = jax.lax.cummax(jnp.where(noise, -1, i))
+    filtered = data[keep_idx]
     return filtered, noise
 
 

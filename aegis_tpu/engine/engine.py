@@ -73,7 +73,7 @@ class AegisEngine:
     # -------------------------------------------------------------- phase one
 
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
-                 turbo: bool) -> Dict[str, np.ndarray]:
+                 turbo: bool, fetch_mel: bool = True) -> Dict[str, np.ndarray]:
         if self.backend != "ref":
             try:
                 if turbo:
@@ -83,7 +83,8 @@ class AegisEngine:
                                              rake_sensitivity)
                 from aegis_tpu.core.analyze import run_analyze
 
-                return run_analyze(y, self.audio, self.pyin_cfg, rake_sensitivity)
+                return run_analyze(y, self.audio, self.pyin_cfg,
+                                   rake_sensitivity, fetch_mel=fetch_mel)
             except Exception as e:  # graceful degradation, SURVEY.md §5.3
                 if self.backend == "device":
                     raise
@@ -110,7 +111,8 @@ class AegisEngine:
             return None
 
         log.info(f"Perception Phase (turbo={turbo_mode}, {len(y)/self.sr:.1f}s)")
-        out = self._analyze(y, rake_sensitivity, turbo_mode)
+        out = self._analyze(y, rake_sensitivity, turbo_mode,
+                            kwargs.get("fetch_mel", True))
 
         raw = {
             "rake_mask": np.asarray(out["rake_mask"]),
@@ -119,8 +121,9 @@ class AegisEngine:
             "voiced_probs": np.asarray(out["voiced_probs"], dtype=np.float64),
             "rms": np.asarray(out["rms"], dtype=np.float64),
             "y": y,
-            "mel_db": np.asarray(out["mel_db"]),
         }
+        if "mel_db" in out:
+            raw["mel_db"] = np.asarray(out["mel_db"])
         if output_mid is not None:
             self.extract_events(raw, output_mid, **kwargs)
         return raw

@@ -47,14 +47,16 @@ class AegisFinancialEngine:
         return self.audio.hop_length
 
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
-                 use_guitar_filters: bool) -> Dict[str, np.ndarray]:
+                 use_guitar_filters: bool,
+                 fetch_mel: bool = True) -> Dict[str, np.ndarray]:
         if self.backend != "ref":
             try:
                 from aegis_tpu.core.analyze import run_analyze
 
                 return run_analyze(y, self.audio, self.pyin_cfg,
                                    rake_sensitivity, financial=True,
-                                   use_guitar_filters=use_guitar_filters)
+                                   use_guitar_filters=use_guitar_filters,
+                                   fetch_mel=fetch_mel)
             except Exception as e:
                 if self.backend == "device":
                     raise
@@ -79,6 +81,7 @@ class AegisFinancialEngine:
             y,
             kwargs.get("rake_sensitivity", 0.6),
             kwargs.get("use_guitar_filters", True),
+            kwargs.get("fetch_mel", True),
         )
         out["y"] = y
         return out

@@ -54,9 +54,10 @@ def main() -> None:
 
     engine = AegisFinancialEngine(sample_rate=sr, backend="device")
 
-    # warmup / compile
+    # warmup / compile (fetch_mel=False: event extraction never reads the
+    # spectrogram, and the reference's raw_data has no mel either)
     t0 = time.time()
-    analysis = engine.analyze(y)
+    analysis = engine.analyze(y, fetch_mel=False)
     events, _ = engine.extract_events(analysis)
     warm = time.time() - t0
     print(f"# warmup (incl. compile): {warm:.1f}s, events={len(events)}",
@@ -65,7 +66,7 @@ def main() -> None:
     n_iter = 5
     t0 = time.time()
     for _ in range(n_iter):
-        analysis = engine.analyze(y)
+        analysis = engine.analyze(y, fetch_mel=False)
         events, _ = engine.extract_events(analysis)
     elapsed = (time.time() - t0) / n_iter
 

@@ -16,7 +16,10 @@ def test_turbo_matches_single_device():
     track, _ = generate_test_track(sr=SR)
     tc = TurboConfig(tile_frames=48, halo_frames=24)
     out_t = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc)
-    out_s = run_analyze(track, AUDIO, PYIN, 0.6)
+    # float32 transport: this test checks tile/halo seam consistency, so the
+    # single-device side must ingest bit-identical audio (int16 transport
+    # quantization would show up as ~0.5 dB deltas in low-energy mel bins)
+    out_s = run_analyze(track, AUDIO, PYIN, 0.6, transport="float32")
 
     assert out_t["f0"].shape == out_s["f0"].shape
     vf_t, vf_s = out_t["voiced_flag"], out_s["voiced_flag"]
