@@ -189,6 +189,38 @@ def viterbi_decode(obs: jnp.ndarray, voiced_prob: jnp.ndarray,
 # Entry points
 # --------------------------------------------------------------------------
 
+def _decode_states(obs: jnp.ndarray, voiced_prob: jnp.ndarray,
+                   width: int, cfg: PyinConfig) -> jnp.ndarray:
+    """Viterbi dispatch: banded Pallas kernel on TPU backends (forward pass
+    + backtrace in one VMEM-resident program), lax.scan fallback on CPU or
+    when the decode won't fit VMEM.  AEGIS_VITERBI=scan|pallas overrides."""
+    import os
+
+    n = cfg.n_pitch_bins
+    T = obs.shape[0]
+    trans = local_transition(n, width)
+    backend = jax.default_backend()
+    want = os.environ.get("AEGIS_VITERBI", "auto")
+    from aegis_tpu.core import pyin_pallas as vp
+
+    fits = vp.viterbi_vmem_bytes(T, n, width) < 14 * 2**20
+    use_pallas = (want != "scan" and fits
+                  and (backend not in ("cpu",) or want == "pallas"))
+    if use_pallas:
+        band = jnp.asarray(vp.build_banded_log_transition(trans, width))
+        eps = 1e-30
+        log_obs_v = jnp.log(obs + eps)
+        log_obs_u = jnp.log((1.0 - voiced_prob) / n + eps)
+        return vp.viterbi_decode_pallas(
+            log_obs_v, log_obs_u, band, n, width,
+            float(np.log1p(-cfg.switch_prob)),
+            float(np.log(cfg.switch_prob)),
+            interpret=(backend == "cpu"),
+        )
+    log_local = jnp.asarray(np.log(trans + 1e-30), jnp.float32)
+    return viterbi_decode(obs, voiced_prob, log_local, cfg.switch_prob)
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "hop_length", "cfg"))
 def pyin_from_frames(frames: jnp.ndarray, sr: int, hop_length: int,
                      cfg: PyinConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -204,9 +236,8 @@ def pyin_from_frames(frames: jnp.ndarray, sr: int, hop_length: int,
     probs = trough_probabilities(yin, mask, cfg)
     obs, voiced_prob = observations(probs, shifts, sr, min_p, cfg)
 
-    trans = local_transition(cfg.n_pitch_bins, cfg.transition_width(sr, hop_length))
-    log_local = jnp.asarray(np.log(trans + 1e-30), jnp.float32)
-    states = viterbi_decode(obs, voiced_prob, log_local, cfg.switch_prob)
+    states = _decode_states(obs, voiced_prob,
+                            cfg.transition_width(sr, hop_length), cfg)
 
     n = cfg.n_pitch_bins
     bin_idx = states % n
