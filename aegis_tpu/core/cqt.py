@@ -1,0 +1,135 @@
+"""Constant-Q spectra, chroma and onset strength on device (JAX).
+
+TPU-native front end for the driver bench configs the reference only hints
+at (BASELINE.json configs 2 and 4): a pseudo-CQT as |STFT|^2 projected onto
+a log-frequency filterbank (one MXU matmul, `core.filters.cqt_filterbank`),
+CQT-folded chroma (the reference used librosa.feature.chroma_cqt in
+auto_matcher.py:62-85), and a mel spectral-flux onset-strength envelope with
+librosa.onset.onset_strength semantics (dB mel, first difference, half-wave
+rectified, mean over bands, lag compensation).
+
+Everything is fixed-shape matmul/elementwise work that fuses into the
+analyze program; onset *peak picking* stays host-side (`pick_onsets`) — it
+is a tiny O(T) pass over the envelope with data-dependent output length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aegis_tpu.core import dsp
+from aegis_tpu.core.filters import chroma_fold, cqt_filterbank
+
+CQT_FMIN_MIDI = 24.0  # C1, matching filters.cqt_filterbank's default fmin
+
+
+def pseudo_cqt_t(y: jnp.ndarray, sr: int, n_fft: int = 2048,
+                 hop_length: int = 512, n_bins: int = 84,
+                 bins_per_octave: int = 12) -> jnp.ndarray:
+    """Pseudo-CQT power, time-major (T, n_bins)."""
+    power = dsp.stft_power(y, n_fft, hop_length)
+    fb = jnp.asarray(cqt_filterbank(sr, n_fft, n_bins, bins_per_octave).T)
+    return jnp.dot(power, fb, preferred_element_type=jnp.float32)
+
+
+def chroma_cqt_t(y: jnp.ndarray, sr: int, n_fft: int = 2048,
+                 hop_length: int = 512, n_bins: int = 84,
+                 bins_per_octave: int = 12) -> jnp.ndarray:
+    """Column-normalized CQT chroma, time-major (T, 12)."""
+    cqt = pseudo_cqt_t(y, sr, n_fft, hop_length, n_bins, bins_per_octave)
+    fold = jnp.asarray(chroma_fold(n_bins, bins_per_octave).T)
+    ch = jnp.dot(cqt, fold, preferred_element_type=jnp.float32)
+    peak = jnp.max(ch, axis=1, keepdims=True)
+    return ch / jnp.maximum(peak, 1e-10)
+
+
+def onset_strength_t(mel_power_t: jnp.ndarray, lag: int = 1) -> jnp.ndarray:
+    """Spectral-flux onset envelope from a time-major mel POWER spectrogram.
+
+    librosa.onset.onset_strength semantics: dB-scale mel, lagged first
+    difference, half-wave rectify, mean over bands; the first `lag` frames
+    are zero (reference ramps in the same way).  Shape (T,).
+    """
+    S_db = dsp.power_to_db(mel_power_t)
+    diff = S_db[lag:] - S_db[:-lag]
+    flux = jnp.mean(jnp.maximum(diff, 0.0), axis=1)
+    return jnp.concatenate([jnp.zeros((lag,), flux.dtype), flux])
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",
+                                             "n_mels"))
+def onset_envelope_program(y: jnp.ndarray, sr: int, n_fft: int = 2048,
+                           hop_length: int = 512,
+                           n_mels: int = 128) -> jnp.ndarray:
+    """One fused program: audio -> mel -> onset-strength envelope (T,)."""
+    mel = dsp.melspectrogram_t(y, sr, n_fft, hop_length, n_mels)
+    return onset_strength_t(mel)
+
+
+def pick_onsets(envelope: np.ndarray, sr: int, hop_length: int,
+                pre_max_ms: float = 30.0, post_max_ms: float = 0.0,
+                pre_avg_ms: float = 100.0, post_avg_ms: float = 100.0,
+                delta: float = 0.07, wait_ms: float = 30.0,
+                ) -> np.ndarray:
+    """Peak-pick onset frames from the envelope (host, librosa-style).
+
+    A frame is an onset iff it is the max of [t-pre_max, t+post_max], at
+    least `delta` above the mean of [t-pre_avg, t+post_avg], and at least
+    `wait` frames after the previous onset.  Returns frame indices.
+    """
+    env = np.asarray(envelope, np.float64)
+    T = len(env)
+    if T == 0:
+        return np.zeros(0, np.int64)
+    spf = hop_length / sr * 1000.0
+    pre_max = max(int(round(pre_max_ms / spf)), 1)
+    post_max = max(int(round(post_max_ms / spf)), 1)
+    pre_avg = max(int(round(pre_avg_ms / spf)), 1)
+    post_avg = max(int(round(post_avg_ms / spf)), 1)
+    wait = max(int(round(wait_ms / spf)), 1)
+
+    onsets = []
+    last = -wait - 1
+    scale = max(env.max(), 1e-10)
+    env_n = env / scale
+    for t in range(T):
+        lo, hi = max(0, t - pre_max), min(T, t + post_max + 1)
+        if env_n[t] < env_n[lo:hi].max():
+            continue
+        alo, ahi = max(0, t - pre_avg), min(T, t + post_avg + 1)
+        if env_n[t] < env_n[alo:ahi].mean() + delta:
+            continue
+        if t - last < wait:
+            continue
+        if env_n[t] <= 0:
+            continue
+        onsets.append(t)
+        last = t
+    return np.asarray(onsets, np.int64)
+
+
+def split_events_at_onsets(events: list, onsets: np.ndarray,
+                           min_frames: int = 2) -> list:
+    """Split note events whose span contains an interior onset — re-attacks
+    of the same pitch that pitch-only segmentation merges (driver config 2:
+    onset detection + RMS dynamic-velocity mapping)."""
+    if len(onsets) == 0:
+        return events
+    out = []
+    for e in events:
+        cuts = [int(o) for o in onsets if e["start"] + min_frames <= o
+                <= e["end"] - min_frames]
+        if not cuts:
+            out.append(e)
+            continue
+        bounds = [e["start"]] + cuts + [e["end"] + 1]
+        for i in range(len(bounds) - 1):
+            seg = dict(e)
+            seg["start"], seg["end"] = bounds[i], bounds[i + 1] - 1
+            out.append(seg)
+    return out

@@ -79,6 +79,50 @@ def mel_filterbank(
     return weights.astype(np.float32)
 
 
+def cqt_filterbank(
+    sr: int,
+    n_fft: int,
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    fmin: float = 32.70319566257483,  # C1
+) -> np.ndarray:
+    """Pseudo-CQT projection matrix, shape (n_bins, 1+n_fft//2).
+
+    Triangular filters centered at the log-spaced constant-Q frequencies
+    f_k = fmin * 2^(k/bpo), with neighbors as band edges (the shape of
+    librosa's pseudo-CQT response).  Applied to |STFT|^2 as one MXU matmul —
+    the TPU-native replacement for the reference's librosa chroma_cqt path
+    (auto_matcher.py:51-85) and the polyphonic salience front end.
+    """
+    n_fft_bins = 1 + n_fft // 2
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_fft_bins)
+    k = np.arange(n_bins + 2) - 1.0  # one extra edge on each side
+    centers = fmin * 2.0 ** (k / bins_per_octave)
+
+    weights = np.zeros((n_bins, n_fft_bins), dtype=np.float64)
+    for i in range(n_bins):
+        lo, mid, hi = centers[i], centers[i + 1], centers[i + 2]
+        up = (fft_freqs - lo) / max(mid - lo, 1e-9)
+        down = (hi - fft_freqs) / max(hi - mid, 1e-9)
+        weights[i] = np.maximum(0.0, np.minimum(up, down))
+        ssum = weights[i].sum()
+        if ssum > 0:
+            weights[i] /= ssum
+    return weights.astype(np.float32)
+
+
+def chroma_fold(n_bins: int, bins_per_octave: int = 12,
+                fmin_midi: float = 24.0) -> np.ndarray:
+    """(12, n_bins) fold of CQT bins into pitch classes.
+
+    fmin_midi: MIDI number of CQT bin 0 (C1 = 24)."""
+    fold = np.zeros((12, n_bins), dtype=np.float32)
+    for b in range(n_bins):
+        midi = fmin_midi + 12.0 * b / bins_per_octave
+        fold[int(round(midi)) % 12, b] = 1.0
+    return fold
+
+
 def dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     """Real-DFT as two matmul operands: (cos, sin) with shape (n_fft, 1+n_fft//2).
 

@@ -1,0 +1,188 @@
+"""Polyphonic engine facade + folder batch sweep.
+
+`AegisPolyEngine` is the chord-capable sibling of the monophonic engines
+(driver bench config 4): CQT salience peeling on device (core.poly), host
+note segmentation, onset-based re-attack splitting (config 2), chord-aware
+tab fingering, and the same two-phase analyze/extract surface and MIDI
+export as AegisEngine so the serve/apps layers can host it unchanged.
+
+`transcribe_folder` is the Turbo batch entry point (config 5): a folder of
+tracks is loaded with optional time-range selection (the reference's
+start/end slicing, aegis_engine.py:22-27), padded to the common bucket and
+transcribed as ONE sharded batch over the device mesh
+(engine.turbo.run_analyze_batch) — the TPU-native replacement for the
+reference's per-file process-pool sweep.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
+from aegis_tpu.core import poly as P
+from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
+from aegis_tpu.core.events import extract_events_v1
+from aegis_tpu.io.audio import load_audio
+from aegis_tpu.midi.encode import events_to_midi
+from aegis_tpu.midi.tabs import generate_tabs_chords
+from aegis_tpu.utils.logging import get_logger
+
+log = get_logger("PolyEngine")
+
+_BUCKET = 1 << 16
+
+
+def _pad_bucket(y: np.ndarray) -> np.ndarray:
+    n = _BUCKET
+    while n < len(y):
+        n <<= 1
+    return np.pad(y, (0, n - len(y))) if n != len(y) else y
+
+
+class AegisPolyEngine:
+    """Two-phase polyphonic transcription (CQT salience peeling)."""
+
+    def __init__(self, sample_rate: int = 22050, hop_length: int = 512,
+                 n_fft: int = 2048, n_bins: int = 84,
+                 bins_per_octave: int = 12, max_voices: int = 6):
+        self.sr = sample_rate
+        self.hop_length = hop_length
+        self.n_fft = n_fft
+        self.n_bins = n_bins
+        self.bins_per_octave = bins_per_octave
+        self.max_voices = max_voices
+
+    # ------------------------------------------------------------- phase one
+
+    def analyze(self, input_wav: Union[str, bytes, np.ndarray],
+                **kwargs) -> Optional[Dict[str, np.ndarray]]:
+        import jax.numpy as jnp
+
+        if isinstance(input_wav, np.ndarray):
+            y = input_wav.astype(np.float32)
+        else:
+            start = kwargs.get("start_time", 0)
+            end = kwargs.get("end_time", None)
+            y, _ = load_audio(input_wav, sr=self.sr, offset=start,
+                              duration=(end - start) if end else None)
+        if len(y) == 0:
+            return None
+        true_frames = 1 + len(y) // self.hop_length
+        y_pad = _pad_bucket(y)
+        log.info(f"Polyphonic Perception Phase ({len(y)/self.sr:.1f}s, "
+                 f"<= {self.max_voices} voices)")
+        out = P.analyze_poly_program(
+            jnp.asarray(y_pad), self.sr, self.n_fft, self.hop_length,
+            self.n_bins, self.bins_per_octave, self.max_voices)
+        return {
+            "roll": np.asarray(out["roll"])[:true_frames],
+            "confidence": np.asarray(out["confidence"])[:true_frames],
+            "rms": np.asarray(out["rms"], np.float64)[:true_frames],
+            "onset_env": np.asarray(out["onset_env"])[:true_frames],
+            "y": y,
+        }
+
+    # ------------------------------------------------------------- phase two
+
+    def extract_events(self, analysis: Dict[str, np.ndarray],
+                       output_mid=None, **kwargs) -> List[dict]:
+        events = P.roll_to_events(
+            analysis["roll"], analysis["confidence"], analysis["rms"],
+            self.sr, self.hop_length,
+            min_note_duration_ms=kwargs.get("min_note_duration_ms", 60.0),
+            sustain_ms=kwargs.get("sustain_ms", 40.0),
+            confidence_threshold=kwargs.get("confidence_threshold", 0.5),
+        )
+        if kwargs.get("use_onsets", True):
+            onsets = pick_onsets(analysis["onset_env"], self.sr,
+                                 self.hop_length)
+            events = split_events_at_onsets(events, onsets)
+        if output_mid is not None:
+            events_to_midi(events, self.sr, self.hop_length,
+                           midi_program=kwargs.get("midi_program", 25),
+                           output=output_mid)
+        return events
+
+    def audio_to_midi(self, input_wav, output_mid=None, **kwargs):
+        analysis = self.analyze(input_wav, **kwargs)
+        if analysis is None:
+            return None
+        self.extract_events(analysis, output_mid, **kwargs)
+        return analysis
+
+    def generate_tabs(self, events: List[dict]) -> List[dict]:
+        return generate_tabs_chords(events, self.sr, self.hop_length)
+
+
+# --------------------------------------------------------------------------
+# Folder batch sweep (driver config 5)
+# --------------------------------------------------------------------------
+
+def transcribe_folder(
+    folder: str,
+    output_dir: Optional[str] = None,
+    pattern: str = "*.wav",
+    sample_rate: int = 22050,
+    start_time: float = 0.0,
+    end_time: Optional[float] = None,
+    turbo: Optional[TurboConfig] = None,
+    mesh=None,
+    **extract_kwargs,
+) -> List[Tuple[str, str, int]]:
+    """Batch-transcribe every matching file as ONE sharded device batch.
+
+    Tracks are loaded with the requested [start_time, end_time) range,
+    zero-padded to the longest track's frame bucket, stacked on a batch
+    axis and analyzed via engine.turbo.run_analyze_batch (data-parallel
+    over the mesh, time-tiled with pYIN halos).  Event extraction + MIDI
+    encode run per track on host.  Returns [(wav_path, mid_path, n_events)].
+    """
+    from aegis_tpu.engine.turbo import run_analyze_batch
+
+    paths = sorted(glob.glob(os.path.join(folder, pattern)))
+    if not paths:
+        return []
+    output_dir = output_dir or folder
+    os.makedirs(output_dir, exist_ok=True)
+
+    duration = (end_time - start_time) if end_time else None
+    tracks, lengths = [], []
+    for p in paths:
+        y, _ = load_audio(p, sr=sample_rate, offset=start_time,
+                          duration=duration)
+        tracks.append(y)
+        lengths.append(len(y))
+    max_len = max(lengths)
+    batch = np.stack([np.pad(y, (0, max_len - len(y))) for y in tracks])
+
+    audio = AudioConfig(sample_rate=sample_rate)
+    pyin_cfg = PyinConfig()
+    log.info(f"Turbo batch: {len(paths)} tracks x {max_len/sample_rate:.1f}s")
+    out = run_analyze_batch(batch, audio, pyin_cfg,
+                            extract_kwargs.pop("rake_sensitivity", 0.6),
+                            turbo=turbo, mesh=mesh)
+
+    results = []
+    for i, p in enumerate(paths):
+        true_frames = audio.n_frames(lengths[i])
+        events = extract_events_v1(
+            rake_mask=np.asarray(out["rake_mask"][i])[:true_frames],
+            f0=np.nan_to_num(np.asarray(out["f0"][i], np.float64))[:true_frames],
+            voiced_flag=np.asarray(out["voiced_flag"][i])[:true_frames],
+            active_probs=np.asarray(out["voiced_probs"][i],
+                                    np.float64)[:true_frames],
+            rms=np.asarray(out["rms"][i], np.float64)[:true_frames],
+            sr=sample_rate, hop_length=audio.hop_length,
+            **extract_kwargs,
+        )
+        mid_path = os.path.join(
+            output_dir,
+            os.path.splitext(os.path.basename(p))[0] + ".mid")
+        events_to_midi(events, sample_rate, audio.hop_length, output=mid_path)
+        results.append((p, mid_path, len(events)))
+        log.info(f"  {os.path.basename(p)}: {len(events)} events")
+    return results

@@ -61,6 +61,52 @@ def generate_tabs(events: List[dict], tuning: Optional[List[int]] = None) -> Lis
     return tab_data
 
 
+def generate_tabs_chords(events: List[dict], sr: int = 22050,
+                         hop_length: int = 512,
+                         window_ms: float = 50.0,
+                         tuning: Optional[List[int]] = None) -> List[dict]:
+    """Chord-aware fingering: simultaneous notes get DISTINCT strings.
+
+    Events whose onsets fall within window_ms are fingered together:
+    candidates are enumerated per note (high pitch first), strings are
+    assigned greedily to minimize fret span around the running fret center
+    subject to one-note-per-string.  Single notes degrade to the
+    monophonic scorer, so ASCII/MusicXML rendering is unchanged.
+    """
+    from aegis_tpu.core.poly import group_chords
+
+    tab_data: List[dict] = []
+    fret_center = 5.0
+    for chord in group_chords(events, sr, hop_length, window_ms):
+        used: set = set()
+        # fingering from the highest pitch down: high notes have the fewest
+        # playable strings, so they get first pick
+        for evt in sorted(chord["events"], key=lambda e: -e["note"]):
+            candidates = [
+                (s, f) for s, f in fret_candidates(evt["note"], tuning)
+                if s not in used
+            ]
+            if not candidates:
+                continue
+            string, fret = min(
+                candidates,
+                key=lambda c: abs(c[1] - fret_center) * 1.5 + c[0] * 0.2,
+            )
+            used.add(string)
+            fret_center = fret_center * 0.7 + fret * 0.3
+            tab_data.append({
+                "time": evt["start"],
+                "string": string,
+                "fret": fret,
+                "note": evt["note"],
+                "technique": evt.get("technique"),
+                "m_start": evt["start"],
+                "m_end": evt["end"],
+            })
+    tab_data.sort(key=lambda t: (t["time"], t["string"]))
+    return tab_data
+
+
 def render_ascii_tab(tab_data: List[dict], width: int = 72) -> str:
     """Six-line ASCII tablature with technique symbols."""
     lines = []

@@ -1,0 +1,153 @@
+"""Polyphonic CQT transcription, onset detection, chord tabs, folder sweep."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aegis_tpu.tools.signal_gen import karplus_strong
+
+SR = 22050
+
+
+def _chord_clip(midis, dur=1.2, sr=SR, rng=None):
+    rng = rng or np.random.default_rng(0)
+    n = int(sr * dur)
+    y = np.zeros(n, np.float32)
+    for m in midis:
+        f = 440.0 * 2 ** ((m - 69) / 12)
+        y[: n] += karplus_strong(f, dur, sr, rng=rng)[:n]
+    return (y / max(np.max(np.abs(y)), 1e-9) * 0.8).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def c_major_clip():
+    return _chord_clip([60, 64, 67])  # C4 E4 G4
+
+
+def test_cqt_peak_bin(c_major_clip):
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.cqt import CQT_FMIN_MIDI, pseudo_cqt_t
+
+    t = np.arange(SR) / SR
+    y = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)  # A3 = 57
+    cqt = np.asarray(pseudo_cqt_t(jnp.asarray(y), SR))
+    peak_bin = int(np.median(np.argmax(cqt[5:-5], axis=1)))
+    midi = CQT_FMIN_MIDI + peak_bin  # 12 bins/octave
+    assert abs(midi - 57) <= 1
+
+
+def test_chroma_cqt(c_major_clip):
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.cqt import chroma_cqt_t
+
+    ch = np.asarray(chroma_cqt_t(jnp.asarray(c_major_clip), SR))
+    mean = ch.mean(axis=0)
+    top3 = set(np.argsort(mean)[-3:])
+    assert {0, 4, 7} <= top3  # C, E, G pitch classes dominate
+
+
+def test_onset_detection():
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.cqt import onset_envelope_program, pick_onsets
+
+    rng = np.random.default_rng(3)
+    gap = np.zeros(SR // 4, np.float32)
+
+    def pluck(f):
+        y = karplus_strong(f, 0.4, SR, rng=rng)
+        fade = min(len(y), SR // 20)
+        y[-fade:] *= np.linspace(1, 0, fade)  # no end-of-note click
+        return y
+
+    # leading silence: spectral flux cannot see an attack at sample 0
+    y = np.concatenate([
+        gap, pluck(196.0), gap, pluck(246.9), gap, pluck(196.0),
+    ]).astype(np.float32)
+    env = np.asarray(onset_envelope_program(jnp.asarray(y), SR))
+    onsets = pick_onsets(env, SR, 512)
+    assert 3 <= len(onsets) <= 5, f"expected ~3 onsets, got {len(onsets)}"
+    times = onsets * 512 / SR
+    for expect in (0.25, 0.9, 1.55):  # pluck attacks
+        assert any(abs(t - expect) < 0.15 for t in times), (expect, times)
+
+
+def test_polyphonic_chord(c_major_clip):
+    from aegis_tpu.engine.poly import AegisPolyEngine
+
+    engine = AegisPolyEngine(sample_rate=SR)
+    analysis = engine.analyze(c_major_clip)
+    events = engine.extract_events(analysis, use_onsets=False)
+    notes = {e["note"] for e in events}
+    assert {60, 64, 67} <= notes, f"chord notes missing: {notes}"
+    # harmonics of C4 (72, 76, 79...) must not dominate: every detected note
+    # should be one of the chord tones or a near neighbor
+    spurious = [n for n in notes if min(abs(n - m) for m in (60, 64, 67)) > 1]
+    assert len(spurious) <= 1, f"too many spurious notes: {spurious}"
+
+
+def test_poly_midi_roundtrip(c_major_clip, tmp_path):
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    engine = AegisPolyEngine(sample_rate=SR)
+    out = str(tmp_path / "chord.mid")
+    engine.audio_to_midi(c_major_clip, out, use_onsets=False)
+    decoded = {n["note"] for n in midi_to_notes(open(out, "rb").read())}
+    assert {60, 64, 67} <= decoded
+
+
+def test_chord_tabs_distinct_strings(c_major_clip):
+    from aegis_tpu.midi.tabs import generate_tabs_chords
+
+    events = [
+        {"note": 60, "start": 0, "end": 50, "technique": None},
+        {"note": 64, "start": 1, "end": 50, "technique": None},
+        {"note": 67, "start": 2, "end": 50, "technique": None},
+    ]
+    tabs = generate_tabs_chords(events, SR, 512)
+    assert len(tabs) == 3
+    strings = [t["string"] for t in tabs]
+    assert len(set(strings)) == 3, f"chord notes share strings: {strings}"
+    # fingering is physically playable: frets within a 5-fret span
+    frets = [t["fret"] for t in tabs if t["fret"] > 0]
+    if frets:
+        assert max(frets) - min(frets) <= 5
+
+
+def test_split_events_at_onsets():
+    from aegis_tpu.core.cqt import split_events_at_onsets
+
+    events = [{"note": 60, "start": 0, "end": 100, "velocity": 90}]
+    out = split_events_at_onsets(events, np.array([40, 70]))
+    assert [(e["start"], e["end"]) for e in out] == [(0, 39), (40, 69),
+                                                     (70, 100)]
+    # onset too close to the boundary does not split
+    out2 = split_events_at_onsets(events, np.array([1, 99.5]))
+    assert len(out2) == 1
+
+
+def test_transcribe_folder(tmp_path):
+    from aegis_tpu.engine.poly import transcribe_folder
+    from aegis_tpu.io.wav import write_wav
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    rng = np.random.default_rng(9)
+    expected = {"a.wav": 55, "b.wav": 62}
+    for name, midi in expected.items():
+        f = 440.0 * 2 ** ((midi - 69) / 12)
+        y = karplus_strong(f, 1.0, SR, rng=rng)
+        write_wav(str(tmp_path / name), y.astype(np.float32), SR)
+
+    out_dir = tmp_path / "mid"
+    results = transcribe_folder(str(tmp_path), str(out_dir),
+                                sample_rate=SR,
+                                confidence_threshold=0.3)
+    assert len(results) == 2
+    for wav_path, mid_path, n_events in results:
+        assert n_events >= 1
+        notes = {n["note"] for n in midi_to_notes(open(mid_path, "rb").read())}
+        assert expected[os.path.basename(wav_path)] in notes
