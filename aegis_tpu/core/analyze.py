@@ -67,6 +67,9 @@ def analyze_program(
     f0, voiced, probs = pyin_from_frames(frames, audio.sample_rate,
                                          audio.hop_length, pyin_cfg)
     rms_ = dsp.rms(y, pyin_cfg.frame_length, audio.hop_length)
+    from aegis_tpu.core.cqt import onset_strength_t
+
+    onset_env = onset_strength_t(mel)  # same fused mel, ~free
     return {
         "mel_db": mel_db,
         "rake_mask": rake,
@@ -74,6 +77,7 @@ def analyze_program(
         "voiced_flag": voiced,
         "voiced_probs": probs,
         "rms": rms_,
+        "onset_env": onset_env,
     }
 
 
@@ -128,7 +132,8 @@ def analyze_financial_program(
 # remote/tunneled backend pays ~25ms latency PER device->host transfer, so
 # fetching the analyze outputs as 14 separate arrays cost more than the
 # entire device program.  Scalars ride along broadcast to (T,).
-_V1_ROWS = ("f0", "voiced_flag", "voiced_probs", "rms", "rake_mask")
+_V1_ROWS = ("f0", "voiced_flag", "voiced_probs", "rms", "rake_mask",
+            "onset_env")
 _FIN_ROWS = _V1_ROWS + (
     "mute_mask", "trend", "artic_codes", "slide_codes",
     "financial_confidence", "combined_confidence",

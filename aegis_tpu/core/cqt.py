@@ -48,17 +48,19 @@ def chroma_cqt_t(y: jnp.ndarray, sr: int, n_fft: int = 2048,
     return ch / jnp.maximum(peak, 1e-10)
 
 
-def onset_strength_t(mel_power_t: jnp.ndarray, lag: int = 1) -> jnp.ndarray:
-    """Spectral-flux onset envelope from a time-major mel POWER spectrogram.
-
-    librosa.onset.onset_strength semantics: dB-scale mel, lagged first
-    difference, half-wave rectify, mean over bands; the first `lag` frames
-    are zero (reference ramps in the same way).  Shape (T,).
-    """
-    S_db = dsp.power_to_db(mel_power_t)
-    diff = S_db[lag:] - S_db[:-lag]
+def onset_from_db(mel_db_t: jnp.ndarray, lag: int = 1) -> jnp.ndarray:
+    """Spectral-flux onset envelope from a time-major dB mel spectrogram:
+    lagged first difference, half-wave rectified, mean over bands; the
+    first `lag` frames are zero.  Shape (T,)."""
+    diff = mel_db_t[lag:] - mel_db_t[:-lag]
     flux = jnp.mean(jnp.maximum(diff, 0.0), axis=1)
     return jnp.concatenate([jnp.zeros((lag,), flux.dtype), flux])
+
+
+def onset_strength_t(mel_power_t: jnp.ndarray, lag: int = 1) -> jnp.ndarray:
+    """librosa.onset.onset_strength semantics from mel POWER: dB scale then
+    onset_from_db."""
+    return onset_from_db(dsp.power_to_db(mel_power_t), lag)
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",

@@ -172,9 +172,14 @@ def extract_events_v1(
     sustain_ms: float = 50.0,
     min_note_duration_ms: float = 50.0,
     smooth: bool = True,
+    onset_env: Optional[np.ndarray] = None,
 ) -> List[dict]:
     """v1 note-event extraction.  f0 convention here: 0 on unvoiced frames
-    (the engine nan_to_nums pYIN output, reference aegis_engine.py:69)."""
+    (the engine nan_to_nums pYIN output, reference aegis_engine.py:69).
+
+    onset_env (optional): device onset-strength envelope; when given,
+    same-pitch re-attacks are split at picked onsets (driver config 2) and
+    each split re-reads its velocity from RMS at the new attack frame."""
     T = min(len(rake_mask), len(f0), len(rms), len(voiced_flag), len(active_probs))
     rake_mask, f0, voiced_flag, active_probs, rms = (
         a[:T] for a in (rake_mask, f0, voiced_flag, active_probs, rms)
@@ -207,6 +212,17 @@ def extract_events_v1(
 
     events = [e for e in events if (e["end"] - e["start"]) >= min_frames]
     events = _sustain_merge(events, sustain_frames)
+
+    if onset_env is not None:
+        from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
+
+        onsets = pick_onsets(onset_env[:T], sr, hop_length)
+        events = split_events_at_onsets(events, onsets,
+                                        min_frames=max(min_frames, 2))
+        for e in events:  # re-read attack dynamics at the split point
+            e["velocity"] = int(velocity[min(e["start"], T - 1)])
+            e["rms_energy"] = float(rms_db[min(e["start"], T - 1)])
+
     _hammer_pull_pairs(events, ms_per_frame)
     return events
 

@@ -122,6 +122,8 @@ class AegisEngine:
             "rms": np.asarray(out["rms"], dtype=np.float64),
             "y": y,
         }
+        if "onset_env" in out:
+            raw["onset_env"] = np.asarray(out["onset_env"], dtype=np.float64)
         if "mel_db" in out:
             raw["mel_db"] = np.asarray(out["mel_db"])
         if output_mid is not None:
@@ -144,6 +146,8 @@ class AegisEngine:
             noise_gate_db=kwargs.get("noise_gate_db", -40),
             sustain_ms=kwargs.get("sustain_ms", 50),
             min_note_duration_ms=kwargs.get("min_note_duration_ms", 50),
+            onset_env=raw_data.get("onset_env")
+            if kwargs.get("use_onsets", False) else None,
         )
         if output_mid is not None:
             events_to_midi(

@@ -113,6 +113,11 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
     rms_ = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
     rake = masks.detect_rake(mel_db, hop, audio.sample_rate, rake_sens)
 
+    from aegis_tpu.core.cqt import onset_from_db
+
+    # flux over the haloed tile so the lagged diff is seam-exact
+    onset_env = onset_from_db(mel_db)
+
     sl = slice(halo, halo + tile)
     return {
         "f0": f0[sl],
@@ -121,6 +126,7 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
         "rms": rms_[sl],
         "rake_mask": rake[sl],
         "mel_db": mel_db[sl],
+        "onset_env": onset_env[sl],
     }
 
 

@@ -36,6 +36,10 @@ def run_analyze_ref(
                                       pyin_cfg)
     rms_ = dsp_ref.rms(y, pyin_cfg.frame_length, audio.hop_length)
 
+    diff = mel_db_t[1:] - mel_db_t[:-1]
+    onset_env = np.concatenate(
+        [[0.0], np.mean(np.maximum(diff, 0.0), axis=1)])
+
     out = {
         "mel_db": mel_db_t,
         "rake_mask": rake,
@@ -43,6 +47,7 @@ def run_analyze_ref(
         "voiced_flag": voiced,
         "voiced_probs": probs,
         "rms": rms_,
+        "onset_env": onset_env,
     }
 
     if financial:

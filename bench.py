@@ -63,15 +63,20 @@ def main() -> None:
     print(f"# warmup (incl. compile): {warm:.1f}s, events={len(events)}",
           file=sys.stderr)
 
-    n_iter = 5
-    t0 = time.time()
+    # median of per-iteration times: the tunneled backend has ±30% transfer
+    # jitter that a mean would fold into the headline number
+    n_iter = 7
+    times = []
     for _ in range(n_iter):
+        t0 = time.time()
         analysis = engine.analyze(y, fetch_mel=False)
         events, _ = engine.extract_events(analysis)
-    elapsed = (time.time() - t0) / n_iter
+        times.append(time.time() - t0)
+    elapsed = sorted(times)[n_iter // 2]
 
     rtf = duration / elapsed
-    print(f"# steady-state: {elapsed:.3f}s per {duration:.0f}s audio, "
+    print(f"# per-iter times: {[round(t, 3) for t in times]}", file=sys.stderr)
+    print(f"# steady-state (median): {elapsed:.3f}s per {duration:.0f}s audio, "
           f"{len(events)} events", file=sys.stderr)
     print(json.dumps({
         "metric": "realtime_factor",

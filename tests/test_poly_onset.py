@@ -151,3 +151,32 @@ def test_transcribe_folder(tmp_path):
         assert n_events >= 1
         notes = {n["note"] for n in midi_to_notes(open(mid_path, "rb").read())}
         assert expected[os.path.basename(wav_path)] in notes
+
+
+def test_v1_engine_onset_split():
+    """Two same-pitch re-attacks merged by sustain are split by onsets."""
+    from aegis_tpu.engine.engine import AegisEngine
+
+    rng = np.random.default_rng(5)
+
+    def pluck():
+        y = karplus_strong(196.0, 0.5, SR, rng=rng)
+        fade = SR // 20
+        y[-fade:] *= np.linspace(1, 0, fade)
+        return y
+
+    gap = np.zeros(int(SR * 0.03), np.float32)  # 30ms gap << sustain merge
+    y = np.concatenate([np.zeros(SR // 8, np.float32),
+                        pluck(), gap, pluck()]).astype(np.float32)
+
+    eng = AegisEngine(sample_rate=SR, backend="device")
+    raw = eng.audio_to_midi(y, None)
+    assert "onset_env" in raw
+    merged = [e for e in eng.extract_events(raw, None, sustain_ms=200,
+                                            confidence_threshold=0.3)
+              if e["note"] == 55]
+    split = [e for e in eng.extract_events(raw, None, sustain_ms=200,
+                                           confidence_threshold=0.3,
+                                           use_onsets=True)
+             if e["note"] == 55]
+    assert len(split) > len(merged), (len(merged), len(split))
