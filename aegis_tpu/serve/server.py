@@ -80,10 +80,21 @@ class AegisServer:
                  persist_dir: Optional[str] = None,
                  temp_dir: Optional[str] = None):
         self.engine = engine or AegisEngine(sample_rate=44100)
+        self._poly_engine = None  # lazy: chord transcription is optional
         self.sessions = SessionStore(persist_dir=persist_dir)
         self.temp_dir = temp_dir or tempfile.mkdtemp(prefix="aegis_")
         self.router = Router()
         self._register()
+
+    @property
+    def poly_engine(self):
+        if self._poly_engine is None:
+            from aegis_tpu.engine.poly import AegisPolyEngine
+
+            self._poly_engine = AegisPolyEngine(
+                sample_rate=self.engine.sr,
+                hop_length=self.engine.hop_length)
+        return self._poly_engine
 
     # ------------------------------------------------------------------ util
 
@@ -109,6 +120,23 @@ class AegisServer:
         buf = io.BytesIO()
         events = self.engine.extract_events(sess["raw_data"], buf, **params)
         return events, buf.getvalue(), params
+
+    def _extract_poly(self, sess: Dict, query: Dict[str, str]):
+        buf = io.BytesIO()
+        events = self.poly_engine.extract_events(
+            sess["poly_analysis"], buf,
+            confidence_threshold=coerce(query, "confidence_threshold", 0.5),
+            min_note_duration_ms=coerce(query, "min_note_duration_ms", 60),
+            sustain_ms=coerce(query, "sustain_ms", 40),
+            use_onsets=coerce(query, "use_onsets", True, bool),
+            midi_program=coerce(query, "midi_program", 25),
+        )
+        midi_data = buf.getvalue()
+        # sessions.get returns the live dict; mutate in place (same pattern
+        # as the analyze endpoint's raw_data store)
+        sess["events"] = events
+        sess["midi_data"] = midi_data
+        return events, midi_data
 
     # ---------------------------------------------------------------- routes
 
@@ -369,6 +397,41 @@ class AegisServer:
             return json_response({
                 "report": report,
                 "events": _events_json(filtered),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+            })
+
+        @r.post("/api/analyze-poly/{sid}")
+        def analyze_poly(sid, query, **kw):
+            """Polyphonic (chord) transcription via CQT salience peeling."""
+            sess = self._sess(sid)
+            analysis = self.poly_engine.analyze(
+                sess["file_path"],
+                start_time=coerce(query, "start_time", 0.0),
+                end_time=coerce(query, "end_time", None, float),
+            )
+            if analysis is None:
+                raise HTTPError(400, "Analysis failed - empty audio?")
+            analysis.pop("y", None)
+            sess["poly_analysis"] = analysis
+            events, midi_data = self._extract_poly(sess, query)
+            return json_response({
+                "session_id": sid,
+                "num_events": len(events),
+                "events": _events_json(events),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+                "message": f"Polyphonic analysis: {len(events)} notes",
+            })
+
+        @r.post("/api/refilter-poly/{sid}")
+        def refilter_poly(sid, query, **kw):
+            sess = self._sess(sid)
+            if sess.get("poly_analysis") is None:
+                raise HTTPError(400, "No polyphonic analysis. Run "
+                                     "/api/analyze-poly first.")
+            events, midi_data = self._extract_poly(sess, query)
+            return json_response({
+                "num_events": len(events),
+                "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
             })
 

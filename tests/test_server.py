@@ -122,6 +122,52 @@ def test_full_session_lifecycle(server_url):
             assert e.code == 400
 
 
+def test_polyphonic_endpoints(server_url):
+    from aegis_tpu.tools.signal_gen import karplus_strong
+
+    rng = np.random.default_rng(4)
+    n = SR
+    y = np.zeros(n, np.float32)
+    for m in (60, 64, 67):
+        f = 440.0 * 2 ** ((m - 69) / 12)
+        y[:n] += karplus_strong(f, 1.0, SR, rng=rng)[:n]
+    y = (y / np.max(np.abs(y)) * 0.8).astype(np.float32)
+
+    buf = io.BytesIO()
+    write_wav(buf, y, SR)
+    status, _, data = _req(f"{server_url}/api/upload?name=chord.wav", "POST",
+                           buf.getvalue())
+    sid = json.loads(data)["session_id"]
+
+    status, _, data = _req(
+        f"{server_url}/api/analyze-poly/{sid}?confidence_threshold=0.3"
+        f"&use_onsets=false", "POST")
+    assert status == 200
+    j = json.loads(data)
+    notes = {e["note"] for e in j["events"]}
+    assert {60, 64, 67} <= notes, notes
+
+    # poly refilter with a stricter duration still works on cached analysis
+    status, _, data = _req(
+        f"{server_url}/api/refilter-poly/{sid}?min_note_duration_ms=100"
+        f"&use_onsets=false", "POST")
+    assert status == 200 and json.loads(data)["num_events"] >= 3
+
+    # MIDI download reflects the polyphonic events
+    status, _, data = _req(f"{server_url}/api/midi/{sid}")
+    assert status == 200 and data[:4] == b"MThd"
+
+    # refilter-poly without poly analysis -> 400
+    status, _, data = _req(f"{server_url}/api/upload?name=x.wav", "POST",
+                           buf.getvalue())
+    sid2 = json.loads(data)["session_id"]
+    try:
+        _req(f"{server_url}/api/refilter-poly/{sid2}", "POST")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_error_paths(server_url):
     # unknown session
     try:
