@@ -95,23 +95,29 @@ def pick_onsets(envelope: np.ndarray, sr: int, hop_length: int,
     post_avg = max(int(round(post_avg_ms / spf)), 1)
     wait = max(int(round(wait_ms / spf)), 1)
 
+    env_n = env / max(env.max(), 1e-10)
+
+    def _window(arr, pre, post, pad, reducer):
+        """Sliding [t-pre, t+post] reduction via a strided window view."""
+        w = pre + post + 1
+        padded = np.concatenate([np.full(pre, pad), arr, np.full(post, pad)])
+        view = np.lib.stride_tricks.sliding_window_view(padded, w)
+        return reducer(view, axis=1)
+
+    # edge windows are CLIPPED in the sequential formulation, so the mean
+    # pad must not bias it: use NaN + nanmean (max pads with -inf)
+    win_max = _window(env_n, pre_max, post_max, -np.inf, np.max)
+    win_mean = _window(env_n, pre_avg, post_avg, np.nan, np.nanmean)
+    candidate = (env_n >= win_max) & (env_n >= win_mean + delta) & (env_n > 0)
+
+    # the `wait` debounce is inherently sequential, but only over the few
+    # candidate frames
     onsets = []
     last = -wait - 1
-    scale = max(env.max(), 1e-10)
-    env_n = env / scale
-    for t in range(T):
-        lo, hi = max(0, t - pre_max), min(T, t + post_max + 1)
-        if env_n[t] < env_n[lo:hi].max():
-            continue
-        alo, ahi = max(0, t - pre_avg), min(T, t + post_avg + 1)
-        if env_n[t] < env_n[alo:ahi].mean() + delta:
-            continue
-        if t - last < wait:
-            continue
-        if env_n[t] <= 0:
-            continue
-        onsets.append(t)
-        last = t
+    for t in np.where(candidate)[0]:
+        if t - last >= wait:
+            onsets.append(t)
+            last = t
     return np.asarray(onsets, np.int64)
 
 

@@ -2,9 +2,10 @@
 
 * ``audio_similarity`` — 0.4 * mel-spectrogram cosine + 0.6 * chroma cosine
   between two signals (the auto-matcher objective, reference
-  auto_matcher.py:51-85).  Deviation: chroma is computed from the STFT power
-  via a pitch-class projection matrix instead of librosa's CQT chroma — same
-  role (pitch-content similarity), one MXU matmul.
+  auto_matcher.py:51-85).  Chroma is CQT-folded like the reference's
+  librosa.feature.chroma_cqt: |STFT|^2 projected onto the log-frequency
+  pseudo-CQT filterbank, folded into 12 pitch classes — two MXU matmuls
+  (core.filters.cqt_filterbank / chroma_fold).
 * ``note_slice_similarity`` — batched per-note similarity: 0.5 * RMS-envelope
   Pearson correlation + 0.3 * spectral-centroid similarity + 0.2 * zero-
   crossing-rate similarity (the per-note optimizer objective, reference
@@ -21,21 +22,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from aegis_tpu.core import dsp
-from aegis_tpu.core.filters import mel_filterbank
+from aegis_tpu.core.filters import chroma_fold, cqt_filterbank, mel_filterbank
 
 
-def _chroma_matrix(sr: int, n_fft: int) -> np.ndarray:
-    """(n_bins, 12) projection of FFT bins onto pitch classes with a
-    Gaussian tuning window (sigma = 1 semitone)."""
-    n_bins = 1 + n_fft // 2
-    freqs = np.linspace(0, sr / 2, n_bins)
-    out = np.zeros((n_bins, 12), np.float32)
-    valid = freqs > 25.0
-    midi = 12 * np.log2(np.maximum(freqs, 25.0) / 440.0) + 69.0
-    for pc in range(12):
-        dist = np.abs(((midi - pc) + 6.0) % 12.0 - 6.0)
-        out[:, pc] = np.where(valid, np.exp(-0.5 * dist**2), 0.0)
-    return out
+def _chroma_matrix(sr: int, n_fft: int, n_bins: int = 84,
+                   bins_per_octave: int = 12) -> np.ndarray:
+    """(n_fft_bins, 12): CQT-folded chroma projection (pseudo-CQT filterbank
+    composed with the pitch-class fold), matching the role of the
+    reference's chroma_cqt features."""
+    fb = cqt_filterbank(sr, n_fft, n_bins, bins_per_octave)  # (n_bins, fft)
+    fold = chroma_fold(n_bins, bins_per_octave)              # (12, n_bins)
+    return (fold @ fb).T.astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop"))
