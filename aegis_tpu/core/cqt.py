@@ -130,8 +130,14 @@ def split_events_at_onsets(events: list, onsets: np.ndarray,
         return events
     out = []
     for e in events:
-        cuts = [int(o) for o in onsets if e["start"] + min_frames <= o
-                <= e["end"] - min_frames]
+        # keep each cut at least min_frames from BOTH the event bounds and
+        # the previous accepted cut, so no sub-minimum segment is created
+        cuts = []
+        prev = e["start"]
+        for o in (int(o) for o in onsets):
+            if prev + min_frames <= o <= e["end"] - min_frames:
+                cuts.append(o)
+                prev = o
         if not cuts:
             out.append(e)
             continue

@@ -71,6 +71,12 @@ def detect_articulations_v1(
 # Vectorized segmentation
 # --------------------------------------------------------------------------
 
+def velocity_from_db(rms_db: np.ndarray) -> np.ndarray:
+    """dB -> MIDI velocity, clip((dB+80)*1.5, 0..127) — the reference curve
+    (midi_logic.py:71).  Single definition shared by every engine."""
+    return np.clip((np.asarray(rms_db) + 80.0) * 1.5, 0, 127).astype(np.int64)
+
+
 def _segment(active: np.ndarray, notes: np.ndarray):
     """Split the active mask into constant-note segments.
 
@@ -200,7 +206,7 @@ def extract_events_v1(
     )
     with np.errstate(divide="ignore", invalid="ignore"):
         notes = np.where(active, np.round(hz_to_midi(np.maximum(f0_smooth, 1e-6))), -1)
-    velocity = np.clip((rms_db + 80.0) * 1.5, 0, 127).astype(np.int64)
+    velocity = velocity_from_db(rms_db)
 
     starts, ends = _segment(active, notes)
     events = _build_events(
@@ -312,7 +318,7 @@ def extract_events_financial(
     )
     with np.errstate(divide="ignore", invalid="ignore"):
         notes = np.where(active, np.round(hz_to_midi(np.where(finite, freq, 1.0))), -1)
-    velocity = np.clip((rms_db + 80.0) * 1.5, 0, 127).astype(np.int64)
+    velocity = velocity_from_db(rms_db)
 
     starts, ends = _segment(active, notes)
     events = _build_events(

@@ -34,6 +34,7 @@ import numpy as np
 from aegis_tpu.core import dsp
 from aegis_tpu.core.cqt import CQT_FMIN_MIDI, onset_strength_t, pseudo_cqt_t
 from aegis_tpu.core.filters import cqt_filterbank
+from aegis_tpu.core.events import velocity_from_db
 from aegis_tpu.ref.dsp_ref import amplitude_to_db
 
 MIDI_BINS = 128
@@ -138,7 +139,7 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
     """Segment a (T, 128) activation into overlapping note events."""
     T = roll.shape[0]
     rms_db = amplitude_to_db(np.asarray(rms)[:T])
-    velocity = np.clip((rms_db + 80.0) * 1.5, 0, 127).astype(np.int64)
+    velocity = velocity_from_db(rms_db)
     min_frames = max(int((min_note_duration_ms / 1000.0) * sr / hop_length), 1)
     gap_frames = int((sustain_ms / 1000.0) * sr / hop_length)
 

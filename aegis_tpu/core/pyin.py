@@ -193,7 +193,11 @@ def _decode_states(obs: jnp.ndarray, voiced_prob: jnp.ndarray,
                    width: int, cfg: PyinConfig) -> jnp.ndarray:
     """Viterbi dispatch: banded Pallas kernel on TPU backends (forward pass
     + backtrace in one VMEM-resident program), lax.scan fallback on CPU or
-    when the decode won't fit VMEM.  AEGIS_VITERBI=scan|pallas overrides."""
+    when the decode won't fit VMEM.
+
+    AEGIS_VITERBI=scan|pallas overrides — read at TRACE time: it must be
+    set before the first pyin call for a given shape/config; jit-cached
+    programs keep whichever implementation they were traced with."""
     import os
 
     n = cfg.n_pitch_bins

@@ -166,9 +166,14 @@ def transcribe_folder(
                             extract_kwargs.pop("rake_sensitivity", 0.6),
                             turbo=turbo, mesh=mesh)
 
+    use_onsets = extract_kwargs.pop("use_onsets", False)
     results = []
     for i, p in enumerate(paths):
         true_frames = audio.n_frames(lengths[i])
+        onset_env = None
+        if use_onsets and "onset_env" in out:
+            onset_env = np.asarray(out["onset_env"][i],
+                                   np.float64)[:true_frames]
         events = extract_events_v1(
             rake_mask=np.asarray(out["rake_mask"][i])[:true_frames],
             f0=np.nan_to_num(np.asarray(out["f0"][i], np.float64))[:true_frames],
@@ -177,6 +182,7 @@ def transcribe_folder(
                                     np.float64)[:true_frames],
             rms=np.asarray(out["rms"][i], np.float64)[:true_frames],
             sr=sample_rate, hop_length=audio.hop_length,
+            onset_env=onset_env,
             **extract_kwargs,
         )
         mid_path = os.path.join(

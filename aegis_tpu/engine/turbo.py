@@ -217,6 +217,13 @@ def run_analyze_turbo(
         v = np.asarray(v)[0]  # drop batch
         flat = v.reshape((-1,) + v.shape[2:])  # (n_tiles*tile, ...)
         result[k] = flat[:true_frames]
+    if "onset_env" in result and len(result["onset_env"]):
+        # the first tile's left halo is synthetic silence; match the
+        # single-device convention onset_env[0] == 0 (device_get arrays can
+        # be read-only views, so copy)
+        env = np.array(result["onset_env"])
+        env[0] = 0.0
+        result["onset_env"] = env
     return result
 
 
@@ -252,4 +259,8 @@ def run_analyze_batch(
         v = np.asarray(v)
         flat = v.reshape((v.shape[0], -1) + v.shape[3:])
         result[k] = flat[:, :true_frames]
+    if "onset_env" in result and result["onset_env"].shape[1]:
+        env = np.array(result["onset_env"])
+        env[:, 0] = 0.0  # synthetic first-tile halo
+        result["onset_env"] = env
     return result

@@ -464,7 +464,9 @@ class AegisServer:
                     }
                 except (KeyError, TypeError, ValueError):
                     raise HTTPError(400, "each event needs note/start/end ints")
-                if ev["end"] <= ev["start"] or not 0 <= ev["note"] <= 127:
+                # single-frame events (end == start) are legitimate: the
+                # extractor emits them when min-duration is below one frame
+                if ev["end"] < ev["start"] or not 0 <= ev["note"] <= 127:
                     raise HTTPError(400, f"invalid event {ev}")
                 events.append(ev)
             events.sort(key=lambda e: (e["start"], e["note"]))
@@ -485,9 +487,16 @@ class AegisServer:
             sess = self._sess(sid)
             if sess.get("events") is None:
                 raise HTTPError(400, "No events. Run analysis first.")
-            from aegis_tpu.midi.tabs import generate_tabs, render_ascii_tab
+            from aegis_tpu.midi.tabs import (generate_tabs,
+                                             generate_tabs_chords,
+                                             render_ascii_tab)
 
-            tab_data = generate_tabs(sess["events"])
+            if sess.get("poly_analysis") is not None:
+                # chord-aware fingering: simultaneous notes on distinct strings
+                tab_data = generate_tabs_chords(
+                    sess["events"], self.engine.sr, self.engine.hop_length)
+            else:
+                tab_data = generate_tabs(sess["events"])
             spf = self.engine.hop_length / self.engine.sr
             for t in tab_data:
                 t["time_sec"] = round(t["m_start"] * spf, 4)

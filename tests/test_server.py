@@ -112,9 +112,15 @@ def test_full_session_lifecycle(server_url):
     from aegis_tpu.midi.decode import midi_to_notes
     assert {n["note"] for n in midi_to_notes(data)} == {64}
 
+    # single-frame events (end == start) are valid: extraction emits them
+    # when min-duration is below one frame
+    status, _, data = _req(f"{server_url}/api/events/{sid}", "POST",
+                           b'[{"note": 64, "start": 5, "end": 5}]')
+    assert status == 200 and json.loads(data)["num_events"] == 1
+
     # invalid edits rejected
     for bad in (b"not json", b"{}", b'[{"note": 200, "start": 0, "end": 1}]',
-                b'[{"note": 64, "start": 5, "end": 5}]'):
+                b'[{"note": 64, "start": 5, "end": 4}]'):
         try:
             _req(f"{server_url}/api/events/{sid}", "POST", bad)
             assert False, "expected 400"
