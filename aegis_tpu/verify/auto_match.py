@@ -75,15 +75,118 @@ def _evaluate(engine, raw_data, y_orig: np.ndarray, sample_rate: int,
     return audio_similarity(y_orig, y_synth, sample_rate)
 
 
+def _combo_events(engine, raw_data, conf, min_dur, sustain):
+    return engine.extract_events(
+        raw_data, None,
+        confidence_threshold=conf,
+        min_note_duration_ms=int(min_dur),
+        sustain_ms=int(sustain),
+    )
+
+
+def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
+                   progress_callback):
+    """All grid combos scored in ONE device program: per-combo event lists
+    (host, fast phase-2 re-extraction) are padded into (B, Nmax) note
+    arrays, rendered with the vmapped ADSR synth, and scored by the batched
+    similarity — 2 dispatches per sweep instead of ~4 per combo
+    (SURVEY.md §7.4: iterative grid loops become batched device sweeps).
+    """
+    import jax.numpy as jnp
+
+    from aegis_tpu.synth.adsr import render_notes
+    from aegis_tpu.verify.similarity import similarity_batch_program
+
+    combos = [
+        (c, d, s)
+        for c in grid["confidence_threshold"]
+        for d in grid["min_note_duration_ms"]
+        for s in grid["sustain_ms"]
+    ]
+    hop = engine.hop_length
+    spf = hop / sample_rate
+    release_s = 0.1
+
+    event_lists = []
+    for i, (conf, min_dur, sustain) in enumerate(combos):
+        if progress_callback:
+            progress_callback((i + 1) / len(combos),
+                              f"{phase} extract {i + 1}/{len(combos)}")
+        try:
+            event_lists.append(_combo_events(engine, raw_data, conf,
+                                             min_dur, sustain))
+        except Exception as e:
+            log.warning(f"combo failed ({conf},{min_dur},{sustain}): {e}")
+            event_lists.append([])
+
+    B = len(combos)
+    n_max = max(1, max(len(e) for e in event_lists))
+    nb = 1
+    while nb < n_max:
+        nb <<= 1
+    total = 1 << 14
+    while total < len(y_orig):
+        total <<= 1
+
+    freqs = np.full((B, nb), 440.0, np.float32)
+    starts = np.zeros((B, nb), np.int32)
+    lengths = np.ones((B, nb), np.int32)
+    vels = np.zeros((B, nb), np.float32)  # zero velocity = silent padding
+    max_note = 1
+    for b, evs in enumerate(event_lists):
+        for j, e in enumerate(evs):
+            freqs[b, j] = 440.0 * 2.0 ** ((e["note"] - 69) / 12.0)
+            s = min(int(e["start"] * spf * sample_rate), total - 1)
+            dur = int(((e["end"] - e["start"] + 1) * spf + release_s)
+                      * sample_rate)
+            dur = max(min(dur, total - s), 1)
+            starts[b, j] = s
+            lengths[b, j] = dur
+            vels[b, j] = e["velocity"]
+            max_note = max(max_note, dur)
+    mb = 1 << 10
+    while mb < max_note:
+        mb <<= 1
+
+    def render_one(f, st, ln, v):
+        n = f.shape[0]
+        const = lambda val: jnp.full((n,), val, jnp.float32)  # noqa: E731
+        return render_notes(f, st, ln, v, const(10.0), const(50.0),
+                            const(0.7), const(100.0),
+                            jnp.zeros((n,), jnp.int32), sample_rate,
+                            mb, total)
+
+    import jax
+
+    y_ref = np.zeros(total, np.float32)
+    y_ref[: len(y_orig)] = y_orig
+    synths = jax.vmap(render_one)(jnp.asarray(freqs), jnp.asarray(starts),
+                                  jnp.asarray(lengths), jnp.asarray(vels))
+    scores = np.asarray(similarity_batch_program(
+        jnp.asarray(y_ref), synths, sample_rate))
+    scores = np.where([len(e) > 0 for e in event_lists], scores, -1.0)
+    best = int(np.argmax(scores))
+    if scores[best] < 0:
+        return None, -1.0
+    conf, min_dur, sustain = combos[best]
+    return ({"confidence_threshold": conf,
+             "min_note_duration_ms": int(min_dur),
+             "sustain_ms": int(sustain)}, float(scores[best]))
+
+
 def auto_match_parameters(
     original_audio, engine, raw_data,
     sample_rate: int = 44100,
     progress_callback: Optional[Callable] = None,
+    batched: Optional[bool] = None,
 ) -> Optional[Dict]:
     """Returns {confidence_threshold, min_note_duration_ms, sustain_ms,
     score} or None when no combination produced usable output.
 
     ``original_audio`` may be a path or a mono float array at engine.sr.
+    batched=None (default) uses the single-program batched sweep unless
+    FluidSynth is available (whose soundfont rendering can't be batched
+    on device; the sequential loop keeps the reference's objective there).
     """
     if isinstance(original_audio, np.ndarray):
         y_orig = original_audio[: int(sample_rate * 30)]
@@ -91,6 +194,26 @@ def auto_match_parameters(
         from aegis_tpu.io.audio import load_audio
 
         y_orig, _ = load_audio(original_audio, sr=sample_rate, duration=30)
+
+    if batched is None:
+        from aegis_tpu.synth.fluidsynth import get_synthesizer
+
+        batched = not get_synthesizer().is_available()
+    if batched:
+        coarse, score = _sweep_batched(engine, raw_data, y_orig, sample_rate,
+                                       COARSE_GRID, "coarse",
+                                       progress_callback)
+        if coarse is None:
+            log.warning("no valid combination found")
+            return None
+        log.info(f"coarse best: {coarse} score={score:.3f}")
+        fine, fine_score = _sweep_batched(engine, raw_data, y_orig,
+                                          sample_rate, _fine_grid(coarse),
+                                          "fine", progress_callback)
+        if fine is not None and fine_score >= score:
+            coarse, score = fine, fine_score
+        log.info(f"final best: {coarse} score={score:.3f}")
+        return {**coarse, "score": score}
 
     log.info("coarse grid search (27 combos)")
     best_score, best_params = -1.0, None
