@@ -38,8 +38,15 @@ def export_musicxml(tab_data: List[dict], output_path: str) -> str:
     staff_details = ET.SubElement(attr, "staff-details")
     ET.SubElement(staff_details, "staff-lines").text = "6"
 
+    prev_time = None
     for t in tab_data:
         note = ET.SubElement(measure, "note")
+        # simultaneous tab entries (same onset, distinct strings from the
+        # chord-aware fingering) carry the MusicXML <chord/> marker so
+        # notation software stacks them on one stem
+        if prev_time is not None and t.get("time") == prev_time:
+            ET.SubElement(note, "chord")
+        prev_time = t.get("time")
         pitch = ET.SubElement(note, "pitch")
         pitch_val = int(t["note"])
         ET.SubElement(pitch, "step").text = _STEP_MAP[pitch_val % 12]
