@@ -82,3 +82,12 @@ def test_apply_harmonic_filter_entry():
     )
     assert out["key_info"]["key"] == "C"
     assert out["out_of_scale_mask"].sum() >= 1
+
+
+def test_validate_device_tool():
+    """The on-device validation tool passes on the CPU backend too (device
+    == oracle up to float reassociation)."""
+    from aegis_tpu.tools.validate_device import validate
+
+    result = validate()
+    assert result["pass"], result
