@@ -95,3 +95,40 @@ def test_viterbi_pallas_matches_scan():
     assert got.shape == ref_states.shape
     assert (got == ref_states).mean() > 0.99, (
         f"state mismatch {np.mean(got != ref_states):.3f}")
+
+
+def test_viterbi_pallas_44k_band():
+    """Same parity at sr=44100, where the transition half-width differs
+    (51 vs 101 at 22050) — the server's default sample rate."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.config import PyinConfig
+    from aegis_tpu.core import pyin_pallas as vp
+    from aegis_tpu.core.pyin import viterbi_decode
+    from aegis_tpu.ref.pyin_ref import local_transition
+
+    cfg = PyinConfig()
+    n = cfg.n_pitch_bins
+    width = cfg.transition_width(44100, 512)
+    T = 32
+    rng = np.random.default_rng(21)
+    obs = np.zeros((T, n), np.float32)
+    center = 150
+    for t in range(T):
+        center = int(np.clip(center + rng.integers(-4, 5), 5, n - 6))
+        obs[t, center] = rng.random() * 0.5
+    vp_prob = np.clip(obs.sum(axis=1), 0.0, 1.0).astype(np.float32)
+
+    trans = local_transition(n, width)
+    ref = np.asarray(viterbi_decode(
+        jnp.asarray(obs), jnp.asarray(vp_prob),
+        jnp.asarray(np.log(trans + 1e-30), jnp.float32), cfg.switch_prob))
+    band = jnp.asarray(vp.build_banded_log_transition(trans, width))
+    eps = 1e-30
+    got = np.asarray(vp.viterbi_decode_pallas(
+        jnp.log(jnp.asarray(obs) + eps),
+        jnp.log((1.0 - jnp.asarray(vp_prob)) / n + eps),
+        band, n, width,
+        float(np.log1p(-cfg.switch_prob)), float(np.log(cfg.switch_prob)),
+        interpret=True))
+    assert (got == ref).mean() > 0.99
