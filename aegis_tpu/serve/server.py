@@ -482,6 +482,30 @@ class AegisServer:
                 "midi_base64": base64.b64encode(midi_data).decode(),
             })
 
+        @r.get("/api/spectrogram/{sid}")
+        def spectrogram(sid, query, **kw):
+            """Mel spectrogram as a compact uint8 grid (0..255 over the dB
+            range) for the SPA's piano-roll underlay — the reference
+            tuning-center's spectrogram plot (aegis_app.py)."""
+            sess = self._sess(sid)
+            raw = sess.get("raw_data")
+            if raw is None or "mel_db" not in raw:
+                raise HTTPError(400, "No spectrogram. Run /api/analyze first.")
+            mel = np.asarray(raw["mel_db"], np.float32)  # (T, n_mels)
+            max_cols = int(coerce(query, "max_cols", 2000))
+            step = max(1, mel.shape[0] // max_cols)
+            mel = mel[::step]
+            lo, hi = float(mel.min()), float(mel.max())
+            g = np.clip((mel - lo) / max(hi - lo, 1e-6) * 255, 0, 255)
+            return json_response({
+                "frames": int(mel.shape[0]),
+                "n_mels": int(mel.shape[1]),
+                "frame_step": step,
+                "db_range": [round(lo, 1), round(hi, 1)],
+                "grid_base64": base64.b64encode(
+                    g.astype(np.uint8).tobytes()).decode(),
+            })
+
         @r.get("/api/tabs/{sid}")
         def tabs(sid, **kw):
             sess = self._sess(sid)

@@ -99,6 +99,15 @@ def test_full_session_lifecycle(server_url):
                                "POST")
     assert status == 200 and ctype == "audio/wav" and data[:4] == b"RIFF"
 
+    # spectrogram underlay grid
+    status, _, data = _req(f"{server_url}/api/spectrogram/{sid}")
+    assert status == 200
+    spec = json.loads(data)
+    import base64
+    grid = base64.b64decode(spec["grid_base64"])
+    assert len(grid) == spec["frames"] * spec["n_mels"]
+    assert spec["db_range"][0] < spec["db_range"][1]
+
     # push client-side edits: MIDI download must reflect the edited events
     edited = [{"note": 64, "start": 0, "end": 40, "velocity": 90,
                "track": "main", "technique": "normal"}]
