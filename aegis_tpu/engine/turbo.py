@@ -11,9 +11,14 @@ overlap*, accepting pYIN seam artifacts (aegis_engine.py:183-216, SURVEY.md
     reference's chunking approximates, done properly).
   * axis "data" — independent tracks batch along the leading axis (the
     reference's "folder sweep" scenario).
-  * the only cross-tile communication is a ``jax.lax.pmax`` so the dB
-    reference (power_to_db ref=max, SURVEY's load-bearing convention) is
-    global rather than per-tile — one scalar collective riding ICI.
+  * raw int16 PCM is sharded CONTIGUOUSLY over the time axis (half the
+    upload bytes of float32, no host-side halo duplication); each device
+    fetches its halo context from mesh neighbors with one
+    ``jax.lax.ppermute`` per direction riding ICI — unmatched edge devices
+    receive zeros, which is exactly the global center/tail padding.
+  * the only other cross-tile communication is a ``jax.lax.pmax`` so the
+    dB reference (power_to_db ref=max, SURVEY's load-bearing convention)
+    is global rather than per-tile — one scalar collective riding ICI.
 
 Single-chip execution uses the same code with a 1-device mesh (vmap over
 tiles); multi-chip correctness is validated on a virtual CPU mesh
@@ -36,45 +41,9 @@ from aegis_tpu.core.filters import dft_matrices, hann_window, mel_filterbank
 from aegis_tpu.core.pyin import pyin_from_frames
 
 
-# --------------------------------------------------------------------------
-# Host-side tiling
-# --------------------------------------------------------------------------
-
 def _slab_span(tile_frames: int, halo: int, hop: int, frame_length: int) -> int:
     return (tile_frames + 2 * halo - 1) * hop + frame_length
 
-
-def make_slabs(
-    y: np.ndarray, audio: AudioConfig, pyin_cfg: PyinConfig, turbo: TurboConfig,
-    n_tiles_round: int = 1,
-) -> tuple[np.ndarray, int]:
-    """Cut a 1-D signal into overlapping tile slabs.
-
-    Returns (slabs (n_tiles, span), true_frames).  Slab t covers global frames
-    [t*tile - halo, (t+1)*tile + halo); each frame's window is
-    y_centerpad[f*hop : f*hop + frame_length].
-    """
-    hop, fl = audio.hop_length, pyin_cfg.frame_length
-    tile, halo = turbo.tile_frames, turbo.halo_frames
-    true_frames = audio.n_frames(len(y))
-    n_tiles = max(1, -(-true_frames // tile))
-    n_tiles = -(-n_tiles // n_tiles_round) * n_tiles_round
-
-    pad = fl // 2
-    span = _slab_span(tile, halo, hop, fl)
-    total_needed = ((n_tiles * tile + halo) * hop) + fl
-    y_p = np.pad(y.astype(np.float32), (pad, max(0, total_needed - len(y) - pad)))
-
-    slabs = np.empty((n_tiles, span), np.float32)
-    for t in range(n_tiles):
-        start = (t * tile - halo) * hop
-        if start < 0:  # first tile: left halo is zeros
-            left = -start
-            slabs[t, :left] = 0.0
-            slabs[t, left:] = y_p[: span - left]
-        else:
-            slabs[t] = y_p[start : start + span]
-    return slabs, true_frames
 
 
 # --------------------------------------------------------------------------
@@ -131,56 +100,100 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
 
 
 # --------------------------------------------------------------------------
-# Sharded batch program
+# Sharded program (on-device halo exchange)
 # --------------------------------------------------------------------------
 
 @functools.partial(
     jax.jit,
-    static_argnames=("audio", "pyin_cfg", "turbo", "mesh", "data_axis", "time_axis"),
+    static_argnames=("audio", "pyin_cfg", "turbo", "mesh", "n_tiles",
+                     "data_axis", "time_axis"),
 )
-def analyze_slabs_sharded(
-    slabs: jnp.ndarray,  # (B, n_tiles, span)
+def analyze_audio_sharded(
+    y16: jnp.ndarray,  # (B, n_tiles*tile*hop) int16 PCM, time-sharded
+    scale: jnp.ndarray,
     rake_sens: jnp.ndarray,
     audio: AudioConfig,
     pyin_cfg: PyinConfig,
     turbo: TurboConfig,
     mesh: Mesh,
+    n_tiles: int,
     data_axis: str = "data",
     time_axis: str = "time",
 ) -> Dict[str, jnp.ndarray]:
-    """shard_map over (data, time): tiles of every track run in parallel
-    across the mesh; outputs come back (B, n_tiles, tile_frames, ...)."""
+    """shard_map over (data, time) with ON-DEVICE halo exchange.
 
-    def worker(slabs_local, rs):
-        # slabs_local: (b, k, span) on this device
-        b, k, span = slabs_local.shape
-        flat = slabs_local.reshape(b * k, span)
+    The raw int16 audio is sharded contiguously over the time axis — no
+    host-side slab duplication and half the upload bytes of float32.  Each
+    device dequantizes its block and fetches halo context (halo*hop +
+    frame_length//2 samples each side) from its mesh neighbors with ONE
+    ``jax.lax.ppermute`` per direction riding ICI; unmatched edge devices
+    receive zeros, which is exactly the global center-pad / tail-pad
+    convention of the single-device path.  Local tile slabs are then plain
+    static slices of the extended block.
+    """
+    hop, fl = audio.hop_length, pyin_cfg.frame_length
+    tile, halo = turbo.tile_frames, turbo.halo_frames
+    span = _slab_span(tile, halo, hop, fl)
+    ctx = halo * hop + fl // 2  # halo context per side
+    n_time = mesh.shape[time_axis]
+    k_local = n_tiles // n_time
+
+    def worker(y_loc, sc, rs):
+        b, s_local = y_loc.shape
+        y_f = y_loc.astype(jnp.float32) * sc
+
+        fwd = [(i, i + 1) for i in range(n_time - 1)]   # tail -> next dev
+        bwd = [(i + 1, i) for i in range(n_time - 1)]   # head -> prev dev
+        left = jax.lax.ppermute(y_f[:, -ctx:], time_axis, fwd)
+        right = jax.lax.ppermute(y_f[:, :ctx], time_axis, bwd)
+        y_ext = jnp.concatenate([left, y_f, right], axis=1)
+
+        # slab j starts at raw coord (g*tile - halo)*hop - fl//2 with
+        # g = dev*k_local + j; y_ext[0] sits exactly at j=0's start.
+        slabs = jnp.stack(
+            [y_ext[:, j * tile * hop: j * tile * hop + span]
+             for j in range(k_local)], axis=1)  # (b, k_local, span)
+        flat = slabs.reshape(b * k_local, span)
+
         mel_power = jax.vmap(
             lambda s: _tile_mel_power(s, audio, pyin_cfg, turbo)
         )(flat)
-        # global dB reference: max over every tile on every device
         gmax = jax.lax.pmax(
-            jax.lax.pmax(jnp.max(mel_power), time_axis), data_axis
-        )
+            jax.lax.pmax(jnp.max(mel_power), time_axis), data_axis)
         amin = 1e-10
         log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
         log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, gmax))
-        mel_db = jnp.maximum(log_spec, -80.0)  # global max -> 0 dB ceiling
+        mel_db = jnp.maximum(log_spec, -80.0)
 
         out = jax.vmap(
             lambda s, m: _tile_analyze(s, m, rs, audio, pyin_cfg, turbo)
         )(flat, mel_db)
-        return {k_: v.reshape((b, k) + v.shape[1:]) for k_, v in out.items()}
+        return {k_: v.reshape((b, k_local) + v.shape[1:])
+                for k_, v in out.items()}
 
     from jax import shard_map
 
     return shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(data_axis, time_axis, None), P()),
+        in_specs=(P(data_axis, time_axis), P(), P()),
         out_specs=P(data_axis, time_axis),
         check_vma=False,
-    )(slabs, rake_sens)
+    )(y16, scale, rake_sens)
+
+
+def quantize_tracks(ys: np.ndarray, n_samples: int) -> tuple:
+    """(B, *) float tracks -> zero-padded (B, n_samples) int16 + scale."""
+    out = np.zeros((len(ys), n_samples), np.int16)
+    peak = max(float(np.max(np.abs(np.asarray(y)))) if len(y) else 0.0
+               for y in ys)
+    scale = peak / 32767.0 if peak > 0 else 1.0
+    for i, y in enumerate(ys):
+        n = min(len(y), n_samples)
+        if peak > 0:
+            out[i, :n] = np.round(np.asarray(y[:n], np.float64)
+                                  / scale).astype(np.int16)
+    return out, np.float32(scale)
 
 
 def _default_mesh(time_only: bool = True) -> Mesh:
@@ -197,19 +210,30 @@ def run_analyze_turbo(
     rake_sensitivity: float = 0.6,
     turbo: Optional[TurboConfig] = None,
     mesh: Optional[Mesh] = None,
+    transport: str = "int16",
 ) -> Dict[str, np.ndarray]:
     """Single-track turbo analyze: tile over the time axis of the mesh and
     stitch the interiors back together.  Output schema matches
-    core.analyze.run_analyze."""
+    core.analyze.run_analyze (incl. the int16 PCM transport; pass
+    transport="float32" for bit-exact ingest)."""
     turbo = turbo or TurboConfig()
     mesh = mesh or _default_mesh(time_only=True)
     n_time = mesh.shape["time"]
 
-    slabs, true_frames = make_slabs(y, audio, pyin_cfg, turbo,
-                                    n_tiles_round=n_time)
-    out = analyze_slabs_sharded(
-        jnp.asarray(slabs)[None], jnp.float32(rake_sensitivity),
-        audio, pyin_cfg, turbo, mesh,
+    tile = turbo.tile_frames
+    true_frames = audio.n_frames(len(y))
+    n_tiles = max(1, -(-true_frames // tile))
+    n_tiles = -(-n_tiles // n_time) * n_time
+    n_samp = n_tiles * tile * audio.hop_length
+    if transport == "int16":
+        y_dev, scale = quantize_tracks(np.asarray(y, np.float32)[None], n_samp)
+    else:
+        y_dev = np.zeros((1, n_samp), np.float32)
+        y_dev[0, : len(y)] = np.asarray(y, np.float32)
+        scale = np.float32(1.0)
+    out = analyze_audio_sharded(
+        jnp.asarray(y_dev), jnp.float32(scale), jnp.float32(rake_sensitivity),
+        audio, pyin_cfg, turbo, mesh, n_tiles,
     )
     host = jax.device_get(out)
     result = {}
@@ -243,15 +267,15 @@ def run_analyze_batch(
         mesh = Mesh(devs.reshape(b_axis, -1), ("data", "time"))
     n_time = mesh.shape["time"]
 
-    slab_list, true_frames = [], None
-    for y in ys:
-        s, true_frames = make_slabs(y, audio, pyin_cfg, turbo, n_tiles_round=n_time)
-        slab_list.append(s)
-    slabs = np.stack(slab_list)  # (B, n_tiles, span)
-
-    out = analyze_slabs_sharded(
-        jnp.asarray(slabs), jnp.float32(rake_sensitivity),
-        audio, pyin_cfg, turbo, mesh,
+    tile = turbo.tile_frames
+    true_frames = audio.n_frames(ys.shape[1])
+    n_tiles = max(1, -(-true_frames // tile))
+    n_tiles = -(-n_tiles // n_time) * n_time
+    y16, scale = quantize_tracks(np.asarray(ys, np.float32),
+                                 n_tiles * tile * audio.hop_length)
+    out = analyze_audio_sharded(
+        jnp.asarray(y16), jnp.float32(scale), jnp.float32(rake_sensitivity),
+        audio, pyin_cfg, turbo, mesh, n_tiles,
     )
     host = jax.device_get(out)
     result = {}

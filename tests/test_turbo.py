@@ -15,7 +15,8 @@ PYIN = PyinConfig()
 def test_turbo_matches_single_device():
     track, _ = generate_test_track(sr=SR)
     tc = TurboConfig(tile_frames=48, halo_frames=24)
-    out_t = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc)
+    out_t = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc,
+                              transport="float32")
     # float32 transport: this test checks tile/halo seam consistency, so the
     # single-device side must ingest bit-identical audio (int16 transport
     # quantization would show up as ~0.5 dB deltas in low-energy mel bins)
