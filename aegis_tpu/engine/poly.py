@@ -161,10 +161,24 @@ def transcribe_folder(
 
     audio = AudioConfig(sample_rate=sample_rate)
     pyin_cfg = PyinConfig()
+    rake_sensitivity = extract_kwargs.pop("rake_sensitivity", 0.6)
     log.info(f"Turbo batch: {len(paths)} tracks x {max_len/sample_rate:.1f}s")
-    out = run_analyze_batch(batch, audio, pyin_cfg,
-                            extract_kwargs.pop("rake_sensitivity", 0.6),
-                            turbo=turbo, mesh=mesh)
+
+    import jax
+
+    if mesh is None and jax.device_count() == 1:
+        # single chip: the fused whole-track program beats the tiled path
+        # (no halo recompute, better pyin shapes); batch = python loop,
+        # uploads overlap compute via async dispatch
+        from aegis_tpu.core.analyze import run_analyze
+
+        per_track = [run_analyze(y, audio, pyin_cfg, rake_sensitivity,
+                                 fetch_mel=False) for y in batch]
+        out = {k: np.stack([r[k] for r in per_track])
+               for k in per_track[0]}
+    else:
+        out = run_analyze_batch(batch, audio, pyin_cfg, rake_sensitivity,
+                                turbo=turbo, mesh=mesh, fetch_mel=False)
 
     use_onsets = extract_kwargs.pop("use_onsets", False)
     results = []

@@ -50,6 +50,26 @@ def _slab_span(tile_frames: int, halo: int, hop: int, frame_length: int) -> int:
 # Per-tile device program
 # --------------------------------------------------------------------------
 
+
+def _frame_slab(slab: jnp.ndarray, n_frames: int, hop: int, frame_len: int,
+                offset: int) -> jnp.ndarray:
+    """Overlapping frames of a 1-D slab via contiguous slice+reshape copies
+    (frame_len % hop == 0 here) — TPU row gathers don't tile and were the
+    hottest op in the tiled path, exactly as in dsp.frame_signal."""
+    if frame_len % hop == 0:
+        k = frame_len // hop
+        need = offset + (n_frames + k - 1) * hop
+        x = slab[offset:]
+        if need - offset > x.shape[0]:
+            x = jnp.pad(x, (0, need - offset - x.shape[0]))
+        parts = [x[i * hop:(i + n_frames) * hop].reshape(n_frames, hop)
+                 for i in range(k)]
+        return jnp.concatenate(parts, axis=1)
+    idx = np.arange(n_frames)[:, None] * hop + offset + \
+        np.arange(frame_len)[None, :]
+    return slab[idx]
+
+
 def _tile_mel_power(slab: jnp.ndarray, audio: AudioConfig,
                     pyin_cfg: PyinConfig, turbo: TurboConfig) -> jnp.ndarray:
     """(T2, n_mels) mel power for one slab (T2 = tile + 2*halo frames)."""
@@ -58,8 +78,8 @@ def _tile_mel_power(slab: jnp.ndarray, audio: AudioConfig,
     # STFT frames: window n_fft centered at frame*hop + fl//2 within the slab
     # (slab already includes the center padding offset).
     off = (fl - n_fft) // 2
-    idx = np.arange(t2)[:, None] * hop + off + np.arange(n_fft)[None, :]
-    frames = slab[idx] * jnp.asarray(hann_window(n_fft))[None, :]
+    frames = _frame_slab(slab, t2, hop, n_fft, off)
+    frames = frames * jnp.asarray(hann_window(n_fft))[None, :]
     cos_m, sin_m = dft_matrices(n_fft)
     re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
     im = jnp.dot(frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
@@ -76,8 +96,7 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
     tile, halo = turbo.tile_frames, turbo.halo_frames
     t2 = tile + 2 * halo
 
-    idx = np.arange(t2)[:, None] * hop + np.arange(fl)[None, :]
-    frames = slab[idx]
+    frames = _frame_slab(slab, t2, hop, fl, 0)
     f0, voiced, probs = pyin_from_frames(frames, audio.sample_rate, hop, pyin_cfg)
     rms_ = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
     rake = masks.detect_rake(mel_db, hop, audio.sample_rate, rake_sens)
@@ -103,10 +122,29 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
 # Sharded program (on-device halo exchange)
 # --------------------------------------------------------------------------
 
+_TURBO_ROWS = ("f0", "voiced_flag", "voiced_probs", "rms", "rake_mask",
+               "onset_env")
+
+
+def _unpack_turbo(buf: np.ndarray, n_mels: int) -> Dict[str, np.ndarray]:
+    """(frames, n_mels+6) packed rows -> named arrays (mirrors core.analyze
+    _unpack; turbo emits the v1 row set)."""
+    out: Dict[str, np.ndarray] = {}
+    if n_mels:
+        out["mel_db"] = buf[..., :n_mels]
+    for i, k in enumerate(_TURBO_ROWS):
+        col = buf[..., n_mels + i]
+        if k in ("voiced_flag", "rake_mask"):
+            out[k] = col > 0.5
+        else:
+            out[k] = col
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("audio", "pyin_cfg", "turbo", "mesh", "n_tiles",
-                     "data_axis", "time_axis"),
+                     "data_axis", "time_axis", "include_mel"),
 )
 def analyze_audio_sharded(
     y16: jnp.ndarray,  # (B, n_tiles*tile*hop) int16 PCM, time-sharded
@@ -119,8 +157,13 @@ def analyze_audio_sharded(
     n_tiles: int,
     data_axis: str = "data",
     time_axis: str = "time",
-) -> Dict[str, jnp.ndarray]:
+    include_mel: bool = True,
+) -> jnp.ndarray:
     """shard_map over (data, time) with ON-DEVICE halo exchange.
+
+    Returns ONE packed (B, n_tiles, tile, [n_mels +] 6) float32 buffer
+    (columns: optional mel_db then _TURBO_ROWS) — unpack with
+    _unpack_turbo.
 
     The raw int16 audio is sharded contiguously over the time axis — no
     host-side slab duplication and half the upload bytes of float32.  Each
@@ -168,8 +211,12 @@ def analyze_audio_sharded(
         out = jax.vmap(
             lambda s, m: _tile_analyze(s, m, rs, audio, pyin_cfg, turbo)
         )(flat, mel_db)
-        return {k_: v.reshape((b, k_local) + v.shape[1:])
-                for k_, v in out.items()}
+        # ONE packed output buffer (same trick as core.analyze._pack):
+        # per-array D2H transfers cost ~25ms each on tunneled backends
+        cols = [out[k_].astype(jnp.float32)[..., None] for k_ in _TURBO_ROWS]
+        head = [out["mel_db"]] if include_mel else []
+        packed = jnp.concatenate(head + cols, axis=-1)
+        return packed.reshape((b, k_local) + packed.shape[1:])
 
     from jax import shard_map
 
@@ -211,6 +258,7 @@ def run_analyze_turbo(
     turbo: Optional[TurboConfig] = None,
     mesh: Optional[Mesh] = None,
     transport: str = "int16",
+    fetch_mel: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Single-track turbo analyze: tile over the time axis of the mesh and
     stitch the interiors back together.  Output schema matches
@@ -231,23 +279,16 @@ def run_analyze_turbo(
         y_dev = np.zeros((1, n_samp), np.float32)
         y_dev[0, : len(y)] = np.asarray(y, np.float32)
         scale = np.float32(1.0)
-    out = analyze_audio_sharded(
+    packed = analyze_audio_sharded(
         jnp.asarray(y_dev), jnp.float32(scale), jnp.float32(rake_sensitivity),
-        audio, pyin_cfg, turbo, mesh, n_tiles,
+        audio, pyin_cfg, turbo, mesh, n_tiles, include_mel=fetch_mel,
     )
-    host = jax.device_get(out)
-    result = {}
-    for k, v in host.items():
-        v = np.asarray(v)[0]  # drop batch
-        flat = v.reshape((-1,) + v.shape[2:])  # (n_tiles*tile, ...)
-        result[k] = flat[:true_frames]
-    if "onset_env" in result and len(result["onset_env"]):
-        # the first tile's left halo is synthetic silence; match the
-        # single-device convention onset_env[0] == 0 (device_get arrays can
-        # be read-only views, so copy)
-        env = np.array(result["onset_env"])
-        env[0] = 0.0
-        result["onset_env"] = env
+    buf = np.array(packed)[0]  # np.array: writable (onset fix below)
+    buf = buf.reshape(-1, buf.shape[-1])[:true_frames]
+    result = _unpack_turbo(buf, audio.n_mels if fetch_mel else 0)
+    # first tile's left halo is synthetic silence; match the single-device
+    # convention onset_env[0] == 0
+    result["onset_env"][0] = 0.0
     return result
 
 
@@ -258,6 +299,7 @@ def run_analyze_batch(
     rake_sensitivity: float = 0.6,
     turbo: Optional[TurboConfig] = None,
     mesh: Optional[Mesh] = None,
+    fetch_mel: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Batched multi-track analyze sharded over (data, time)."""
     turbo = turbo or TurboConfig()
@@ -273,18 +315,12 @@ def run_analyze_batch(
     n_tiles = -(-n_tiles // n_time) * n_time
     y16, scale = quantize_tracks(np.asarray(ys, np.float32),
                                  n_tiles * tile * audio.hop_length)
-    out = analyze_audio_sharded(
+    packed = analyze_audio_sharded(
         jnp.asarray(y16), jnp.float32(scale), jnp.float32(rake_sensitivity),
-        audio, pyin_cfg, turbo, mesh, n_tiles,
+        audio, pyin_cfg, turbo, mesh, n_tiles, include_mel=fetch_mel,
     )
-    host = jax.device_get(out)
-    result = {}
-    for k, v in host.items():
-        v = np.asarray(v)
-        flat = v.reshape((v.shape[0], -1) + v.shape[3:])
-        result[k] = flat[:, :true_frames]
-    if "onset_env" in result and result["onset_env"].shape[1]:
-        env = np.array(result["onset_env"])
-        env[:, 0] = 0.0  # synthetic first-tile halo
-        result["onset_env"] = env
+    buf = np.array(packed)  # np.array: writable (onset fix below)
+    buf = buf.reshape(buf.shape[0], -1, buf.shape[-1])[:, :true_frames]
+    result = _unpack_turbo(buf, audio.n_mels if fetch_mel else 0)
+    result["onset_env"][:, 0] = 0.0  # synthetic first-tile halo
     return result
