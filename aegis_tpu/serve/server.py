@@ -160,6 +160,9 @@ class AegisServer:
 
         @r.post("/api/upload")
         def upload(query, body, content_type, **kw):
+            dropped = self.sessions.sweep()  # evict idle sessions (TTL)
+            if dropped:
+                log.info(f"swept {dropped} idle sessions")
             if "multipart/form-data" in content_type:
                 fields = parse_multipart(body, content_type)
                 if "file" not in fields:
