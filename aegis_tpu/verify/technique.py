@@ -61,6 +61,40 @@ def _synth_audio(midi_bytes: bytes, sr: int) -> np.ndarray:
     return audio
 
 
+def _render_probe(note: int, dur_s: float, technique, velocity: int,
+                  sr: int) -> np.ndarray:
+    """Direct frequency-modulated probe for the with/without comparison.
+
+    The ADSR MIDI fallback ignores pitch-wheel curves, which would make the
+    with/without renders of bend and vibrato identical (and the verifier
+    would then strip every such technique whenever FluidSynth is absent).
+    This renders the pitch modulation itself: bend = accelerating rise to
+    +2 semitones (the reference's 15-point curve, aegis_engine.py:124-143),
+    vibrato = 5 Hz +-0.3 semitone LFO; hammer_on/pull_off = the reference's
+    velocity scaling (x0.6 / x0.5).
+    """
+    n = max(int(dur_s * sr), sr // 50)
+    t = np.arange(n, dtype=np.float64) / sr
+    f0 = 440.0 * 2.0 ** ((note - 69) / 12.0)
+    semis = np.zeros(n)
+    amp = velocity / 127.0
+    if technique == "bend":
+        semis = 2.0 * (t / max(dur_s, 1e-3)) ** 2  # accelerating rise
+    elif technique == "vibrato":
+        semis = 0.3 * np.sin(2.0 * np.pi * 5.0 * t)
+    elif technique == "hammer_on":
+        amp *= 0.6
+    elif technique == "pull_off":
+        amp *= 0.5
+    freq = f0 * 2.0 ** (semis / 12.0)
+    phase = 2.0 * np.pi * np.cumsum(freq) / sr
+    # sawtooth with a short attack/release envelope
+    saw = 2.0 * ((phase / (2 * np.pi)) % 1.0) - 1.0
+    env = np.minimum(1.0, t / 0.01)
+    env *= np.minimum(1.0, (dur_s - t).clip(0) / 0.03 + 1e-9)
+    return (0.6 * amp * saw * env).astype(np.float32)
+
+
 def verify_technique_by_audio_matching(
     y: np.ndarray,
     events: List[Dict],
@@ -88,8 +122,21 @@ def verify_technique_by_audio_matching(
                 out.append(evt)
                 continue
 
-            with_audio = _synth_audio(_mini_midi(event, sr, hop_length, True), sr)
-            without_audio = _synth_audio(_mini_midi(event, sr, hop_length, False), sr)
+            from aegis_tpu.synth.fluidsynth import get_synthesizer
+
+            if get_synthesizer().is_available():
+                with_audio = _synth_audio(
+                    _mini_midi(event, sr, hop_length, True), sr)
+                without_audio = _synth_audio(
+                    _mini_midi(event, sr, hop_length, False), sr)
+            else:
+                # ADSR MIDI fallback ignores pitch wheels — render the
+                # modulation directly (see _render_probe)
+                dur_s = max(1, event["end"] - event["start"]) * hop_length / sr
+                with_audio = _render_probe(event["note"], dur_s, technique,
+                                           event.get("velocity", 100), sr)
+                without_audio = _render_probe(event["note"], dur_s, None,
+                                              event.get("velocity", 100), sr)
 
             n = 1 << 12
             while n < max(len(orig), len(with_audio), len(without_audio)):

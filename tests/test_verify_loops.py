@@ -118,3 +118,34 @@ def test_auto_match(engine):
     assert result is not None
     assert 0.1 <= result["confidence_threshold"] <= 0.9
     assert result["score"] > 0.1
+
+
+def test_technique_verifier_bend_discrimination():
+    """A real pitch-bend is verified; a falsely-tagged steady note is
+    stripped (exercises the FM probe path used when FluidSynth is absent)."""
+    from aegis_tpu.verify.technique import verify_technique_by_audio_matching
+
+    sr, hop = 22050, 512
+    dur = 0.6
+    n = int(sr * dur)
+    t = np.arange(n) / sr
+    f0 = 440.0 * 2 ** ((55 - 69) / 12)
+
+    # bending tone: accelerating rise of 2 semitones (like a real bend)
+    semis = 2.0 * (t / dur) ** 2
+    phase = 2 * np.pi * np.cumsum(f0 * 2 ** (semis / 12)) / sr
+    y_bend = (0.5 * (2 * ((phase / (2 * np.pi)) % 1) - 1)).astype(np.float32)
+    # steady tone
+    phase_s = 2 * np.pi * f0 * t
+    y_steady = (0.5 * (2 * ((phase_s / (2 * np.pi)) % 1) - 1)).astype(np.float32)
+
+    end_frame = n // hop - 1
+    ev = {"note": 55, "start": 0, "end": end_frame, "velocity": 100,
+          "technique": "bend", "confidence": 0.9, "track": "main"}
+
+    out_bend = verify_technique_by_audio_matching(
+        y_bend, [dict(ev)], sr, hop, min_similarity=0.3)
+    out_steady = verify_technique_by_audio_matching(
+        y_steady, [dict(ev)], sr, hop, min_similarity=0.3)
+    assert out_bend[0]["technique"] == "bend", out_bend[0]
+    assert out_steady[0]["technique"] is None, out_steady[0]
