@@ -85,3 +85,40 @@ def test_midi_to_notes_tempo():
     assert n["note"] == 64
     assert abs(n["start"] - 0.5) < 1e-9
     assert abs(n["end"] - 1.5) < 1e-9
+
+
+def test_events_to_midi_random_roundtrip():
+    """Property: random event lists survive encode->decode with exact note
+    numbers, monotone timing, and pitch-bend curves for techniques."""
+    import numpy as np
+
+    from aegis_tpu.midi.decode import midi_to_notes
+    from aegis_tpu.midi.encode import events_to_midi
+
+    rng = np.random.default_rng(77)
+    sr, hop = 22050, 512
+    for trial in range(5):
+        n = int(rng.integers(1, 40))
+        events, t = [], 0
+        for _ in range(n):
+            t += int(rng.integers(1, 30))
+            dur = int(rng.integers(1, 60))
+            events.append({
+                "note": int(rng.integers(30, 100)),
+                "start": t, "end": t + dur,
+                "velocity": int(rng.integers(1, 128)),
+                "confidence": float(rng.random()),
+                "track": "main" if rng.random() < 0.7 else "safe",
+                "technique": [None, "bend", "vibrato", "hammer_on"][
+                    int(rng.integers(0, 4))],
+                "slope": 0.0,
+            })
+            t += dur
+        data = events_to_midi(events, sr, hop, output=None)
+        notes = midi_to_notes(data)
+        assert len(notes) == len(events)
+        got = sorted((x["note"] for x in notes))
+        want = sorted(e["note"] for e in events)
+        assert got == want
+        starts = [x["start"] for x in sorted(notes, key=lambda v: v["start"])]
+        assert all(b >= a for a, b in zip(starts, starts[1:]))
