@@ -175,22 +175,24 @@ def analyze_financial_program_packed(y, scale, rake_sensitivity, audio,
 
 
 def _unpack(buf: np.ndarray, rows, n_mels: int) -> Dict[str, np.ndarray]:
+    """Packed buffer (..., n_mels+len(rows)) -> named arrays.  Works for the
+    single-track (T, C) layout and the turbo (B, T, C) layout alike."""
     result: Dict[str, np.ndarray] = (
-        {"mel_db": buf[:, :n_mels]} if n_mels else {})
+        {"mel_db": buf[..., :n_mels]} if n_mels else {})
     for i, k in enumerate(rows):
-        col = buf[:, n_mels + i]
+        col = buf[..., n_mels + i]
         if k in _BOOL_ROWS:
             result[k] = col > 0.5
         elif k in _INT_ROWS:
             result[k] = col.astype(_INT_ROWS[k])
         elif k in ("adaptive_threshold", "distortion_score"):
-            result[k] = np.float32(col[0])
+            result[k] = np.float32(col.reshape(-1)[0])
         else:
             result[k] = col.astype(np.float64) if k == "f0" else col
     return result
 
 
-def run_analyze(
+def dispatch_analyze(
     y: np.ndarray,
     audio: AudioConfig,
     pyin_cfg: PyinConfig,
@@ -199,17 +201,11 @@ def run_analyze(
     use_guitar_filters: bool = True,
     fetch_mel: bool = True,
     transport: str = "int16",
-) -> Dict[str, np.ndarray]:
-    """Host wrapper: bucket-pad, run the device program, fetch the single
-    packed buffer, truncate to the true frame count, return NumPy arrays.
-
-    transport="int16" uploads peak-normalized 16-bit PCM (half the bytes of
-    float32 — host->device bandwidth is the pipeline bottleneck on tunneled
-    backends) and rescales on device; quantization noise is -96 dBFS, far
-    below the pYIN/noise-gate sensitivity.  Pass "float32" for bit-exact
-    ingest.  fetch_mel=False drops the (T, n_mels) spectrogram from the
-    device->host fetch (the reference's raw_data contract has no mel;
-    aegis_engine.py:72-75) — event extraction never reads it.
+):
+    """Async half of run_analyze: bucket-pad, upload, dispatch the device
+    program, and return an opaque handle WITHOUT blocking — JAX dispatch is
+    asynchronous, so multiple tracks can be in flight before any fetch.
+    Resolve with fetch_analyze(handle).
     """
     true_frames = audio.n_frames(len(y))
     y_pad = pad_to_bucket(np.asarray(y, np.float32))
@@ -234,5 +230,36 @@ def run_analyze(
         packed = analyze_program_packed(y_dev, scale, rs, audio, pyin_cfg,
                                         fetch_mel)
         rows = _V1_ROWS
-    buf = np.asarray(packed)[:true_frames]
-    return _unpack(buf, rows, audio.n_mels if fetch_mel else 0)
+    return packed, rows, true_frames, (audio.n_mels if fetch_mel else 0)
+
+
+def fetch_analyze(handle) -> Dict[str, np.ndarray]:
+    """Blocking half: transfer the packed buffer and unpack it."""
+    packed, rows, true_frames, n_mels = handle
+    return _unpack(np.asarray(packed)[:true_frames], rows, n_mels)
+
+
+def run_analyze(
+    y: np.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    rake_sensitivity: float = 0.6,
+    financial: bool = False,
+    use_guitar_filters: bool = True,
+    fetch_mel: bool = True,
+    transport: str = "int16",
+) -> Dict[str, np.ndarray]:
+    """Host wrapper: bucket-pad, run the device program, fetch the single
+    packed buffer, truncate to the true frame count, return NumPy arrays.
+
+    transport="int16" uploads peak-normalized 16-bit PCM (half the bytes of
+    float32 — host->device bandwidth is the pipeline bottleneck on tunneled
+    backends) and rescales on device; quantization noise is -96 dBFS, far
+    below the pYIN/noise-gate sensitivity.  Pass "float32" for bit-exact
+    ingest.  fetch_mel=False drops the (T, n_mels) spectrogram from the
+    device->host fetch (the reference's raw_data contract has no mel;
+    aegis_engine.py:72-75) — event extraction never reads it.
+    """
+    return fetch_analyze(dispatch_analyze(
+        y, audio, pyin_cfg, rake_sensitivity, financial, use_guitar_filters,
+        fetch_mel, transport))

@@ -168,12 +168,14 @@ def transcribe_folder(
 
     if mesh is None and jax.device_count() == 1:
         # single chip: the fused whole-track program beats the tiled path
-        # (no halo recompute, better pyin shapes); batch = python loop,
-        # uploads overlap compute via async dispatch
-        from aegis_tpu.core.analyze import run_analyze
+        # (no halo recompute, better pyin shapes).  Dispatch ALL tracks
+        # before fetching any — JAX dispatch is async, so track i+1's
+        # upload/compute overlaps track i's device->host transfer.
+        from aegis_tpu.core.analyze import dispatch_analyze, fetch_analyze
 
-        per_track = [run_analyze(y, audio, pyin_cfg, rake_sensitivity,
-                                 fetch_mel=False) for y in batch]
+        handles = [dispatch_analyze(y, audio, pyin_cfg, rake_sensitivity,
+                                    fetch_mel=False) for y in batch]
+        per_track = [fetch_analyze(h) for h in handles]
         out = {k: np.stack([r[k] for r in per_track])
                for k in per_track[0]}
     else:

@@ -16,9 +16,10 @@ overlap*, accepting pYIN seam artifacts (aegis_engine.py:183-216, SURVEY.md
     fetches its halo context from mesh neighbors with one
     ``jax.lax.ppermute`` per direction riding ICI — unmatched edge devices
     receive zeros, which is exactly the global center/tail padding.
-  * the only other cross-tile communication is a ``jax.lax.pmax`` so the
-    dB reference (power_to_db ref=max, SURVEY's load-bearing convention)
-    is global rather than per-tile — one scalar collective riding ICI.
+  * the only other cross-tile communication is a ``jax.lax.pmax`` over the
+    time axis so each track's dB reference (power_to_db ref=max, SURVEY's
+    load-bearing convention) is track-global rather than per-tile — one
+    per-track scalar collective riding ICI.
 
 Single-chip execution uses the same code with a 1-device mesh (vmap over
 tiles); multi-chip correctness is validated on a virtual CPU mesh
@@ -38,6 +39,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
 from aegis_tpu.core import dsp, masks
 from aegis_tpu.core.filters import dft_matrices, hann_window, mel_filterbank
+from aegis_tpu.core.analyze import _V1_ROWS, _unpack
 from aegis_tpu.core.pyin import pyin_from_frames
 
 
@@ -122,25 +124,6 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
 # Sharded program (on-device halo exchange)
 # --------------------------------------------------------------------------
 
-_TURBO_ROWS = ("f0", "voiced_flag", "voiced_probs", "rms", "rake_mask",
-               "onset_env")
-
-
-def _unpack_turbo(buf: np.ndarray, n_mels: int) -> Dict[str, np.ndarray]:
-    """(frames, n_mels+6) packed rows -> named arrays (mirrors core.analyze
-    _unpack; turbo emits the v1 row set)."""
-    out: Dict[str, np.ndarray] = {}
-    if n_mels:
-        out["mel_db"] = buf[..., :n_mels]
-    for i, k in enumerate(_TURBO_ROWS):
-        col = buf[..., n_mels + i]
-        if k in ("voiced_flag", "rake_mask"):
-            out[k] = col > 0.5
-        else:
-            out[k] = col
-    return out
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("audio", "pyin_cfg", "turbo", "mesh", "n_tiles",
@@ -180,6 +163,12 @@ def analyze_audio_sharded(
     ctx = halo * hop + fl // 2  # halo context per side
     n_time = mesh.shape[time_axis]
     k_local = n_tiles // n_time
+    if ctx > k_local * tile * hop:
+        raise ValueError(
+            f"halo context ({ctx} samples) exceeds a device's local block "
+            f"({k_local * tile * hop} samples): the one-hop ppermute cannot "
+            f"fetch it. Increase tile_frames or reduce halo_frames/mesh "
+            f"time-axis size.")
 
     def worker(y_loc, sc, rs):
         b, s_local = y_loc.shape
@@ -201,11 +190,17 @@ def analyze_audio_sharded(
         mel_power = jax.vmap(
             lambda s: _tile_mel_power(s, audio, pyin_cfg, turbo)
         )(flat)
-        gmax = jax.lax.pmax(
-            jax.lax.pmax(jnp.max(mel_power), time_axis), data_axis)
+        # PER-TRACK dB reference (matching the single-device power_to_db
+        # ref=max semantics): max over this track's local tiles, then pmax
+        # across the time axis only — NOT across the data axis, which would
+        # reference quiet tracks to the loudest track in the batch
+        local_max = jnp.max(
+            mel_power.reshape(b, k_local, -1), axis=(1, 2))  # (b,)
+        gmax = jax.lax.pmax(local_max, time_axis)            # (b,)
+        gmax_t = jnp.repeat(gmax, k_local)[:, None, None]
         amin = 1e-10
         log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
-        log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, gmax))
+        log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, gmax_t))
         mel_db = jnp.maximum(log_spec, -80.0)
 
         out = jax.vmap(
@@ -213,7 +208,7 @@ def analyze_audio_sharded(
         )(flat, mel_db)
         # ONE packed output buffer (same trick as core.analyze._pack):
         # per-array D2H transfers cost ~25ms each on tunneled backends
-        cols = [out[k_].astype(jnp.float32)[..., None] for k_ in _TURBO_ROWS]
+        cols = [out[k_].astype(jnp.float32)[..., None] for k_ in _V1_ROWS]
         head = [out["mel_db"]] if include_mel else []
         packed = jnp.concatenate(head + cols, axis=-1)
         return packed.reshape((b, k_local) + packed.shape[1:])
@@ -285,7 +280,7 @@ def run_analyze_turbo(
     )
     buf = np.array(packed)[0]  # np.array: writable (onset fix below)
     buf = buf.reshape(-1, buf.shape[-1])[:true_frames]
-    result = _unpack_turbo(buf, audio.n_mels if fetch_mel else 0)
+    result = _unpack(buf, _V1_ROWS, audio.n_mels if fetch_mel else 0)
     # first tile's left halo is synthetic silence; match the single-device
     # convention onset_env[0] == 0
     result["onset_env"][0] = 0.0
@@ -321,6 +316,6 @@ def run_analyze_batch(
     )
     buf = np.array(packed)  # np.array: writable (onset fix below)
     buf = buf.reshape(buf.shape[0], -1, buf.shape[-1])[:, :true_frames]
-    result = _unpack_turbo(buf, audio.n_mels if fetch_mel else 0)
+    result = _unpack(buf, _V1_ROWS, audio.n_mels if fetch_mel else 0)
     result["onset_env"][:, 0] = 0.0  # synthetic first-tile halo
     return result

@@ -495,7 +495,7 @@ class AegisServer:
             if raw is None or "mel_db" not in raw:
                 raise HTTPError(400, "No spectrogram. Run /api/analyze first.")
             mel = np.asarray(raw["mel_db"], np.float32)  # (T, n_mels)
-            max_cols = int(coerce(query, "max_cols", 2000))
+            max_cols = max(1, min(int(coerce(query, "max_cols", 2000)), 8000))
             step = max(1, mel.shape[0] // max_cols)
             mel = mel[::step]
             lo, hi = float(mel.min()), float(mel.max())

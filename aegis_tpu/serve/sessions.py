@@ -47,13 +47,23 @@ class SessionStore:
                 self._sessions[sid].update(fields)
 
     def sweep(self) -> int:
-        """Drop sessions idle past the TTL; returns the number removed."""
+        """Drop sessions idle past the TTL, deleting their on-disk artifacts
+        (uploaded audio, persisted raw_data checkpoint); returns the number
+        removed."""
         now = time.time()
         with self._lock:
             stale = [s for s, v in self._sessions.items()
                      if now - v["_touched"] > self._ttl]
-            for s in stale:
-                del self._sessions[s]
+            evicted = [self._sessions.pop(s) for s in stale]
+        for sid, sess in zip(stale, evicted):
+            for path in (sess.get("file_path"),
+                         os.path.join(self._persist_dir, f"{sid}.npz")
+                         if self._persist_dir else None):
+                if path and os.path.exists(path):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
         return len(stale)
 
     # ------------------------------------------------------------ persistence

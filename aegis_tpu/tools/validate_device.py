@@ -24,12 +24,18 @@ def validate(sr: int = 22050, threshold: float = 0.99) -> dict:
     from aegis_tpu.engine.financial import AegisFinancialEngine
     from aegis_tpu.tools.signal_gen import (generate_scale_benchmark,
                                             generate_test_track)
-    from aegis_tpu.verify.metrics import note_event_f1
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
 
     clips = {
         "synthetic_track": generate_test_track(sr=sr)[0],
         "scale_track": generate_scale_benchmark(sr=sr)[0],
     }
+    hop = 512
+
+    def f1(est_events, ref_events):
+        # seconds-based events, default tolerances (50ms onset, 0.5 semitone)
+        return note_event_f1(events_to_seconds(ref_events, sr, hop),
+                             events_to_seconds(est_events, sr, hop))["f1"]
 
     results = {}
     ok = True
@@ -40,13 +46,13 @@ def validate(sr: int = 22050, threshold: float = 0.99) -> dict:
                                 confidence_threshold=0.3)
         er = ref.extract_events(ref.audio_to_midi(y, None), None,
                                 confidence_threshold=0.3)
-        f1_v1 = note_event_f1(ed, er, sr, 512)["f1"]
+        f1_v1 = f1(ed, er)
 
         devf = AegisFinancialEngine(sample_rate=sr, backend="device")
         reff = AegisFinancialEngine(sample_rate=sr, backend="ref")
         edf, _ = devf.extract_events(devf.analyze(y, fetch_mel=False))
         erf, _ = reff.extract_events(reff.analyze(y))
-        f1_fin = note_event_f1(edf, erf, sr, 512)["f1"]
+        f1_fin = f1(edf, erf)
 
         results[name] = {"v1_f1": round(f1_v1, 4),
                          "financial_f1": round(f1_fin, 4)}

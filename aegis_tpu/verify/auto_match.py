@@ -160,10 +160,20 @@ def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
 
     y_ref = np.zeros(total, np.float32)
     y_ref[: len(y_orig)] = y_orig
-    synths = jax.vmap(render_one)(jnp.asarray(freqs), jnp.asarray(starts),
-                                  jnp.asarray(lengths), jnp.asarray(vels))
-    scores = np.asarray(similarity_batch_program(
-        jnp.asarray(y_ref), synths, sample_rate))
+    # the double vmap materializes (chunk, nb, mb) f32 note buffers; cap the
+    # live footprint (long clips with permissive grids can reach hundreds
+    # of notes x multi-second sustains)
+    budget = 256 << 20
+    chunk = max(1, min(B, budget // max(nb * mb * 4, 1)))
+    parts = []
+    for c0 in range(0, B, chunk):
+        c1 = min(c0 + chunk, B)
+        synths = jax.vmap(render_one)(
+            jnp.asarray(freqs[c0:c1]), jnp.asarray(starts[c0:c1]),
+            jnp.asarray(lengths[c0:c1]), jnp.asarray(vels[c0:c1]))
+        parts.append(np.asarray(similarity_batch_program(
+            jnp.asarray(y_ref), synths, sample_rate)))
+    scores = np.concatenate(parts)
     scores = np.where([len(e) > 0 for e in event_lists], scores, -1.0)
     best = int(np.argmax(scores))
     if scores[best] < 0:

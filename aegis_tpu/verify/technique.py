@@ -78,21 +78,39 @@ def _render_probe(note: int, dur_s: float, technique, velocity: int,
     f0 = 440.0 * 2.0 ** ((note - 69) / 12.0)
     semis = np.zeros(n)
     amp = velocity / 127.0
+    attack_s = 0.01
     if technique == "bend":
         semis = 2.0 * (t / max(dur_s, 1e-3)) ** 2  # accelerating rise
     elif technique == "vibrato":
         semis = 0.3 * np.sin(2.0 * np.pi * 5.0 * t)
-    elif technique == "hammer_on":
-        amp *= 0.6
-    elif technique == "pull_off":
-        amp *= 0.5
+    elif technique in ("hammer_on", "pull_off"):
+        # legato: no pick transient — soft slow attack.  A pure velocity
+        # scale would be invisible to the scale-invariant mel cosine, so
+        # the discriminating feature here is the attack SHAPE
+        amp *= 0.6 if technique == "hammer_on" else 0.5
+        attack_s = 0.05
     freq = f0 * 2.0 ** (semis / 12.0)
     phase = 2.0 * np.pi * np.cumsum(freq) / sr
-    # sawtooth with a short attack/release envelope
     saw = 2.0 * ((phase / (2 * np.pi)) % 1.0) - 1.0
-    env = np.minimum(1.0, t / 0.01)
+    env = np.minimum(1.0, t / attack_s)
     env *= np.minimum(1.0, (dur_s - t).clip(0) / 0.03 + 1e-9)
     return (0.6 * amp * saw * env).astype(np.float32)
+
+
+def _envelope_pearson(a: np.ndarray, b: np.ndarray, sr: int) -> float:
+    """RMS-envelope shape correlation in [0, 1] — amplitude-scale invariant
+    but attack-SHAPE sensitive (unlike the mel cosine)."""
+    frame = max(sr // 100, 64)
+    m = min(len(a), len(b)) // frame
+    if m < 3:
+        return 0.0
+    ra = np.sqrt((a[: m * frame].reshape(m, frame) ** 2).mean(axis=1))
+    rb = np.sqrt((b[: m * frame].reshape(m, frame) ** 2).mean(axis=1))
+    sa, sb = ra.std(), rb.std()
+    if sa < 1e-10 or sb < 1e-10:
+        return 1.0 if sa < 1e-10 and sb < 1e-10 else 0.0
+    c = float(np.corrcoef(ra, rb)[0, 1])
+    return max(0.0, (c + 1.0) / 2.0)
 
 
 def verify_technique_by_audio_matching(
@@ -124,7 +142,8 @@ def verify_technique_by_audio_matching(
 
             from aegis_tpu.synth.fluidsynth import get_synthesizer
 
-            if get_synthesizer().is_available():
+            use_probe = not get_synthesizer().is_available()
+            if not use_probe:
                 with_audio = _synth_audio(
                     _mini_midi(event, sr, hop_length, True), sr)
                 without_audio = _synth_audio(
@@ -147,9 +166,20 @@ def verify_technique_by_audio_matching(
                 b[: len(x)] = x[:n]
                 return jnp.asarray(b)
 
-            o = pad_to(orig)
-            sim_with = float(_mel_cosine(o, pad_to(with_audio), sr))
-            sim_without = float(_mel_cosine(o, pad_to(without_audio), sr))
+            if technique in ("hammer_on", "pull_off") and use_probe:
+                # amplitude/attack techniques: mel cosine is scale-invariant
+                # and cannot see them — compare envelope shapes instead
+                sim_with = 0.5 * _envelope_pearson(orig, with_audio, sr) + \
+                    0.5 * float(_mel_cosine(pad_to(orig),
+                                            pad_to(with_audio), sr))
+                sim_without = 0.5 * _envelope_pearson(orig, without_audio,
+                                                      sr) + \
+                    0.5 * float(_mel_cosine(pad_to(orig),
+                                            pad_to(without_audio), sr))
+            else:
+                o = pad_to(orig)
+                sim_with = float(_mel_cosine(o, pad_to(with_audio), sr))
+                sim_without = float(_mel_cosine(o, pad_to(without_audio), sr))
 
             verified = sim_with > sim_without and sim_with > min_similarity
             evt["technique_similarity"] = round(sim_with, 4)

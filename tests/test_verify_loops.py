@@ -149,3 +149,31 @@ def test_technique_verifier_bend_discrimination():
         y_steady, [dict(ev)], sr, hop, min_similarity=0.3)
     assert out_bend[0]["technique"] == "bend", out_bend[0]
     assert out_steady[0]["technique"] is None, out_steady[0]
+
+
+def test_technique_verifier_hammer_on_discrimination():
+    """A soft legato attack keeps hammer_on; a sharp picked attack loses it
+    (mel cosine is amplitude-invariant — the envelope path must decide)."""
+    from aegis_tpu.verify.technique import verify_technique_by_audio_matching
+
+    sr, hop = 22050, 512
+    dur = 0.4
+    n = int(sr * dur)
+    t = np.arange(n) / sr
+    f0 = 440.0 * 2 ** ((57 - 69) / 12)
+    saw = 2 * ((f0 * t) % 1) - 1
+
+    def clip(attack_s):
+        env = np.minimum(1.0, t / attack_s) * np.exp(-1.5 * t)
+        return (0.5 * saw * env).astype(np.float32)
+
+    end_frame = n // hop - 1
+    ev = {"note": 57, "start": 0, "end": end_frame, "velocity": 70,
+          "technique": "hammer_on", "confidence": 0.9, "track": "main"}
+
+    soft = verify_technique_by_audio_matching(
+        clip(0.05), [dict(ev)], sr, hop, min_similarity=0.3)
+    sharp = verify_technique_by_audio_matching(
+        clip(0.002), [dict(ev)], sr, hop, min_similarity=0.3)
+    assert soft[0]["technique"] == "hammer_on", soft[0]
+    assert sharp[0]["technique"] is None, sharp[0]
