@@ -4,7 +4,6 @@ aegis_financial_studio.py surfaces)."""
 
 from __future__ import annotations
 
-import io
 import tempfile
 
 from aegis_tpu.apps.common import audio_player, require_streamlit, svg_panel

@@ -5,9 +5,7 @@ articulation metric cards."""
 
 from __future__ import annotations
 
-import io
 
-import numpy as np
 
 from aegis_tpu.apps.common import phase1_cache_key, require_streamlit, svg_panel
 from aegis_tpu.engine.financial import AegisFinancialEngine

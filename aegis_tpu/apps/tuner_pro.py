@@ -12,7 +12,6 @@ import numpy as np
 
 from aegis_tpu.apps.common import audio_player, phase1_cache_key, require_streamlit, svg_panel
 from aegis_tpu.engine.engine import AegisEngine
-from aegis_tpu.io.audio import load_audio
 from aegis_tpu.synth.adsr import analyze_envelope, synthesize_midi_adsr
 from aegis_tpu.synth.fluidsynth import synthesize_midi
 from aegis_tpu.synth.presets import EFFECT_PRESETS, GUITAR_ADSR_PRESETS

@@ -14,7 +14,7 @@ import io
 
 import numpy as np
 
-from aegis_tpu.apps.common import audio_player, phase1_cache_key, require_streamlit, svg_panel
+from aegis_tpu.apps.common import phase1_cache_key, require_streamlit, svg_panel
 from aegis_tpu.engine.engine import AegisEngine
 from aegis_tpu.midi.tabs import generate_tabs, render_ascii_tab
 from aegis_tpu.viz.piano_roll import events_to_svg

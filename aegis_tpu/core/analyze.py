@@ -18,7 +18,7 @@ truncate the returned frame arrays to ``n_frames(true_length)``.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

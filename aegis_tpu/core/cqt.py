@@ -16,7 +16,6 @@ is a tiny O(T) pass over the envelope with data-dependent output length.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

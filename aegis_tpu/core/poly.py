@@ -33,7 +33,6 @@ import numpy as np
 
 from aegis_tpu.core import dsp
 from aegis_tpu.core.cqt import CQT_FMIN_MIDI, onset_strength_t, pseudo_cqt_t
-from aegis_tpu.core.filters import cqt_filterbank
 from aegis_tpu.core.events import velocity_from_db
 from aegis_tpu.ref.dsp_ref import amplitude_to_db
 

@@ -23,8 +23,6 @@ raw_data as .npz so sessions survive restarts.
 
 from __future__ import annotations
 
-import io
-import os
 from typing import Dict, List, Optional, Union
 
 import numpy as np

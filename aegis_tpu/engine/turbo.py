@@ -37,7 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
-from aegis_tpu.core import dsp, masks
+from aegis_tpu.core import masks
 from aegis_tpu.core.filters import dft_matrices, hann_window, mel_filterbank
 from aegis_tpu.core.analyze import _V1_ROWS, _unpack
 from aegis_tpu.core.pyin import pyin_from_frames

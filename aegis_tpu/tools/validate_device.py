@@ -4,9 +4,10 @@ Runs both engines (v1 + financial) with backend="device" and backend="ref"
 on synthetic clips and reports note-event F1 (the driver's correctness
 metric: F1 >= 0.99 vs the CPU librosa-semantics reference, BASELINE.md).
 
-Measured on the real chip 2026-08-16: v1 F1 = 1.0000 on both clips,
-financial F1 = 1.0000 / 0.9971 (one borderline event from the -96 dBFS
-int16 transport quantization).
+Measured on the real chip 2026-08-16 (seconds-based events, default
+50 ms / 0.5-semitone tolerances): v1 and financial F1 = 1.0000 on both
+validation clips; financial F1 = 0.9912 on the 60 s bench track (one
+borderline event from the -96 dBFS int16 transport quantization).
 
 Usage:  python -m aegis_tpu.tools.validate_device
 """
@@ -15,8 +16,6 @@ from __future__ import annotations
 
 import json
 import sys
-
-import numpy as np
 
 
 def validate(sr: int = 22050, threshold: float = 0.99) -> dict:

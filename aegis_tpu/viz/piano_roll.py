@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import base64
 import html
-from typing import List, Optional, Union
+from typing import List, Union
 
 from aegis_tpu.midi.decode import midi_to_notes
 
