@@ -109,8 +109,11 @@ class AegisEngine:
             return None
 
         log.info(f"Perception Phase (turbo={turbo_mode}, {len(y)/self.sr:.1f}s)")
-        out = self._analyze(y, rake_sensitivity, turbo_mode,
-                            kwargs.get("fetch_mel", True))
+        from aegis_tpu.utils.prof import phase
+
+        with phase("aegis.perception", quiet=True):
+            out = self._analyze(y, rake_sensitivity, turbo_mode,
+                                kwargs.get("fetch_mel", True))
 
         raw = {
             "rake_mask": np.asarray(out["rake_mask"]),
@@ -132,6 +135,13 @@ class AegisEngine:
 
     def extract_events(self, raw_data: Dict, output_mid=None, **kwargs) -> List[dict]:
         """Logic Filter Layer: fast re-runnable event extraction + MIDI encode."""
+        from aegis_tpu.utils.prof import phase as _phase
+
+        with _phase("aegis.extract", quiet=True):
+            return self._extract_events(raw_data, output_mid, **kwargs)
+
+    def _extract_events(self, raw_data: Dict, output_mid=None,
+                        **kwargs) -> List[dict]:
         events = extract_events_v1(
             rake_mask=raw_data["rake_mask"],
             f0=raw_data["f0"],

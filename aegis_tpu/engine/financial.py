@@ -77,12 +77,15 @@ class AegisFinancialEngine:
             y, _ = _load_audio(input_wav, sr=self.sr)
         if len(y) == 0:
             return None
-        out = self._analyze(
-            y,
-            kwargs.get("rake_sensitivity", 0.6),
-            kwargs.get("use_guitar_filters", True),
-            kwargs.get("fetch_mel", True),
-        )
+        from aegis_tpu.utils.prof import phase
+
+        with phase("financial.perception", quiet=True):
+            out = self._analyze(
+                y,
+                kwargs.get("rake_sensitivity", 0.6),
+                kwargs.get("use_guitar_filters", True),
+                kwargs.get("fetch_mel", True),
+            )
         out["y"] = y
         return out
 
