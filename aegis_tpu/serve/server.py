@@ -340,8 +340,13 @@ class AegisServer:
             )
             if not result:
                 raise HTTPError(500, "Learning loop failed")
+            best = result["best_accuracy"]
             return json_response({
-                "best_accuracy": result["best_accuracy"],
+                # SPA renders this as a percentage — expose the overall
+                # float, with the per-axis breakdown alongside
+                "best_accuracy": best.get("overall", 0.0)
+                if isinstance(best, dict) else best,
+                "accuracy_breakdown": best if isinstance(best, dict) else None,
                 "best_params": result["best_params"],
                 "iterations": len(result["history"]),
                 "history": [
