@@ -26,7 +26,12 @@ def compare_note_lists(original: List[dict], reversed_notes: List[dict],
                        pitch_tolerance: float = 1.0) -> Dict[str, float]:
     """Greedy nearest matching (estimates may be reused, matching the
     reference's accounting); pitch accuracy = 1 - avg_err/12 (octave scale),
-    timing accuracy = 1 - avg_err/0.5."""
+    timing accuracy = 1 - avg_err/0.5.
+
+    Error averages run over MATCHED pairs only: a missed note already costs
+    note_accuracy, and letting its arbitrarily distant nearest neighbor into
+    the mean made timing_accuracy collapse to ~0 whenever one note was
+    dropped (original 3-note clip, 2 re-transcribed -> 'timing 10%')."""
     if not original or not reversed_notes:
         return {"note_accuracy": 0.0, "pitch_accuracy": 0.0,
                 "timing_accuracy": 0.0}
@@ -44,13 +49,15 @@ def compare_note_lists(original: List[dict], reversed_notes: List[dict],
         time_diff = abs(orig["start"] - best["start"])
         if pitch_diff <= pitch_tolerance and time_diff <= time_tolerance:
             matched += 1
-        pitch_errors.append(pitch_diff)
-        timing_errors.append(time_diff)
+            pitch_errors.append(pitch_diff)
+            timing_errors.append(time_diff)
 
     return {
         "note_accuracy": matched / len(original),
-        "pitch_accuracy": max(0.0, 1.0 - float(np.mean(pitch_errors)) / 12.0),
-        "timing_accuracy": max(0.0, 1.0 - float(np.mean(timing_errors)) / 0.5),
+        "pitch_accuracy": max(0.0, 1.0 - float(np.mean(pitch_errors)) / 12.0)
+        if pitch_errors else 0.0,
+        "timing_accuracy": max(0.0, 1.0 - float(np.mean(timing_errors)) / 0.5)
+        if timing_errors else 0.0,
     }
 
 
