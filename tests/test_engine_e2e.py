@@ -110,3 +110,36 @@ def test_tabs_and_musicxml(tmp_path, ks_track):
     eng.export_musicxml(tabs, xml_path)
     content = open(xml_path).read()
     assert "<string>" in content and "<fret>" in content
+
+
+def test_edge_inputs():
+    """Degenerate inputs: silence, near-empty audio, zero-event extraction."""
+    import numpy as np
+
+    from aegis_tpu.engine.engine import AegisEngine
+
+    eng = AegisEngine(sample_rate=22050, backend="device")
+    # pure silence: analysis succeeds, zero (or noise-gated) events
+    raw = eng.audio_to_midi(np.zeros(22050, np.float32), None)
+    events = eng.extract_events(raw, None)
+    assert events == []
+    # sub-frame audio: one frame, no crash
+    raw = eng.audio_to_midi(np.zeros(100, np.float32), None)
+    assert raw is not None and len(raw["f0"]) >= 1
+    # empty audio: None per the facade contract
+    assert eng.audio_to_midi(np.zeros(0, np.float32), None) is None
+
+
+def test_turbo_quantize_edge():
+    import numpy as np
+
+    from aegis_tpu.engine.turbo import quantize_tracks
+
+    # all-zero batch: scale 1.0, zeros, no divide-by-zero
+    q, scale = quantize_tracks(np.zeros((2, 100), np.float32), 128)
+    assert q.shape == (2, 128) and (q == 0).all() and scale == 1.0
+    # round trip is within the int16 LSB
+    y = np.linspace(-0.5, 0.5, 64).astype(np.float32)[None]
+    q, scale = quantize_tracks(y, 64)
+    err = np.abs(q[0].astype(np.float64) * scale - y[0]).max()
+    assert err < 2e-5
