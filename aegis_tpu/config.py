@@ -59,7 +59,12 @@ class PyinConfig:
     same fmin/fmax the reference passes to librosa.pyin (worker.py:9-15).
     """
 
-    fmin: float = NOTE_E2_HZ
+    # one semitone BELOW the reference's E2 lower bound: with fmin exactly at
+    # E2 (worker.py:10-11), a clean 82.4 Hz tone's fundamental CMNDF trough
+    # sits at the clipped max-period edge and pYIN fails to lock (observed:
+    # re-transcribing a synthesized low E gave voiced=0.11).  The financial
+    # path still removes sub-E2 pitches (masks.filter_subharmonic at 82.4).
+    fmin: float = NOTE_E2_HZ * 2.0 ** (-1.0 / 12.0)
     fmax: float = NOTE_C6_HZ
     frame_length: int = 2048
     win_length: int = 1024  # frame_length // 2
