@@ -134,7 +134,10 @@ def split_events_at_onsets(events: list, onsets: np.ndarray,
         cuts = []
         prev = e["start"]
         for o in (int(o) for o in onsets):
-            if prev + min_frames <= o <= e["end"] - min_frames:
+            # strict lower bound: a segment [prev, o-1] has duration
+            # (end - start) == o - prev - 1, so o == prev + min_frames would
+            # emit a segment one frame below the caller's minimum
+            if prev + min_frames < o <= e["end"] - min_frames:
                 cuts.append(o)
                 prev = o
         if not cuts:

@@ -108,6 +108,11 @@ def cqt_filterbank(
         ssum = weights[i].sum()
         if ssum > 0:
             weights[i] /= ssum
+        else:
+            # Narrow low-frequency triangles can fall between coarse FFT bins
+            # (e.g. F#2 at sr=44100/n_fft=2048); give the row minimum support
+            # at the nearest bin so every CQT semitone stays detectable.
+            weights[i, int(np.argmin(np.abs(fft_freqs - mid)))] = 1.0
     return weights.astype(np.float32)
 
 

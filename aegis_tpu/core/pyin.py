@@ -208,7 +208,11 @@ def _decode_states(obs: jnp.ndarray, voiced_prob: jnp.ndarray,
     from aegis_tpu.core import pyin_pallas as vp
 
     fits = vp.viterbi_vmem_bytes(T, n, width) < 14 * 2**20
-    use_pallas = (want != "scan" and fits
+    # build_banded_log_transition raises when the band exceeds its fixed
+    # R = N_CHUNKS*CHUNK rows (wide bands at low sr / large hop) — fall back
+    # to the lax.scan decode instead of crashing on TPU backends.
+    band_ok = 2 * width + 1 <= vp.N_CHUNKS * vp.CHUNK
+    use_pallas = (want != "scan" and fits and band_ok
                   and (backend not in ("cpu",) or want == "pallas"))
     if use_pallas:
         band = jnp.asarray(vp.build_banded_log_transition(trans, width))

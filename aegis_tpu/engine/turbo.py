@@ -92,8 +92,18 @@ def _tile_mel_power(slab: jnp.ndarray, audio: AudioConfig,
 
 def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray,
                   audio: AudioConfig, pyin_cfg: PyinConfig,
-                  turbo: TurboConfig) -> Dict[str, jnp.ndarray]:
-    """pYIN + RMS + rake for one slab, cropped to the tile interior."""
+                  turbo: TurboConfig,
+                  financial: bool = False) -> Dict[str, jnp.ndarray]:
+    """pYIN + RMS + rake for one slab, cropped to the tile interior.
+
+    With ``financial=True`` the guitar-specific filters (sub-E2 correction,
+    rake enhancement, palm-mute mask — analyze_financial_program's phase
+    3.5) also run here, ON THE HALOED ARRAYS: every one of them has bounded
+    temporal extent (rake runs <= 30 ms, palm-mute runs <= 50 ms, rake
+    enhancement window 30 ms — all of it 1-3 frames at hop 512, far inside
+    the >= 64-frame halo), so cropping to the interior afterwards is exact.
+    The whole-track trend recurrences do NOT run per tile — see the
+    financial branch of analyze_audio_sharded."""
     hop, fl = audio.hop_length, pyin_cfg.frame_length
     tile, halo = turbo.tile_frames, turbo.halo_frames
     t2 = tile + 2 * halo
@@ -109,7 +119,20 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
     onset_env = onset_from_db(mel_db)
 
     sl = slice(halo, halo + tile)
-    return {
+    out = {}
+    if financial:
+        f0, voiced = masks.filter_subharmonic(f0, voiced, fmin_hz=82.4)
+        rake = masks.enhance_rake(mel_db, hop, audio.sample_rate, rake)
+        mute = masks.detect_palm_mute(mel_db, hop, audio.sample_rate)
+        voiced = voiced & ~mute
+        out["mute_mask"] = mute[sl]
+        # distortion_score partial sums over the tile INTERIOR — reduced
+        # across tiles with one psum in the sharded worker
+        n_mels = mel_db.shape[1]
+        hi = int(n_mels * 0.7)
+        out["dist_high_sum"] = jnp.sum(mel_db[sl, hi:])
+        out["dist_total_sum"] = jnp.sum(mel_db[sl])
+    out.update({
         "f0": f0[sl],
         "voiced_flag": voiced[sl],
         "voiced_probs": probs[sl],
@@ -117,7 +140,8 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
         "rake_mask": rake[sl],
         "mel_db": mel_db[sl],
         "onset_env": onset_env[sl],
-    }
+    })
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -172,7 +196,7 @@ def analyze_audio_sharded(
 
     def worker(y_loc, sc, rs):
         b, s_local = y_loc.shape
-        y_f = y_loc.astype(jnp.float32) * sc
+        y_f = y_loc.astype(jnp.float32) * sc[:, None]  # per-track dequant
 
         fwd = [(i, i + 1) for i in range(n_time - 1)]   # tail -> next dev
         bwd = [(i + 1, i) for i in range(n_time - 1)]   # head -> prev dev
@@ -218,24 +242,29 @@ def analyze_audio_sharded(
     return shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(data_axis, time_axis), P(), P()),
+        in_specs=(P(data_axis, time_axis), P(data_axis), P()),
         out_specs=P(data_axis, time_axis),
         check_vma=False,
     )(y16, scale, rake_sens)
 
 
 def quantize_tracks(ys: np.ndarray, n_samples: int) -> tuple:
-    """(B, *) float tracks -> zero-padded (B, n_samples) int16 + scale."""
+    """(B, *) float tracks -> zero-padded (B, n_samples) int16 + (B,) scales.
+
+    The scale is PER TRACK: with one batch-global peak a track 40 dB quieter
+    than the loudest would be quantized with only ~56 dB SNR (and its f0
+    confidence measurably degraded); per-track scaling gives every track the
+    full 90 dB int16 range regardless of batch company."""
     out = np.zeros((len(ys), n_samples), np.int16)
-    peak = max(float(np.max(np.abs(np.asarray(y)))) if len(y) else 0.0
-               for y in ys)
-    scale = peak / 32767.0 if peak > 0 else 1.0
+    scales = np.ones(len(ys), np.float32)
     for i, y in enumerate(ys):
         n = min(len(y), n_samples)
+        peak = float(np.max(np.abs(np.asarray(y[:n])))) if n else 0.0
         if peak > 0:
+            scales[i] = peak / 32767.0
             out[i, :n] = np.round(np.asarray(y[:n], np.float64)
-                                  / scale).astype(np.int16)
-    return out, np.float32(scale)
+                                  / scales[i]).astype(np.int16)
+    return out, scales
 
 
 def _default_mesh(time_only: bool = True) -> Mesh:
@@ -273,9 +302,9 @@ def run_analyze_turbo(
     else:
         y_dev = np.zeros((1, n_samp), np.float32)
         y_dev[0, : len(y)] = np.asarray(y, np.float32)
-        scale = np.float32(1.0)
+        scale = np.ones(1, np.float32)
     packed = analyze_audio_sharded(
-        jnp.asarray(y_dev), jnp.float32(scale), jnp.float32(rake_sensitivity),
+        jnp.asarray(y_dev), jnp.asarray(scale), jnp.float32(rake_sensitivity),
         audio, pyin_cfg, turbo, mesh, n_tiles, include_mel=fetch_mel,
     )
     buf = np.array(packed)[0]  # np.array: writable (onset fix below)
@@ -295,8 +324,12 @@ def run_analyze_batch(
     turbo: Optional[TurboConfig] = None,
     mesh: Optional[Mesh] = None,
     fetch_mel: bool = True,
+    transport: str = "int16",
 ) -> Dict[str, np.ndarray]:
-    """Batched multi-track analyze sharded over (data, time)."""
+    """Batched multi-track analyze sharded over (data, time).
+
+    transport="float32" skips int16 quantization for bit-exact ingest at
+    twice the upload bytes."""
     turbo = turbo or TurboConfig()
     if mesh is None:
         devs = np.array(jax.devices())
@@ -308,10 +341,15 @@ def run_analyze_batch(
     true_frames = audio.n_frames(ys.shape[1])
     n_tiles = max(1, -(-true_frames // tile))
     n_tiles = -(-n_tiles // n_time) * n_time
-    y16, scale = quantize_tracks(np.asarray(ys, np.float32),
-                                 n_tiles * tile * audio.hop_length)
+    n_samp = n_tiles * tile * audio.hop_length
+    if transport == "int16":
+        y_dev, scale = quantize_tracks(np.asarray(ys, np.float32), n_samp)
+    else:
+        y_dev = np.zeros((len(ys), n_samp), np.float32)
+        y_dev[:, : ys.shape[1]] = np.asarray(ys, np.float32)
+        scale = np.ones(len(ys), np.float32)
     packed = analyze_audio_sharded(
-        jnp.asarray(y16), jnp.float32(scale), jnp.float32(rake_sensitivity),
+        jnp.asarray(y_dev), jnp.asarray(scale), jnp.float32(rake_sensitivity),
         audio, pyin_cfg, turbo, mesh, n_tiles, include_mel=fetch_mel,
     )
     buf = np.array(packed)  # np.array: writable (onset fix below)

@@ -28,15 +28,20 @@ def compare_note_lists(original: List[dict], reversed_notes: List[dict],
     reference's accounting); pitch accuracy = 1 - avg_err/12 (octave scale),
     timing accuracy = 1 - avg_err/0.5.
 
-    Error averages run over MATCHED pairs only: a missed note already costs
-    note_accuracy, and letting its arbitrarily distant nearest neighbor into
-    the mean made timing_accuracy collapse to ~0 whenever one note was
-    dropped (original 3-note clip, 2 re-transcribed -> 'timing 10%')."""
+    Error averages run over ALL greedy pairs (every original's nearest
+    estimate, matched or not — reference reverse_analyzer.py:114-134), so
+    a dropped note degrades pitch/timing accuracy instead of the scores
+    saturating inside the match-tolerance band.  ``pitch_error_semitones``
+    and ``timing_error_ms`` report raw means over matched pairs only, for
+    fine-grained alignment quality on the notes that did match."""
     if not original or not reversed_notes:
         return {"note_accuracy": 0.0, "pitch_accuracy": 0.0,
-                "timing_accuracy": 0.0}
+                "timing_accuracy": 0.0,
+                "pitch_error_semitones": float("nan"),
+                "timing_error_ms": float("nan")}
     matched = 0
     pitch_errors, timing_errors = [], []
+    m_pitch, m_timing = [], []
     for orig in original:
         best, best_d = None, float("inf")
         for rev in reversed_notes:
@@ -47,17 +52,19 @@ def compare_note_lists(original: List[dict], reversed_notes: List[dict],
                 best_d, best = d, rev
         pitch_diff = abs(orig["note"] - best["note"])
         time_diff = abs(orig["start"] - best["start"])
+        pitch_errors.append(pitch_diff)
+        timing_errors.append(time_diff)
         if pitch_diff <= pitch_tolerance and time_diff <= time_tolerance:
             matched += 1
-            pitch_errors.append(pitch_diff)
-            timing_errors.append(time_diff)
+            m_pitch.append(pitch_diff)
+            m_timing.append(time_diff)
 
     return {
         "note_accuracy": matched / len(original),
-        "pitch_accuracy": max(0.0, 1.0 - float(np.mean(pitch_errors)) / 12.0)
-        if pitch_errors else 0.0,
-        "timing_accuracy": max(0.0, 1.0 - float(np.mean(timing_errors)) / 0.5)
-        if timing_errors else 0.0,
+        "pitch_accuracy": max(0.0, 1.0 - float(np.mean(pitch_errors)) / 12.0),
+        "timing_accuracy": max(0.0, 1.0 - float(np.mean(timing_errors)) / 0.5),
+        "pitch_error_semitones": float(np.mean(m_pitch)) if m_pitch else float("nan"),
+        "timing_error_ms": float(np.mean(m_timing)) * 1000.0 if m_timing else float("nan"),
     }
 
 

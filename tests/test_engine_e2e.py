@@ -137,9 +137,15 @@ def test_turbo_quantize_edge():
 
     # all-zero batch: scale 1.0, zeros, no divide-by-zero
     q, scale = quantize_tracks(np.zeros((2, 100), np.float32), 128)
-    assert q.shape == (2, 128) and (q == 0).all() and scale == 1.0
+    assert q.shape == (2, 128) and (q == 0).all() and (scale == 1.0).all()
     # round trip is within the int16 LSB
     y = np.linspace(-0.5, 0.5, 64).astype(np.float32)[None]
     q, scale = quantize_tracks(y, 64)
-    err = np.abs(q[0].astype(np.float64) * scale - y[0]).max()
+    err = np.abs(q[0].astype(np.float64) * scale[0] - y[0]).max()
     assert err < 2e-5
+    # per-track scaling: a 40 dB quieter track keeps full int16 range
+    loud = np.sin(np.linspace(0, 50, 256)).astype(np.float32)
+    quiet = 0.01 * loud
+    q, scale = quantize_tracks(np.stack([loud, quiet]), 256)
+    assert scale[1] < scale[0] / 50
+    assert np.abs(q[1]).max() > 30000  # quiet track uses the full range

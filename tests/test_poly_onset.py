@@ -180,3 +180,48 @@ def test_v1_engine_onset_split():
                                            use_onsets=True)
              if e["note"] == 55]
     assert len(split) > len(merged), (len(merged), len(split))
+
+
+def test_cqt_filterbank_no_dead_bins():
+    """ADVICE r1: at sr=44100/n_fft=2048 narrow low-frequency triangles fall
+    between 21.5 Hz FFT bins (e.g. F#2 ~92.5 Hz) and used to be all-zero —
+    every CQT row must keep minimum support so every semitone is live."""
+    from aegis_tpu.core.filters import cqt_filterbank
+
+    for sr, n_fft in [(44100, 2048), (22050, 2048), (22050, 1024)]:
+        fb = cqt_filterbank(sr, n_fft)
+        sums = fb.sum(axis=1)
+        assert (sums > 0).all(), f"dead CQT bins at sr={sr} n_fft={n_fft}"
+
+    # F#2 specifically: a pure 92.5 Hz tone must register in its own bin
+    fb = cqt_filterbank(44100, 2048)
+    fft_freqs = np.linspace(0, 22050, 1025)
+    fs2_bin = int(round(12 * np.log2(92.5 / 32.70319566257483)))
+    col = int(np.argmin(np.abs(fft_freqs - 92.5)))
+    assert fb[fs2_bin, max(0, col - 1): col + 2].sum() > 0
+
+
+def test_viterbi_wide_band_falls_back_to_scan(monkeypatch):
+    """ADVICE r1: a transition band wider than the Pallas kernel's fixed 256
+    rows (low sr / big hop) must fall back to the lax.scan decode instead of
+    raising inside build_banded_log_transition."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.config import PyinConfig
+    from aegis_tpu.core import pyin_pallas as vp
+    from aegis_tpu.core.pyin import _decode_states
+
+    cfg = PyinConfig()
+    # sr=22050, hop=2048 -> width well past the band capacity
+    width = cfg.transition_width(22050, 2048)
+    assert 2 * width + 1 > vp.N_CHUNKS * vp.CHUNK  # premise of the regression
+    with pytest.raises(ValueError):
+        from aegis_tpu.ref.pyin_ref import local_transition
+
+        vp.build_banded_log_transition(local_transition(cfg.n_pitch_bins, width), width)
+
+    monkeypatch.setenv("AEGIS_VITERBI", "pallas")  # force-eligible path
+    T, n = 8, cfg.n_pitch_bins
+    obs = jnp.zeros((T, n), jnp.float32).at[:, 100].set(0.5)
+    states = np.asarray(_decode_states(obs, jnp.full((T,), 0.5), width, cfg))
+    assert states.shape == (T,)  # decoded via scan, no crash
