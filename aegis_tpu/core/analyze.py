@@ -139,6 +139,10 @@ _FIN_ROWS = _V1_ROWS + (
     "financial_confidence", "combined_confidence",
     "adaptive_threshold", "distortion_score",
 )
+# streamed-slab rows: the financial per-tile (local) outputs without the
+# whole-track trend stack, which run_analyze_streamed computes afterwards in
+# one tiny full-track device pass (engine.turbo)
+_GTR_ROWS = _V1_ROWS + ("mute_mask", "dist_high_sum", "dist_total_sum")
 _BOOL_ROWS = {"voiced_flag", "rake_mask", "mute_mask"}
 _INT_ROWS = {"artic_codes": np.int8, "slide_codes": np.int8}
 
@@ -186,7 +190,10 @@ def _unpack(buf: np.ndarray, rows, n_mels: int) -> Dict[str, np.ndarray]:
         elif k in _INT_ROWS:
             result[k] = col.astype(_INT_ROWS[k])
         elif k in ("adaptive_threshold", "distortion_score"):
-            result[k] = np.float32(col.reshape(-1)[0])
+            # per-track scalar: (B,) in the batch layout, float in the
+            # single-track layout
+            result[k] = (col[:, 0].astype(np.float32) if col.ndim == 2
+                         else np.float32(col.reshape(-1)[0]))
         else:
             result[k] = col.astype(np.float64) if k == "f0" else col
     return result

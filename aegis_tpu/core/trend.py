@@ -70,14 +70,19 @@ def _affine_scan_2x2(M: jnp.ndarray, v: jnp.ndarray,
     M: (T, 2, 2), v: (T, 2), init: (2,).  Returns states (T, 2).
     """
 
+    # precision HIGHEST: einsum contractions land on the MXU where f32
+    # inputs default to bf16 — repeated 2x2 compositions then drift ~1e-3
+    # relative, i.e. ~0.3 Hz on a pitch trend (see savgol note)
+    hp = jax.lax.Precision.HIGHEST
+
     def combine(left, right):
         M_l, v_l = left
         M_r, v_r = right
-        return (jnp.einsum("tij,tjk->tik", M_r, M_l),
-                jnp.einsum("tij,tj->ti", M_r, v_l) + v_r)
+        return (jnp.einsum("tij,tjk->tik", M_r, M_l, precision=hp),
+                jnp.einsum("tij,tj->ti", M_r, v_l, precision=hp) + v_r)
 
     M_c, v_c = jax.lax.associative_scan(combine, (M, v))
-    return jnp.einsum("tij,j->ti", M_c, init) + v_c
+    return jnp.einsum("tij,j->ti", M_c, init, precision=hp) + v_c
 
 
 def _trailing_window(x: jnp.ndarray, w: int, include_current: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -103,7 +108,9 @@ def _trailing_window(x: jnp.ndarray, w: int, include_current: bool) -> Tuple[jnp
 def sma(data: jnp.ndarray, window: int = 5) -> jnp.ndarray:
     valid = jnp.where(_isnan(data), 0.0, data)
     kernel = jnp.ones((window,)) / window
-    out = jnp.convolve(valid, kernel, mode="same")
+    # full f32 precision: see savgol (TPU bf16 conv default)
+    out = jnp.convolve(valid, kernel, mode="same",
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.where(_isnan(data), NAN, out)
 
 
@@ -127,19 +134,24 @@ def ema(data: jnp.ndarray, span: int = 5) -> jnp.ndarray:
 
 
 def _rolling_std_trailing(data: jnp.ndarray, window: int) -> jnp.ndarray:
-    """NaN-aware std over trailing windows [i-window+1, i]; NaN when < 2 valid."""
+    """NaN-aware std over trailing windows [i-window+1, i]; NaN when < 2 valid.
+
+    Per-window TWO-PASS variance: the textbook E[x^2]-E[x]^2 form cancels
+    catastrophically in float32 at pitch magnitudes (x ~ 300 Hz, window
+    variance ~ 0.01 -> ~7 digits lost, which showed up as 0.08-level
+    financial-confidence divergence vs the f64 oracle on the 60 s bench
+    track).  Subtracting each window's own mean first keeps the error at
+    ~eps*var."""
     valid = ~_isnan(data)
-    shift = jnp.nanmean(jnp.where(valid, data, NAN))
-    shift = jnp.where(jnp.isnan(shift), 0.0, shift)
-    v = jnp.where(valid, data - shift, 0.0)
+    v = jnp.where(valid, data, 0.0)
     vals, _ = _trailing_window(v, window, include_current=True)
     mask, in_range = _trailing_window(valid.astype(jnp.float32), window, True)
     mask = mask * in_range
     cnt = jnp.sum(mask, axis=1)
-    s1 = jnp.sum(vals * mask, axis=1)
-    s2 = jnp.sum(vals * vals * mask, axis=1)
     c = jnp.maximum(cnt, 1.0)
-    var = jnp.maximum(s2 / c - (s1 / c) ** 2, 0.0)
+    mean_w = jnp.sum(vals * mask, axis=1) / c
+    dev = (vals - mean_w[:, None]) * mask
+    var = jnp.sum(dev * dev, axis=1) / c
     return jnp.where(cnt > 1, jnp.sqrt(var), NAN)
 
 
@@ -321,7 +333,11 @@ def savgol(data: jnp.ndarray, window: int = 11, polyorder: int = 3) -> jnp.ndarr
     half = window // 2
     padded = jnp.pad(filled, half, mode="edge")
     kernel = jnp.asarray(_savgol_kernel(window, polyorder)[::-1].copy(), jnp.float32)
-    out = jnp.convolve(padded, kernel, mode="valid")
+    # precision HIGHEST: TPU convs default to bf16 inputs, whose ~1e-3
+    # relative error is ~0.3 Hz at pitch magnitudes — enough to flip
+    # rounded notes at semitone boundaries (60 s bench F1 regression)
+    out = jnp.convolve(padded, kernel, mode="valid",
+                       precision=jax.lax.Precision.HIGHEST)
     out = jnp.where(valid, out, NAN)
     return jnp.where(valid.sum() > window, out, jnp.full_like(data, NAN))
 

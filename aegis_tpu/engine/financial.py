@@ -48,9 +48,16 @@ class AegisFinancialEngine:
 
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
                  use_guitar_filters: bool,
-                 fetch_mel: bool = True) -> Dict[str, np.ndarray]:
+                 fetch_mel: bool = True,
+                 turbo: bool = False) -> Dict[str, np.ndarray]:
         if self.backend != "ref":
             try:
+                if turbo:
+                    from aegis_tpu.engine.turbo import run_analyze_turbo
+
+                    return run_analyze_turbo(
+                        y, self.audio, self.pyin_cfg, rake_sensitivity,
+                        fetch_mel=fetch_mel, financial=True)
                 from aegis_tpu.core.analyze import run_analyze
 
                 return run_analyze(y, self.audio, self.pyin_cfg,
@@ -85,6 +92,7 @@ class AegisFinancialEngine:
                 kwargs.get("rake_sensitivity", 0.6),
                 kwargs.get("use_guitar_filters", True),
                 kwargs.get("fetch_mel", True),
+                kwargs.get("turbo_mode", False),
             )
         out["y"] = y
         return out

@@ -39,7 +39,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
 from aegis_tpu.core import masks
 from aegis_tpu.core.filters import dft_matrices, hann_window, mel_filterbank
-from aegis_tpu.core.analyze import _V1_ROWS, _unpack
+from aegis_tpu.core.analyze import _FIN_ROWS, _GTR_ROWS, _V1_ROWS, _unpack
 from aegis_tpu.core.pyin import pyin_from_frames
 
 
@@ -93,7 +93,8 @@ def _tile_mel_power(slab: jnp.ndarray, audio: AudioConfig,
 def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray,
                   audio: AudioConfig, pyin_cfg: PyinConfig,
                   turbo: TurboConfig,
-                  financial: bool = False) -> Dict[str, jnp.ndarray]:
+                  financial: bool = False,
+                  use_guitar_filters: bool = True) -> Dict[str, jnp.ndarray]:
     """pYIN + RMS + rake for one slab, cropped to the tile interior.
 
     With ``financial=True`` the guitar-specific filters (sub-E2 correction,
@@ -121,17 +122,21 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
     sl = slice(halo, halo + tile)
     out = {}
     if financial:
-        f0, voiced = masks.filter_subharmonic(f0, voiced, fmin_hz=82.4)
-        rake = masks.enhance_rake(mel_db, hop, audio.sample_rate, rake)
-        mute = masks.detect_palm_mute(mel_db, hop, audio.sample_rate)
-        voiced = voiced & ~mute
-        out["mute_mask"] = mute[sl]
-        # distortion_score partial sums over the tile INTERIOR — reduced
-        # across tiles with one psum in the sharded worker
+        if use_guitar_filters:
+            f0, voiced = masks.filter_subharmonic(f0, voiced, fmin_hz=82.4)
+            rake = masks.enhance_rake(mel_db, hop, audio.sample_rate, rake)
+            mute = masks.detect_palm_mute(mel_db, hop, audio.sample_rate)
+            voiced = voiced & ~mute
+            out["mute_mask"] = mute[sl]
+        else:
+            out["mute_mask"] = jnp.zeros((tile,), bool)
+        # distortion_score partial sums, PER INTERIOR FRAME — reduced
+        # across tiles with one psum (turbo) or on host over the true
+        # frames (streamed)
         n_mels = mel_db.shape[1]
         hi = int(n_mels * 0.7)
-        out["dist_high_sum"] = jnp.sum(mel_db[sl, hi:])
-        out["dist_total_sum"] = jnp.sum(mel_db[sl])
+        out["dist_high_sum"] = jnp.sum(mel_db[sl, hi:], axis=1)
+        out["dist_total_sum"] = jnp.sum(mel_db[sl], axis=1)
     out.update({
         "f0": f0[sl],
         "voiced_flag": voiced[sl],
@@ -151,7 +156,8 @@ def _tile_analyze(slab: jnp.ndarray, mel_db: jnp.ndarray, rake_sens: jnp.ndarray
 @functools.partial(
     jax.jit,
     static_argnames=("audio", "pyin_cfg", "turbo", "mesh", "n_tiles",
-                     "data_axis", "time_axis", "include_mel"),
+                     "data_axis", "time_axis", "include_mel", "financial",
+                     "use_guitar_filters", "guitar_only", "peak_only"),
 )
 def analyze_audio_sharded(
     y16: jnp.ndarray,  # (B, n_tiles*tile*hop) int16 PCM, time-sharded
@@ -165,12 +171,35 @@ def analyze_audio_sharded(
     data_axis: str = "data",
     time_axis: str = "time",
     include_mel: bool = True,
+    financial: bool = False,
+    use_guitar_filters: bool = True,
+    guitar_only: bool = False,
+    peak_only: bool = False,
+    edge16: jnp.ndarray | None = None,   # (B, 2*ctx) int16: real slab-edge
+                                         # context (streamed mode); None = the
+                                         # zero-fill track-edge convention
+    db_ref: jnp.ndarray | None = None,   # (B,) mel-power dB reference; None =
+                                         # track-global pmax (ref=max)
 ) -> jnp.ndarray:
     """shard_map over (data, time) with ON-DEVICE halo exchange.
 
-    Returns ONE packed (B, n_tiles, tile, [n_mels +] 6) float32 buffer
-    (columns: optional mel_db then _TURBO_ROWS) — unpack with
-    _unpack_turbo.
+    Returns ONE packed (B, n_tiles, tile, [n_mels +] len(rows)) float32
+    buffer (columns: optional mel_db then _V1_ROWS / _FIN_ROWS) — unpack
+    with _unpack.
+
+    ``financial=True`` runs the full v2 pipeline sharded (reference
+    aegis_engine_financial.py:73-188).  The guitar-specific filters run
+    per tile on the haloed window (bounded temporal extent — exact, see
+    _tile_analyze).  The whole-track trend recurrences (EMA/Kalman/Holt
+    consensus, Bollinger, MACD, RSI) are NOT tiled: their input is just a
+    handful of (T,) float rows (~10 KB per minute of audio), so each
+    time-axis device ``all_gather``s the full-track f0/confidence rows over
+    ICI and computes the trend stack REPLICATED, then keeps its local
+    slice.  That is exact by construction (identical op order on identical
+    full-length input — no halo-sufficiency argument needed) and costs less
+    than one halo exchange; the expensive work (mel/pYIN, ~99% of FLOPs)
+    stays sharded.  Global scalars (adaptive threshold, distortion score)
+    come out identical on every device the same way.
 
     The raw int16 audio is sharded contiguously over the time axis — no
     host-side slab duplication and half the upload bytes of float32.  Each
@@ -194,7 +223,10 @@ def analyze_audio_sharded(
             f"fetch it. Increase tile_frames or reduce halo_frames/mesh "
             f"time-axis size.")
 
-    def worker(y_loc, sc, rs):
+    has_edge = edge16 is not None
+    has_ref = db_ref is not None
+
+    def worker(y_loc, sc, rs, edge, dref):
         b, s_local = y_loc.shape
         y_f = y_loc.astype(jnp.float32) * sc[:, None]  # per-track dequant
 
@@ -202,6 +234,15 @@ def analyze_audio_sharded(
         bwd = [(i + 1, i) for i in range(n_time - 1)]   # head -> prev dev
         left = jax.lax.ppermute(y_f[:, -ctx:], time_axis, fwd)
         right = jax.lax.ppermute(y_f[:, :ctx], time_axis, bwd)
+        if has_edge:
+            # streamed slabs: the outermost devices splice REAL neighboring
+            # audio (passed replicated, dequantized with the same per-track
+            # scale) instead of the zero-fill track-edge convention
+            idx_t = jax.lax.axis_index(time_axis)
+            e_l = edge[:, :ctx].astype(jnp.float32) * sc[:, None]
+            e_r = edge[:, ctx:].astype(jnp.float32) * sc[:, None]
+            left = jnp.where(idx_t == 0, e_l, left)
+            right = jnp.where(idx_t == n_time - 1, e_r, right)
         y_ext = jnp.concatenate([left, y_f, right], axis=1)
 
         # slab j starts at raw coord (g*tile - halo)*hop - fl//2 with
@@ -220,7 +261,15 @@ def analyze_audio_sharded(
         # reference quiet tracks to the loudest track in the batch
         local_max = jnp.max(
             mel_power.reshape(b, k_local, -1), axis=(1, 2))  # (b,)
-        gmax = jax.lax.pmax(local_max, time_axis)            # (b,)
+        gmax = dref if has_ref else jax.lax.pmax(local_max, time_axis)  # (b,)
+        if peak_only:
+            # pass-1 of the streamed mode: just the slab's mel-power peak
+            # over the tile INTERIORS (halo copies equal their interior
+            # twins, so this matches the haloed max exactly)
+            t2 = tile + 2 * halo
+            interior = mel_power.reshape(b, k_local, t2, -1)[
+                :, :, halo: halo + tile]
+            return jax.lax.pmax(jnp.max(interior, axis=(1, 2, 3)), time_axis)
         gmax_t = jnp.repeat(gmax, k_local)[:, None, None]
         amin = 1e-10
         log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
@@ -228,24 +277,96 @@ def analyze_audio_sharded(
         mel_db = jnp.maximum(log_spec, -80.0)
 
         out = jax.vmap(
-            lambda s, m: _tile_analyze(s, m, rs, audio, pyin_cfg, turbo)
+            lambda s, m: _tile_analyze(s, m, rs, audio, pyin_cfg, turbo,
+                                       financial=financial or guitar_only,
+                                       use_guitar_filters=use_guitar_filters)
         )(flat, mel_db)
+
+        if financial:
+            from aegis_tpu.core import trend
+
+            L = k_local * tile  # frames per device
+            f0_loc = out["f0"].reshape(b, L)
+            voiced_loc = out["voiced_flag"].reshape(b, L)
+            probs_loc = out["voiced_probs"].reshape(b, L)
+            f0_clean = jnp.where(voiced_loc, f0_loc, jnp.nan)
+            # full-track rows on every time-axis device (tiny: 4B/frame)
+            f0_full = jax.lax.all_gather(f0_clean, time_axis, axis=1,
+                                         tiled=True)       # (b, n_time*L)
+            probs_full = jax.lax.all_gather(probs_loc, time_axis, axis=1,
+                                            tiled=True)
+            fin = jax.vmap(trend.analyze_pitch_financial)(f0_full)
+            combined = probs_full * 0.5 + fin["confidence"] * 0.5
+            thr = jax.vmap(trend.adaptive_confidence_threshold)(combined)
+
+            # distortion_score: one psum of the tile-interior partial sums
+            n_mels = audio.n_mels
+            hi_bins = n_mels - int(n_mels * 0.7)
+            t_full = n_tiles * tile
+            high = jax.lax.psum(
+                out["dist_high_sum"].reshape(b, -1).sum(1), time_axis)
+            tot = jax.lax.psum(
+                out["dist_total_sum"].reshape(b, -1).sum(1), time_axis)
+            dist = (high / (t_full * hi_bins)) / (
+                tot / (t_full * n_mels) + 1e-6)             # (b,)
+            if not use_guitar_filters:
+                dist = jnp.zeros_like(dist)  # matches analyze_financial_program
+
+            idx = jax.lax.axis_index(time_axis)
+
+            def _loc(x):  # local slice of a full-track row, tile-major
+                return jax.lax.dynamic_slice_in_dim(
+                    x, idx * L, L, axis=1).reshape(b * k_local, tile)
+
+            out["trend"] = _loc(fin["trend"])
+            out["artic_codes"] = _loc(fin["articulations"])
+            out["slide_codes"] = _loc(fin["slides"])
+            out["financial_confidence"] = _loc(fin["confidence"])
+            out["combined_confidence"] = _loc(combined)
+            out["adaptive_threshold"] = jnp.broadcast_to(
+                jnp.repeat(thr, k_local)[:, None], (b * k_local, tile))
+            out["distortion_score"] = jnp.broadcast_to(
+                jnp.repeat(dist, k_local)[:, None], (b * k_local, tile))
+
         # ONE packed output buffer (same trick as core.analyze._pack):
         # per-array D2H transfers cost ~25ms each on tunneled backends
-        cols = [out[k_].astype(jnp.float32)[..., None] for k_ in _V1_ROWS]
+        from aegis_tpu.core.analyze import _GTR_ROWS
+
+        rows = (_FIN_ROWS if financial
+                else _GTR_ROWS if guitar_only else _V1_ROWS)
+        cols = []
+        for k_ in rows:
+            arr = out[k_].astype(jnp.float32)
+            if arr.ndim == 1:  # per-tile scalar (dist sums) -> broadcast
+                arr = jnp.broadcast_to(arr[:, None], (arr.shape[0], tile))
+            cols.append(arr[..., None])
         head = [out["mel_db"]] if include_mel else []
         packed = jnp.concatenate(head + cols, axis=-1)
         return packed.reshape((b, k_local) + packed.shape[1:])
 
     from jax import shard_map
 
+    if peak_only:
+        return shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(data_axis, time_axis), P(data_axis), P(),
+                      P(data_axis), P(data_axis)),
+            out_specs=P(data_axis),
+            check_vma=False,
+        )(y16, scale, rake_sens,
+          edge16 if has_edge else jnp.zeros((y16.shape[0], 2 * ctx), jnp.int16),
+          db_ref if has_ref else jnp.zeros((y16.shape[0],), jnp.float32))
+
     return shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(data_axis, time_axis), P(data_axis), P()),
+        in_specs=(P(data_axis, time_axis), P(data_axis), P(),
+                  P(data_axis), P(data_axis)),
         out_specs=P(data_axis, time_axis),
         check_vma=False,
-    )(y16, scale, rake_sens)
+    )(y16, scale, rake_sens,
+      edge16 if has_edge else jnp.zeros((y16.shape[0], 2 * ctx), jnp.int16),
+      db_ref if has_ref else jnp.zeros((y16.shape[0],), jnp.float32))
 
 
 def quantize_tracks(ys: np.ndarray, n_samples: int) -> tuple:
@@ -283,11 +404,14 @@ def run_analyze_turbo(
     mesh: Optional[Mesh] = None,
     transport: str = "int16",
     fetch_mel: bool = True,
+    financial: bool = False,
+    use_guitar_filters: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Single-track turbo analyze: tile over the time axis of the mesh and
     stitch the interiors back together.  Output schema matches
     core.analyze.run_analyze (incl. the int16 PCM transport; pass
-    transport="float32" for bit-exact ingest)."""
+    transport="float32" for bit-exact ingest).  financial=True runs the
+    sharded v2 pipeline and returns the _FIN_ROWS schema."""
     turbo = turbo or TurboConfig()
     mesh = mesh or _default_mesh(time_only=True)
     n_time = mesh.shape["time"]
@@ -306,10 +430,12 @@ def run_analyze_turbo(
     packed = analyze_audio_sharded(
         jnp.asarray(y_dev), jnp.asarray(scale), jnp.float32(rake_sensitivity),
         audio, pyin_cfg, turbo, mesh, n_tiles, include_mel=fetch_mel,
+        financial=financial, use_guitar_filters=use_guitar_filters,
     )
     buf = np.array(packed)[0]  # np.array: writable (onset fix below)
     buf = buf.reshape(-1, buf.shape[-1])[:true_frames]
-    result = _unpack(buf, _V1_ROWS, audio.n_mels if fetch_mel else 0)
+    rows = _FIN_ROWS if financial else _V1_ROWS
+    result = _unpack(buf, rows, audio.n_mels if fetch_mel else 0)
     # first tile's left halo is synthetic silence; match the single-device
     # convention onset_env[0] == 0
     result["onset_env"][0] = 0.0
@@ -325,11 +451,13 @@ def run_analyze_batch(
     mesh: Optional[Mesh] = None,
     fetch_mel: bool = True,
     transport: str = "int16",
+    financial: bool = False,
+    use_guitar_filters: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Batched multi-track analyze sharded over (data, time).
 
     transport="float32" skips int16 quantization for bit-exact ingest at
-    twice the upload bytes."""
+    twice the upload bytes; financial=True runs the sharded v2 pipeline."""
     turbo = turbo or TurboConfig()
     if mesh is None:
         devs = np.array(jax.devices())
@@ -351,9 +479,181 @@ def run_analyze_batch(
     packed = analyze_audio_sharded(
         jnp.asarray(y_dev), jnp.asarray(scale), jnp.float32(rake_sensitivity),
         audio, pyin_cfg, turbo, mesh, n_tiles, include_mel=fetch_mel,
+        financial=financial, use_guitar_filters=use_guitar_filters,
     )
     buf = np.array(packed)  # np.array: writable (onset fix below)
     buf = buf.reshape(buf.shape[0], -1, buf.shape[-1])[:, :true_frames]
-    result = _unpack(buf, _V1_ROWS, audio.n_mels if fetch_mel else 0)
+    rows = _FIN_ROWS if financial else _V1_ROWS
+    result = _unpack(buf, rows, audio.n_mels if fetch_mel else 0)
     result["onset_env"][:, 0] = 0.0  # synthetic first-tile halo
+    return result
+
+
+# --------------------------------------------------------------------------
+# Streamed long-track mode (bounded device/host memory)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("hi_bins", "n_mels"))
+def _trend_full_program(f0_clean, probs, high_sum, total_sum, n_frames_f,
+                        hi_bins: int, n_mels: int):
+    """Whole-track financial trend rows over the streamed f0 — ONE tiny
+    device pass (O(T) scalar rows; the heavy per-sample work already ran
+    slab by slab)."""
+    from aegis_tpu.core import trend
+
+    fin = trend.analyze_pitch_financial(f0_clean)
+    combined = probs * 0.5 + fin["confidence"] * 0.5
+    thr = trend.adaptive_confidence_threshold(combined)
+    dist = (high_sum / (n_frames_f * hi_bins)) / (
+        total_sum / (n_frames_f * n_mels) + 1e-6)
+    return {
+        "trend": fin["trend"],
+        "artic_codes": fin["articulations"],
+        "slide_codes": fin["slides"],
+        "financial_confidence": fin["confidence"],
+        "combined_confidence": combined,
+        "adaptive_threshold": thr,
+        "distortion_score": dist,
+    }
+
+
+def run_analyze_streamed(
+    y: np.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    rake_sensitivity: float = 0.6,
+    turbo: Optional[TurboConfig] = None,
+    mesh: Optional[Mesh] = None,
+    slab_tiles: Optional[int] = None,
+    financial: bool = False,
+    fetch_mel: bool = False,
+    max_in_flight: int = 2,
+) -> Dict[str, np.ndarray]:
+    """Bounded-memory turbo analyze for multi-minute tracks (VERDICT r1 #7).
+
+    The track is processed in fixed slabs of ``slab_tiles`` tiles through
+    the same sharded program as run_analyze_turbo; device memory is bounded
+    by the slab size regardless of duration, and host accumulates only the
+    per-frame output rows (~40 B/frame with fetch_mel=False — the mel
+    spectrogram grows with duration, so leave it off for long tracks).
+
+    Exactness vs run_analyze_turbo:
+      * slab edges splice REAL neighboring audio via ``edge16`` (no
+        synthetic-zero seams), so every tile computes on the same haloed
+        window as the unstreamed program;
+      * the track-global dB reference (power_to_db ref=max) is found in a
+        cheap pass-1 over the mel power only (~15% of the full program's
+        FLOPs), then passed as ``db_ref`` so rake/palm-mute thresholds are
+        identical in every slab;
+      * for financial=True, the per-tile guitar filters stream with the
+        slabs and the whole-track trend recurrences run afterwards in one
+        tiny full-track device pass over the assembled f0 row (identical
+        code path as the sharded worker's replicated trend stack).
+
+    The reference handles long tracks by hard caps / manual region slicing
+    (aegis_app.py:274-281) — this does it losslessly.
+    """
+    turbo = turbo or TurboConfig()
+    mesh = mesh or _default_mesh(time_only=True)
+    n_time = mesh.shape["time"]
+    tile, halo = turbo.tile_frames, turbo.halo_frames
+    hop, fl = audio.hop_length, pyin_cfg.frame_length
+    ctx = halo * hop + fl // 2
+
+    slab_tiles = slab_tiles or 8 * n_time
+    slab_tiles = -(-slab_tiles // n_time) * n_time
+    slab_samp = slab_tiles * tile * hop
+
+    true_frames = audio.n_frames(len(y))
+    n_tiles_total = max(1, -(-true_frames // tile))
+    n_slabs = max(1, -(-n_tiles_total // slab_tiles))
+    n_samp = n_slabs * slab_samp
+
+    y16, scale = quantize_tracks(np.asarray(y, np.float32)[None], n_samp)
+    scale_j = jnp.asarray(scale)
+    rs = jnp.float32(rake_sensitivity)
+
+    def edge_for(s: int) -> jnp.ndarray:
+        lo, hi = s * slab_samp, (s + 1) * slab_samp
+        left = y16[:, max(lo - ctx, 0): lo]
+        if left.shape[1] < ctx:
+            left = np.pad(left, ((0, 0), (ctx - left.shape[1], 0)))
+        right = y16[:, hi: hi + ctx]
+        if right.shape[1] < ctx:
+            right = np.pad(right, ((0, 0), (0, ctx - right.shape[1])))
+        return jnp.asarray(np.concatenate([left, right], axis=1))
+
+    def slab(s: int) -> jnp.ndarray:
+        return jnp.asarray(y16[:, s * slab_samp: (s + 1) * slab_samp])
+
+    # pass 1: track-global mel-power reference (bounded in-flight pipeline)
+    gmax = 0.0
+    pending = []
+    for s in range(n_slabs):
+        pending.append(analyze_audio_sharded(
+            slab(s), scale_j, rs, audio, pyin_cfg, turbo, mesh, slab_tiles,
+            peak_only=True, edge16=edge_for(s)))
+        if len(pending) > max_in_flight:
+            gmax = max(gmax, float(np.asarray(pending.pop(0))[0]))
+    for h in pending:
+        gmax = max(gmax, float(np.asarray(h)[0]))
+    gmax_j = jnp.asarray([gmax], jnp.float32)
+
+    # pass 2: the full analyze per slab, dispatch-ahead pipelined
+    rows = _GTR_ROWS if financial else _V1_ROWS
+    n_mels = audio.n_mels if fetch_mel else 0
+    outs, pending = [], []
+
+    def fetch(h) -> np.ndarray:
+        buf = np.array(h)[0]
+        return buf.reshape(-1, buf.shape[-1])
+
+    for s in range(n_slabs):
+        pending.append(analyze_audio_sharded(
+            slab(s), scale_j, rs, audio, pyin_cfg, turbo, mesh, slab_tiles,
+            include_mel=fetch_mel, guitar_only=financial,
+            edge16=edge_for(s), db_ref=gmax_j))
+        if len(pending) > max_in_flight:
+            outs.append(fetch(pending.pop(0)))
+    outs.extend(fetch(h) for h in pending)
+    buf = np.concatenate(outs, axis=0)  # (n_slabs*slab_frames, C)
+    del outs
+
+    high_sum = total_sum = 0.0
+    if financial:
+        # the last two columns carry PER-FRAME distortion partial sums,
+        # summed over the full padded window — the same convention the
+        # single-device program AND the CPU oracle use (both compute the
+        # informational distortion scalar over their bucket-padded mel)
+        sums = buf[:, n_mels + len(rows) - 2:]
+        high_sum, total_sum = sums.sum(axis=0)
+        buf = buf[:, : n_mels + len(rows) - 2]
+        rows = rows[:-2]
+
+    full = _unpack(buf, rows, n_mels)
+    t_pad = buf.shape[0]
+
+    result = {k: (v[:true_frames] if getattr(v, "ndim", 0) else v)
+              for k, v in full.items()}
+    result["onset_env"][0] = 0.0  # synthetic first-tile halo convention
+
+    if financial:
+        from aegis_tpu.core.analyze import _INT_ROWS
+
+        f0c = np.where(full["voiced_flag"], full["f0"], np.nan).astype(np.float32)
+        probs = np.asarray(full["voiced_probs"], np.float32)
+        n_mels_a = audio.n_mels
+        hi_bins = n_mels_a - int(n_mels_a * 0.7)
+        fin = _trend_full_program(
+            jnp.asarray(f0c), jnp.asarray(probs),
+            jnp.float32(high_sum), jnp.float32(total_sum),
+            jnp.float32(t_pad), hi_bins, n_mels_a)
+        for k, v in fin.items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                result[k] = np.float32(arr)
+            elif k in _INT_ROWS:
+                result[k] = arr[:true_frames].astype(_INT_ROWS[k])
+            else:
+                result[k] = arr[:true_frames]
     return result

@@ -60,3 +60,146 @@ def test_graft_entry_single():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert out["f0"].shape[0] > 0
+
+
+# ---------------------------------------------------------------- event-level
+# The user-visible multi-chip contract (VERDICT r1 #5): the same track through
+# the sharded and unsharded pipelines must produce IDENTICAL note events.
+
+def _v1_events(raw):
+    from aegis_tpu.core.events import extract_events_v1
+
+    return extract_events_v1(
+        rake_mask=raw["rake_mask"], f0=np.nan_to_num(raw["f0"]),
+        voiced_flag=raw["voiced_flag"], active_probs=raw["voiced_probs"],
+        rms=raw["rms"], sr=SR, hop_length=AUDIO.hop_length,
+        confidence_threshold=0.55, onset_env=raw.get("onset_env"))
+
+
+def test_turbo_event_parity_v1():
+    import pytest as _pytest
+
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    track, truth = generate_test_track(sr=SR)
+    ref_raw = run_analyze(track, AUDIO, PYIN, 0.6, transport="float32")
+    ref_ev = _v1_events(ref_raw)
+    assert ref_ev, "fixture produced no events"
+    ref_sec = events_to_seconds(ref_ev, SR, AUDIO.hop_length)
+
+    # several tile/halo configs, incl. a tile count that does not divide the
+    # track and a deliberately tiny tile
+    for tile, halo in [(48, 24), (40, 16), (96, 32)]:
+        tc = TurboConfig(tile_frames=tile, halo_frames=halo)
+        raw = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc,
+                                transport="float32")
+        got = events_to_seconds(_v1_events(raw), SR, AUDIO.hop_length)
+        m = note_event_f1(ref_sec, got)
+        assert m["f1"] == 1.0, (tile, halo, m, ref_sec, got)
+
+
+def test_turbo_event_parity_financial():
+    """Sharded v2 (guitar filters per haloed tile + replicated trend stack)
+    vs the single-device financial program, compared on extracted events —
+    the contract the VERDICT r1 #2 asks for."""
+    from aegis_tpu.core.events import extract_events_financial
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    track, truth = generate_test_track(sr=SR)
+
+    def fin_events(raw):
+        ev, _ = extract_events_financial(
+            rake_mask=raw["rake_mask"], f0=raw["f0"],
+            voiced_flag=raw["voiced_flag"], active_probs=raw["voiced_probs"],
+            rms=raw["rms"], sr=SR, hop_length=AUDIO.hop_length,
+            trend=raw["trend"], artic_codes=raw["artic_codes"],
+            slide_codes=raw["slide_codes"],
+            financial_confidence=raw["financial_confidence"],
+            confidence_threshold=0.45)
+        return events_to_seconds(ev, SR, AUDIO.hop_length)
+
+    ref_raw = run_analyze(track, AUDIO, PYIN, 0.6, financial=True,
+                          transport="float32")
+    ref_sec = fin_events(ref_raw)
+    assert ref_sec, "fixture produced no financial events"
+
+    tc = TurboConfig(tile_frames=48, halo_frames=24)
+    raw = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc,
+                            transport="float32", financial=True)
+    # frame rows agree (guitar filters on haloed tiles are exact)
+    T = len(ref_raw["f0"])
+    assert (raw["mute_mask"][:T] == ref_raw["mute_mask"]).mean() > 0.99
+    assert (raw["voiced_flag"][:T] == ref_raw["voiced_flag"]).mean() > 0.98
+
+    got = fin_events(raw)
+    m = note_event_f1(ref_sec, got)
+    assert m["f1"] == 1.0, (m, ref_sec, got)
+
+
+def test_batch_financial_per_track_scalars():
+    """Batched financial turbo: adaptive threshold / distortion score come
+    back per track, not batch-global."""
+    t = np.arange(SR) / SR
+    loud = (0.7 * np.sin(2 * np.pi * 196.0 * t) * np.exp(-t)).astype(np.float32)
+    quiet = (0.02 * np.sin(2 * np.pi * 392.0 * t)).astype(np.float32)
+    out = run_analyze_batch(np.stack([loud, quiet]), AUDIO, PYIN,
+                            financial=True)
+    assert out["adaptive_threshold"].shape == (2,)
+    assert out["distortion_score"].shape == (2,)
+    assert out["trend"].shape[0] == 2
+
+
+# ------------------------------------------------------------------ streaming
+def test_streamed_matches_turbo_v1():
+    """run_analyze_streamed == run_analyze_turbo BIT-EXACTLY for the v1 rows:
+    slab edges splice real audio via edge16 and the dB reference comes from
+    pass-1, so every tile computes on identical inputs (VERDICT r1 #7)."""
+    from aegis_tpu.engine.turbo import run_analyze_streamed
+
+    track, _ = generate_test_track(sr=SR)
+    tc = TurboConfig(tile_frames=16, halo_frames=8)
+    tr = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc)
+    # slab_tiles chosen NOT to divide the track's 12 tiles
+    st = run_analyze_streamed(track, AUDIO, PYIN, 0.6, turbo=tc, slab_tiles=8)
+    # pYIN rows are bit-exact (identical haloed frames in, identical program)
+    assert (st["voiced_flag"] == tr["voiced_flag"]).all()
+    m = st["voiced_flag"]
+    assert np.array_equal(st["f0"][m], tr["f0"][m])
+    np.testing.assert_array_equal(st["rms"], tr["rms"])
+    # dB-derived rows: the pass-1 peak program and the fused program round
+    # the mel matmuls differently (separate XLA fusions), so the dB
+    # reference can differ in the last ulps — tolerance, not equality
+    assert (st["rake_mask"] == tr["rake_mask"]).mean() > 0.999
+    np.testing.assert_allclose(st["onset_env"], tr["onset_env"], atol=1e-3)
+
+
+def test_streamed_financial_events():
+    """Streamed financial pipeline (guitar filters per slab + one full-track
+    trend pass) produces the same events as the sharded financial program."""
+    from aegis_tpu.core.events import extract_events_financial
+    from aegis_tpu.engine.turbo import run_analyze_streamed
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    track, _ = generate_test_track(sr=SR)
+    tc = TurboConfig(tile_frames=16, halo_frames=8)
+
+    def fin_events(raw):
+        ev, _ = extract_events_financial(
+            rake_mask=raw["rake_mask"], f0=raw["f0"],
+            voiced_flag=raw["voiced_flag"], active_probs=raw["voiced_probs"],
+            rms=raw["rms"], sr=SR, hop_length=AUDIO.hop_length,
+            trend=raw["trend"], artic_codes=raw["artic_codes"],
+            slide_codes=raw["slide_codes"],
+            financial_confidence=raw["financial_confidence"],
+            confidence_threshold=0.45)
+        return events_to_seconds(ev, SR, AUDIO.hop_length)
+
+    tr = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc, financial=True)
+    st = run_analyze_streamed(track, AUDIO, PYIN, 0.6, turbo=tc,
+                              slab_tiles=8, financial=True)
+    assert (st["mute_mask"] == tr["mute_mask"]).all()
+    m = note_event_f1(fin_events(tr), fin_events(st))
+    assert m["f1"] == 1.0, m
+    # trend rows identical where both voiced
+    both = st["voiced_flag"] & tr["voiced_flag"]
+    assert np.nanmax(np.abs(st["trend"][both] - tr["trend"][both])) < 1e-3
