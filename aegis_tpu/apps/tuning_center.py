@@ -11,6 +11,7 @@ event table, ASCII tab with technique symbols, and the rake-ratio report
 from __future__ import annotations
 
 import io
+import os
 
 import numpy as np
 
@@ -19,6 +20,27 @@ from aegis_tpu.engine.engine import AegisEngine
 from aegis_tpu.midi.tabs import generate_tabs, render_ascii_tab
 from aegis_tpu.viz.piano_roll import events_to_svg
 
+_AUDIO_EXT = (".wav", ".mp3", ".ogg", ".flac")
+
+
+def _archive_files() -> list:
+    """Previously collected audio (tools.collectors layout: per-artist
+    subfolders under the collection root).  Reference aegis_app.py:115-140."""
+    roots = [
+        os.environ.get("AEGIS_ARCHIVE_DIR", ""),
+        "collected_audio",
+        os.path.expanduser("~/Downloads/AEGIS_COLLECTION"),
+    ]
+    found = []
+    for root in filter(None, roots):
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _, names in os.walk(root):
+            for n in sorted(names):
+                if n.lower().endswith(_AUDIO_EXT):
+                    found.append(os.path.join(dirpath, n))
+    return found
+
 
 def main() -> None:
     st = require_streamlit()
@@ -26,6 +48,10 @@ def main() -> None:
     st.title("🎸 Aegis TPU — Tuning Center")
 
     with st.sidebar:
+        st.header("Input source")
+        app_mode = st.radio("Perception input",
+                            ["📤 Manual upload", "📂 Archive explorer"])
+
         st.header("Analysis modes")
         turbo = st.checkbox("Turbo (sharded tiles)", value=False)
         zen = st.checkbox("Zen mode (minimal UI)", value=False)
@@ -33,8 +59,6 @@ def main() -> None:
 
         st.header("Phase 1 — Perception")
         rake_sens = st.slider("Rake sensitivity", 0.1, 1.0, 0.6, 0.05)
-        start_time = st.number_input("Start (s)", 0.0, 9999.0, 0.0)
-        end_time = st.number_input("End (s, 0 = all)", 0.0, 9999.0, 0.0)
 
         st.header("Phase 2 — Logic filter")
         conf = st.slider("Confidence", 0.1, 0.95, 0.30, 0.01)
@@ -43,12 +67,51 @@ def main() -> None:
         sustain = st.slider("Sustain merge (ms)", 0, 1000, 150, 10)
         program = st.number_input("MIDI program", 0, 127, 27)
 
-    upload = st.file_uploader("Audio file", type=["wav", "mp3", "ogg", "flac"])
-    if upload is None:
-        st.info("Upload a guitar recording to begin.")
-        return
+    file_bytes = None
+    file_label = "aegis"
+    if app_mode == "📂 Archive explorer":
+        archive = _archive_files()
+        if not archive:
+            st.sidebar.warning("No files found in archives "
+                               "(set AEGIS_ARCHIVE_DIR).")
+            return
+        pick = st.sidebar.selectbox("Archived target", archive,
+                                    format_func=os.path.basename)
+        with open(pick, "rb") as fh:
+            file_bytes = fh.read()
+        file_label = os.path.basename(pick)
+        st.sidebar.success("Archived target locked.")
+    else:
+        upload = st.file_uploader("Audio file",
+                                  type=[e[1:] for e in _AUDIO_EXT])
+        if upload is None:
+            st.info("Upload a guitar recording to begin.")
+            return
+        file_bytes = upload.getvalue()
+        file_label = upload.name
 
-    file_bytes = upload.getvalue()
+    # ---- region-select player (reference aegis_app.py:188-281):
+    # audition the take, then confine the analysis to the selected region
+    import hashlib
+
+    fkey = hashlib.sha1(file_bytes).hexdigest()
+    if st.session_state.get("dur_key") != fkey:
+        from aegis_tpu.io.audio import load_audio
+
+        y_probe, sr_probe = load_audio(file_bytes, sr=None)
+        st.session_state["dur_key"] = fkey
+        st.session_state["duration"] = max(len(y_probe) / float(sr_probe), 0.1)
+    duration = st.session_state["duration"]
+
+    region = st.slider("Analysis region (s)", 0.0, float(round(duration, 1)),
+                       (0.0, float(round(duration, 1))), 0.1)
+    try:  # playback from the region start (older streamlit lacks start_time)
+        st.audio(file_bytes, start_time=int(region[0]))
+    except TypeError:
+        st.audio(file_bytes)
+    start_time, end_time = region
+    if end_time >= round(duration, 1):
+        end_time = 0.0  # full-length sentinel (matches the old number input)
     engine = st.session_state.setdefault("engine", AegisEngine(sample_rate=44100))
 
     if use_stem:

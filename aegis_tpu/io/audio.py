@@ -63,7 +63,7 @@ def _decode_with_ffmpeg(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, i
 
 def load_audio(
     path_or_bytes: Union[str, bytes],
-    sr: int = 22050,
+    sr: Optional[int] = 22050,
     offset: float = 0.0,
     duration: Optional[float] = None,
 ) -> Tuple[np.ndarray, int]:
@@ -82,4 +82,6 @@ def load_audio(
         x = x[int(round(offset * native_sr)) :]
     if duration is not None:
         x = x[: int(round(duration * native_sr))]
+    if sr is None:  # sr=None: native rate, no resampling (librosa.load parity)
+        return x, native_sr
     return resample(x, native_sr, sr), sr

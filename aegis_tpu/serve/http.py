@@ -143,6 +143,10 @@ def make_handler(router: Router):
                 self._respond(resp)
             except HTTPError as e:
                 self._respond(json_response({"detail": e.detail}, e.status))
+            except (ValueError, TypeError) as e:
+                # malformed query/body values (param coercion) are client
+                # errors, not server faults
+                self._respond(json_response({"detail": str(e)}, 400))
             except BrokenPipeError:
                 pass
             except Exception as e:

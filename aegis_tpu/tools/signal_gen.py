@@ -121,3 +121,29 @@ def two_tone(sr: int = 22050, f1: float = 196.0, f2: float = 293.66,
     return np.concatenate(
         [note(f1), note(f2), np.zeros(sr // 4)]
     ).astype(np.float32)
+
+
+def generate_bench_track(duration: float = 60.0, sr: int = 22050,
+                         seed: int = 42) -> np.ndarray:
+    """The headline-benchmark melody: Karplus-Strong plucks over a pentatonic
+    walk with periodic rake bursts — representative of the real workload.
+    Shared by bench.py and tools.validate_device so the F1 gate runs on the
+    exact track the throughput number is measured on."""
+    rng = np.random.default_rng(seed)
+    notes = [40, 43, 45, 47, 50, 52, 55, 57, 60]
+    pieces = []
+    t = 0.0
+    i = 0
+    while t < duration:
+        note = notes[int(rng.integers(0, len(notes)))]
+        freq = 440.0 * 2 ** ((note - 69) / 12)
+        dur = float(rng.uniform(0.2, 0.6))
+        pieces.append(karplus_strong(freq, dur, sr, rng=rng))
+        if i % 7 == 6:
+            pieces.append(rake_burst(0.02, sr, rng=rng))
+        t += dur
+        i += 1
+    y = np.concatenate(pieces)[: int(duration * sr)]
+    if len(y) < duration * sr:
+        y = np.pad(y, (0, int(duration * sr) - len(y)))
+    return (y / np.max(np.abs(y)) * 0.9).astype(np.float32)

@@ -149,3 +149,14 @@ def test_turbo_quantize_edge():
     q, scale = quantize_tracks(np.stack([loud, quiet]), 256)
     assert scale[1] < scale[0] / 50
     assert np.abs(q[1]).max() > 30000  # quiet track uses the full range
+
+
+def test_validate_device_gate():
+    """The driver's F1 gate (tools.validate_device) must pass on every
+    gating clip — incl. sr=44100 — on this backend (CPU here; the tool also
+    runs on the real chip).  VERDICT r1 #3: wired into the suite so a drift
+    below 0.99 fails CI, not just the on-chip tool."""
+    from aegis_tpu.tools.validate_device import validate
+
+    res = validate(include_bench=False, quiet=True)
+    assert res["pass"], res
