@@ -111,19 +111,43 @@ def render_notes(
     max_len: int,
     total_samples: int,
 ) -> jnp.ndarray:
-    """Whole-score synthesis: vmapped note render + scatter-add mixdown,
-    normalized to 0.9 peak."""
+    """Whole-score synthesis: vmapped note render + block-aligned mixdown,
+    normalized to 0.9 peak.
+
+    The mixdown used to be ``out.at[idx].add(buffers)`` — an arbitrary
+    (N, max_len)-element scatter-add, which serializes on TPU and dominated
+    the whole auto-match sweep (~3 s where the rest of the math is ~100 ms).
+    Instead: shift each note into block alignment with ONE contiguous
+    dynamic-slice (a note spans at most two max_len-sized blocks), then
+    accumulate blocks with a one-hot matmul on the MXU.
+    """
     buffers = jax.vmap(
         lambda f, n, v, a, d, s, r, w: _render_note(f, n, v, a, d, s, r, w,
                                                     sr, max_len)
     )(freqs, lengths.astype(jnp.float32), velocities, attack_ms, decay_ms,
       sustain, release_ms, wave_codes)
 
-    idx = starts[:, None] + jnp.arange(max_len)[None, :]
-    idx = jnp.clip(idx, 0, total_samples - 1)
-    valid = (starts[:, None] + jnp.arange(max_len)[None, :]) < total_samples
-    mixed = jnp.zeros((total_samples,), jnp.float32)
-    mixed = mixed.at[idx].add(buffers * valid)
+    n = buffers.shape[0]
+    blk = max_len
+    n_blocks = max(total_samples // blk, 1)
+    rem = (starts % blk).astype(jnp.int32)
+    b0 = (starts // blk).astype(jnp.int32)
+
+    padded = jnp.concatenate(
+        [jnp.zeros((n, blk), jnp.float32), buffers,
+         jnp.zeros((n, blk), jnp.float32)], axis=1)  # (N, 3*blk)
+    aligned = jax.vmap(
+        lambda p, r: jax.lax.dynamic_slice(p, (blk - r,), (2 * blk,))
+    )(padded, rem)                                   # (N, 2*blk)
+
+    rows = aligned.reshape(2 * n, blk)
+    bids = jnp.stack([b0, b0 + 1], axis=1).reshape(2 * n)
+    keep = (bids < n_blocks).astype(jnp.float32)
+    bids = jnp.minimum(bids, n_blocks - 1)
+    onehot = jax.nn.one_hot(bids, n_blocks, dtype=jnp.float32)
+    mixed = jnp.einsum("nb,nk->bk", onehot, rows * keep[:, None],
+                       precision=jax.lax.Precision.HIGHEST)
+    mixed = mixed.reshape(n_blocks * blk)[:total_samples]
 
     peak = jnp.max(jnp.abs(mixed))
     return mixed / jnp.maximum(peak, 1e-9) * 0.9

@@ -10,9 +10,11 @@ synth + two STFTs each — all device work.
 
 from __future__ import annotations
 
+import functools
 import io
 from typing import Callable, Dict, List, Optional
 
+import jax
 import numpy as np
 
 from aegis_tpu.io.audio import to_mono
@@ -84,6 +86,63 @@ def _combo_events(engine, raw_data, conf, min_dur, sustain):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate", "mb", "total",
+                                             "n_chunks"))
+def _score_sweep(y_ref, freqs, starts, lengths, vels, sample_rate, mb, total,
+                 n_chunks):
+    """(B,) similarity scores for B padded note-array combos, ONE dispatch.
+
+    Renders each combo with the vmapped ADSR synth and scores it against the
+    reference features (mel + chroma cosine); lax.map over chunks bounds the
+    live (chunk, nb, mb) note-buffer footprint without host round trips."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core import dsp
+    from aegis_tpu.core.filters import mel_filterbank
+    from aegis_tpu.synth.adsr import render_notes
+    from aegis_tpu.verify.similarity import _chroma_matrix
+
+    n_fft, hop = 2048, 512
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, 128).T)
+    cm = jnp.asarray(_chroma_matrix(sample_rate, n_fft))
+
+    def feats(y):
+        p = dsp.stft_power(y, n_fft, hop)
+        return (jnp.dot(p, fb, preferred_element_type=jnp.float32).ravel(),
+                jnp.dot(p, cm, preferred_element_type=jnp.float32).ravel())
+
+    mel_r, ch_r = feats(y_ref)
+    nrm_mel = jnp.linalg.norm(mel_r)
+    nrm_ch = jnp.linalg.norm(ch_r)
+
+    def render_one(f, st, ln, v):
+        n = f.shape[0]
+        const = lambda val: jnp.full((n,), val, jnp.float32)  # noqa: E731
+        return render_notes(f, st, ln, v, const(10.0), const(50.0),
+                            const(0.7), const(100.0),
+                            jnp.zeros((n,), jnp.int32), sample_rate,
+                            mb, total)
+
+    def score_chunk(args):
+        f, st, ln, v = args
+        synths = jax.vmap(render_one)(f, st, ln, v)  # (chunk, total)
+
+        def one(y):
+            mel, ch = feats(y)
+            mel_sim = jnp.dot(mel_r, mel) / (
+                nrm_mel * jnp.linalg.norm(mel) + 1e-8)
+            ch_sim = jnp.dot(ch_r, ch) / (
+                nrm_ch * jnp.linalg.norm(ch) + 1e-8)
+            return jnp.clip(0.4 * mel_sim + 0.6 * ch_sim, 0.0, 1.0)
+
+        return jax.vmap(one)(synths)
+
+    b = freqs.shape[0]
+    xs = tuple(a.reshape(n_chunks, b // n_chunks, *a.shape[1:])
+               for a in (freqs, starts, lengths, vels))
+    return jax.lax.map(score_chunk, xs).reshape(b)
+
+
 def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
                    progress_callback):
     """All grid combos scored in ONE device program: per-combo event lists
@@ -93,9 +152,6 @@ def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
     (SURVEY.md §7.4: iterative grid loops become batched device sweeps).
     """
     import jax.numpy as jnp
-
-    from aegis_tpu.synth.adsr import render_notes
-    from aegis_tpu.verify.similarity import similarity_batch_program
 
     combos = [
         (c, d, s)
@@ -148,32 +204,28 @@ def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
     while mb < max_note:
         mb <<= 1
 
-    def render_one(f, st, ln, v):
-        n = f.shape[0]
-        const = lambda val: jnp.full((n,), val, jnp.float32)  # noqa: E731
-        return render_notes(f, st, ln, v, const(10.0), const(50.0),
-                            const(0.7), const(100.0),
-                            jnp.zeros((n,), jnp.int32), sample_rate,
-                            mb, total)
-
-    import jax
-
     y_ref = np.zeros(total, np.float32)
     y_ref[: len(y_orig)] = y_orig
-    # the double vmap materializes (chunk, nb, mb) f32 note buffers; cap the
-    # live footprint (long clips with permissive grids can reach hundreds
-    # of notes x multi-second sustains)
+    # the render materializes (chunk, nb, mb) f32 note buffers; cap the live
+    # footprint (long clips with permissive grids can reach hundreds of
+    # notes x multi-second sustains).  Chunking happens INSIDE one jitted
+    # program via lax.map — a host-side chunk loop cost ~2.7 s in dispatch
+    # and repeated 4 MB y_ref uploads through the tunnel where the actual
+    # device math is ~100 ms.
     budget = 256 << 20
     chunk = max(1, min(B, budget // max(nb * mb * 4, 1)))
-    parts = []
-    for c0 in range(0, B, chunk):
-        c1 = min(c0 + chunk, B)
-        synths = jax.vmap(render_one)(
-            jnp.asarray(freqs[c0:c1]), jnp.asarray(starts[c0:c1]),
-            jnp.asarray(lengths[c0:c1]), jnp.asarray(vels[c0:c1]))
-        parts.append(np.asarray(similarity_batch_program(
-            jnp.asarray(y_ref), synths, sample_rate)))
-    scores = np.concatenate(parts)
+    n_chunks = -(-B // chunk)
+    b_pad = n_chunks * chunk
+    if b_pad > B:  # pad with silent combos (velocity 0)
+        pad = b_pad - B
+        freqs = np.concatenate([freqs, np.full((pad, nb), 440.0, np.float32)])
+        starts = np.concatenate([starts, np.zeros((pad, nb), np.int32)])
+        lengths = np.concatenate([lengths, np.ones((pad, nb), np.int32)])
+        vels = np.concatenate([vels, np.zeros((pad, nb), np.float32)])
+    scores = np.asarray(_score_sweep(
+        jnp.asarray(y_ref), jnp.asarray(freqs), jnp.asarray(starts),
+        jnp.asarray(lengths), jnp.asarray(vels), sample_rate, mb, total,
+        n_chunks))[:B]
     scores = np.where([len(e) > 0 for e in event_lists], scores, -1.0)
     best = int(np.argmax(scores))
     if scores[best] < 0:
