@@ -208,16 +208,27 @@ def extract_events_v1(
         notes = np.where(active, np.round(hz_to_midi(np.maximum(f0_smooth, 1e-6))), -1)
     velocity = velocity_from_db(rms_db)
 
-    starts, ends = _segment(active, notes)
-    events = _build_events(
-        starts, ends, notes, active_probs, velocity, rms_db, confidence_threshold
-    )
-    for evt in events:
-        technique, slope = detect_articulations_v1(f0_smooth, evt["start"], evt["end"])
-        evt["technique"], evt["slope"] = technique, slope
+    # native (C++) fast path for the per-frame scan + per-segment passes;
+    # exact parity with the NumPy path below (tests/test_native_events.py),
+    # graceful fallback when no compiler is available or AEGIS_NATIVE=0
+    from aegis_tpu.native import segment_events_v1_native
 
-    events = [e for e in events if (e["end"] - e["start"]) >= min_frames]
-    events = _sustain_merge(events, sustain_frames)
+    events = segment_events_v1_native(
+        f0_smooth, voiced_flag, active_probs, rms_db, rake_mask,
+        confidence_threshold, noise_gate_db, min_frames, sustain_frames)
+    if events is None:
+        starts, ends = _segment(active, notes)
+        events = _build_events(
+            starts, ends, notes, active_probs, velocity, rms_db,
+            confidence_threshold
+        )
+        for evt in events:
+            technique, slope = detect_articulations_v1(
+                f0_smooth, evt["start"], evt["end"])
+            evt["technique"], evt["slope"] = technique, slope
+
+        events = [e for e in events if (e["end"] - e["start"]) >= min_frames]
+        events = _sustain_merge(events, sustain_frames)
 
     if onset_env is not None:
         from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
