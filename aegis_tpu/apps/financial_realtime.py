@@ -28,6 +28,7 @@ def main() -> None:
     with st.sidebar:
         rake = st.slider("Rake sensitivity", 0.1, 1.0, 0.6, 0.05)
         guitar_filters = st.checkbox("Guitar-specific filters", True)
+        turbo = st.checkbox("Turbo (sharded tiles)", False)
         auto_thr = st.checkbox("Adaptive confidence threshold", True)
         conf = None if auto_thr else st.slider("Confidence", 0.1, 0.95, 0.30)
         gate = st.slider("Noise gate (dB)", -80, -10, -40)
@@ -35,11 +36,13 @@ def main() -> None:
         sustain = st.slider("Sustain (ms)", 0, 1000, 50, 10)
         harmonic = st.checkbox("Harmonic (key/scale) filter", True)
 
-    key = phase1_cache_key(file_bytes, rake=rake, gf=guitar_filters)
+    key = phase1_cache_key(file_bytes, rake=rake, gf=guitar_filters,
+                           turbo=turbo)
     if st.session_state.get("fin_key") != key:
         with st.status("Financial analysis on device…"):
             analysis = engine.analyze(file_bytes, rake_sensitivity=rake,
-                                      use_guitar_filters=guitar_filters)
+                                      use_guitar_filters=guitar_filters,
+                                      turbo_mode=turbo)
         st.session_state["fin_key"] = key
         st.session_state["fin_analysis"] = analysis
     analysis = st.session_state["fin_analysis"]

@@ -126,6 +126,29 @@ def analyze_poly_program(y: jnp.ndarray, sr: int, n_fft: int = 2048,
             "onset_env": onset_env}
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",
+                                             "n_bins", "bins_per_octave",
+                                             "max_voices"))
+def analyze_poly_program_packed(y: jnp.ndarray, scale: jnp.ndarray,
+                                sr: int, n_fft: int = 2048,
+                                hop_length: int = 512, n_bins: int = 84,
+                                bins_per_octave: int = 12,
+                                max_voices: int = 6) -> jnp.ndarray:
+    """One packed (T, 2*MIDI_BINS + 2) buffer: [roll | confidence | rms |
+    onset_env] — a tunneled backend pays ~25 ms PER device->host transfer,
+    so fetching the four poly outputs separately cost more than the program
+    itself on short clips.  ``y`` may be int16 PCM (half the upload bytes);
+    ``scale`` dequantizes on device."""
+    out = analyze_poly_program(y.astype(jnp.float32) * scale, sr, n_fft,
+                               hop_length, n_bins, bins_per_octave,
+                               max_voices)
+    return jnp.concatenate(
+        [out["roll"].astype(jnp.float32),
+         out["confidence"].astype(jnp.float32),
+         out["rms"].astype(jnp.float32)[:, None],
+         out["onset_env"].astype(jnp.float32)[:, None]], axis=1)
+
+
 # --------------------------------------------------------------------------
 # Host: piano roll -> polyphonic events -> chords
 # --------------------------------------------------------------------------

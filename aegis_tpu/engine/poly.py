@@ -75,14 +75,27 @@ class AegisPolyEngine:
         y_pad = _pad_bucket(y)
         log.info(f"Polyphonic Perception Phase ({len(y)/self.sr:.1f}s, "
                  f"<= {self.max_voices} voices)")
-        out = P.analyze_poly_program(
-            jnp.asarray(y_pad), self.sr, self.n_fft, self.hop_length,
-            self.n_bins, self.bins_per_octave, self.max_voices)
+        # ONE packed buffer = one device->host transfer (the four separate
+        # fetches cost more than the program itself on a tunneled backend),
+        # int16 PCM upload (half the bytes; -96 dBFS quantization noise)
+        peak = float(np.max(np.abs(y_pad))) if y_pad.size else 0.0
+        if peak > 0:
+            y_dev = jnp.asarray(np.round(y_pad * (32767.0 / peak))
+                                .astype(np.int16))
+            scale = jnp.float32(peak / 32767.0)
+        else:
+            y_dev = jnp.asarray(np.zeros_like(y_pad, np.int16))
+            scale = jnp.float32(0.0)
+        buf = np.asarray(P.analyze_poly_program_packed(
+            y_dev, scale, self.sr, self.n_fft, self.hop_length,
+            self.n_bins, self.bins_per_octave,
+            self.max_voices))[:true_frames]
+        m = P.MIDI_BINS
         return {
-            "roll": np.asarray(out["roll"])[:true_frames],
-            "confidence": np.asarray(out["confidence"])[:true_frames],
-            "rms": np.asarray(out["rms"], np.float64)[:true_frames],
-            "onset_env": np.asarray(out["onset_env"])[:true_frames],
+            "roll": buf[:, :m] > 0.5,
+            "confidence": buf[:, m: 2 * m],
+            "rms": buf[:, 2 * m].astype(np.float64),
+            "onset_env": buf[:, 2 * m + 1],
             "y": y,
         }
 

@@ -168,6 +168,16 @@ def main() -> None:
     per_note_s = _median_time(
         lambda: optimize_all_notes(ytest, ev_t, sr, 512, mode="precise"), 3)
 
+    # ---------------- effect learning loop (1 iteration, clean preset) ------
+    from aegis_tpu.verify.effect_loop import learning_loop
+
+    learning_loop(midi_bytes, v1, preset="clean", max_iterations=1,
+                  sample_rate=sr)  # compile
+    print("# effect loop (1 iteration):", file=sys.stderr)
+    effect_loop_s = _median_time(
+        lambda: learning_loop(midi_bytes, v1, preset="clean",
+                              max_iterations=1, sample_rate=sr), 3)
+
     # ---------------- streamed 10-minute track (bounded memory) -------------
     from aegis_tpu.engine.turbo import run_analyze_streamed
 
@@ -223,6 +233,7 @@ def main() -> None:
         "reverse_s": round(reverse_s, 3),
         "per_note_s": round(per_note_s, 3),
         "technique_s": round(technique_s, 3),
+        "effect_loop_s": round(effect_loop_s, 3),
         "stream_10min_rtf": round(stream_rtf, 1),
     }))
 
