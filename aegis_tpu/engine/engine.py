@@ -71,14 +71,25 @@ class AegisEngine:
     # -------------------------------------------------------------- phase one
 
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
-                 turbo: bool, fetch_mel: bool = True) -> Dict[str, np.ndarray]:
+                 turbo, fetch_mel: bool = True,
+                 turbo_config=None) -> Dict[str, np.ndarray]:
+        """turbo: False = fused single program, True = sharded tiles,
+        "stream" = bounded-memory slab streaming (multi-minute tracks)."""
         if self.backend != "ref":
             try:
+                if turbo == "stream":
+                    from aegis_tpu.engine.turbo import run_analyze_streamed
+
+                    return run_analyze_streamed(y, self.audio, self.pyin_cfg,
+                                                rake_sensitivity,
+                                                turbo=turbo_config,
+                                                fetch_mel=fetch_mel)
                 if turbo:
                     from aegis_tpu.engine.turbo import run_analyze_turbo
 
                     return run_analyze_turbo(y, self.audio, self.pyin_cfg,
-                                             rake_sensitivity)
+                                             rake_sensitivity,
+                                             turbo=turbo_config)
                 from aegis_tpu.core.analyze import run_analyze
 
                 return run_analyze(y, self.audio, self.pyin_cfg,
@@ -113,7 +124,8 @@ class AegisEngine:
 
         with phase("aegis.perception", quiet=True):
             out = self._analyze(y, rake_sensitivity, turbo_mode,
-                                kwargs.get("fetch_mel", True))
+                                kwargs.get("fetch_mel", True),
+                                kwargs.get("turbo_config", None))
 
         raw = {
             "rake_mask": np.asarray(out["rake_mask"]),

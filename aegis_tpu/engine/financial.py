@@ -49,15 +49,25 @@ class AegisFinancialEngine:
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
                  use_guitar_filters: bool,
                  fetch_mel: bool = True,
-                 turbo: bool = False) -> Dict[str, np.ndarray]:
+                 turbo=False, turbo_config=None) -> Dict[str, np.ndarray]:
+        """turbo: False = fused single program, True = sharded tiles,
+        "stream" = bounded-memory slab streaming."""
         if self.backend != "ref":
             try:
+                if turbo == "stream":
+                    from aegis_tpu.engine.turbo import run_analyze_streamed
+
+                    return run_analyze_streamed(
+                        y, self.audio, self.pyin_cfg, rake_sensitivity,
+                        turbo=turbo_config, fetch_mel=fetch_mel,
+                        financial=True)
                 if turbo:
                     from aegis_tpu.engine.turbo import run_analyze_turbo
 
                     return run_analyze_turbo(
                         y, self.audio, self.pyin_cfg, rake_sensitivity,
-                        fetch_mel=fetch_mel, financial=True)
+                        turbo=turbo_config, fetch_mel=fetch_mel,
+                        financial=True)
                 from aegis_tpu.core.analyze import run_analyze
 
                 return run_analyze(y, self.audio, self.pyin_cfg,
@@ -93,6 +103,7 @@ class AegisFinancialEngine:
                 kwargs.get("use_guitar_filters", True),
                 kwargs.get("fetch_mel", True),
                 kwargs.get("turbo_mode", False),
+                kwargs.get("turbo_config", None),
             )
         out["y"] = y
         return out

@@ -560,12 +560,15 @@ def run_analyze_streamed(
     hop, fl = audio.hop_length, pyin_cfg.frame_length
     ctx = halo * hop + fl // 2
 
-    slab_tiles = slab_tiles or 8 * n_time
-    slab_tiles = -(-slab_tiles // n_time) * n_time
-    slab_samp = slab_tiles * tile * hop
-
     true_frames = audio.n_frames(len(y))
     n_tiles_total = max(1, -(-true_frames // tile))
+
+    slab_tiles = slab_tiles or 8 * n_time
+    slab_tiles = -(-slab_tiles // n_time) * n_time
+    # never pad a short track past its own tile count (rounded to the mesh)
+    slab_tiles = min(slab_tiles, -(-n_tiles_total // n_time) * n_time)
+    slab_samp = slab_tiles * tile * hop
+
     n_slabs = max(1, -(-n_tiles_total // slab_tiles))
     n_samp = n_slabs * slab_samp
 

@@ -100,3 +100,18 @@ def test_dashboard_simulated_trends_deterministic():
     i2, h2 = _simulated_trends()
     assert i1 == i2 and np.allclose(h1, h2)
     assert set(i1) == set(GENRES) and h1.shape == (7, 24)
+
+
+def test_tuning_center_archive_files(tmp_path, monkeypatch):
+    from aegis_tpu.apps.tuning_center import _archive_files
+
+    artist = tmp_path / "col" / "some_artist"
+    artist.mkdir(parents=True)
+    (artist / "take1.wav").write_bytes(b"x")
+    (artist / "take2.mp3").write_bytes(b"x")
+    (artist / "notes.txt").write_bytes(b"x")
+    monkeypatch.setenv("AEGIS_ARCHIVE_DIR", str(tmp_path / "col"))
+    found = _archive_files()
+    names = {os.path.basename(p) for p in found}
+    assert {"take1.wav", "take2.mp3"} <= names
+    assert "notes.txt" not in names

@@ -203,3 +203,25 @@ def test_streamed_financial_events():
     # trend rows identical where both voiced
     both = st["voiced_flag"] & tr["voiced_flag"]
     assert np.nanmax(np.abs(st["trend"][both] - tr["trend"][both])) < 1e-3
+
+
+def test_stream_mode_via_facades():
+    """turbo_mode='stream' through both engine facades (the product surface
+    for multi-minute uploads)."""
+    from aegis_tpu.engine.engine import AegisEngine
+    from aegis_tpu.engine.financial import AegisFinancialEngine
+
+    track, _ = generate_test_track(sr=SR)
+    tc = TurboConfig(tile_frames=16, halo_frames=8)
+    eng = AegisEngine(sample_rate=SR, backend="device")
+    raw_s = eng.audio_to_midi(track, None, turbo_mode="stream",
+                              turbo_config=tc)
+    raw_d = eng.audio_to_midi(track, None)
+    ev_s = eng.extract_events(raw_s, None, confidence_threshold=0.5)
+    ev_d = eng.extract_events(raw_d, None, confidence_threshold=0.5)
+    assert {e["note"] for e in ev_s} == {e["note"] for e in ev_d}
+
+    fin = AegisFinancialEngine(sample_rate=SR, backend="device")
+    a = fin.analyze(track, turbo_mode="stream", turbo_config=tc)
+    ev, info = fin.extract_events(a)
+    assert ev and "adaptive_threshold" in a
