@@ -60,7 +60,8 @@ class AegisFinancialEngine:
                     return run_analyze_streamed(
                         y, self.audio, self.pyin_cfg, rake_sensitivity,
                         turbo=turbo_config, fetch_mel=fetch_mel,
-                        financial=True)
+                        financial=True,
+                        use_guitar_filters=use_guitar_filters)
                 if turbo:
                     from aegis_tpu.engine.turbo import run_analyze_turbo
 

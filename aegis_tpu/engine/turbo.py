@@ -526,6 +526,7 @@ def run_analyze_streamed(
     mesh: Optional[Mesh] = None,
     slab_tiles: Optional[int] = None,
     financial: bool = False,
+    use_guitar_filters: bool = True,
     fetch_mel: bool = False,
     max_in_flight: int = 2,
 ) -> Dict[str, np.ndarray]:
@@ -615,6 +616,7 @@ def run_analyze_streamed(
         pending.append(analyze_audio_sharded(
             slab(s), scale_j, rs, audio, pyin_cfg, turbo, mesh, slab_tiles,
             include_mel=fetch_mel, guitar_only=financial,
+            use_guitar_filters=use_guitar_filters,
             edge16=edge_for(s), db_ref=gmax_j))
         if len(pending) > max_in_flight:
             outs.append(fetch(pending.pop(0)))
@@ -647,6 +649,9 @@ def run_analyze_streamed(
         probs = np.asarray(full["voiced_probs"], np.float32)
         n_mels_a = audio.n_mels
         hi_bins = n_mels_a - int(n_mels_a * 0.7)
+        if not use_guitar_filters:
+            high_sum = total_sum = 0.0  # distortion_score -> 0, matching
+            # analyze_financial_program's use_guitar_filters=False branch
         fin = _trend_full_program(
             jnp.asarray(f0c), jnp.asarray(probs),
             jnp.float32(high_sum), jnp.float32(total_sum),

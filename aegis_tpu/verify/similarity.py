@@ -2,7 +2,8 @@
 
 * ``audio_similarity`` — 0.4 * mel-spectrogram cosine + 0.6 * chroma cosine
   between two signals (the auto-matcher objective, reference
-  auto_matcher.py:51-85).  Chroma is CQT-folded like the reference's
+  auto_matcher.py:51-85; the batched sweep variant lives in
+  verify.auto_match._score_sweep).  Chroma is CQT-folded like the reference's
   librosa.feature.chroma_cqt: |STFT|^2 projected onto the log-frequency
   pseudo-CQT filterbank, folded into 12 pitch classes — two MXU matmuls
   (core.filters.cqt_filterbank / chroma_fold).
@@ -54,34 +55,6 @@ def _similarity_program(y_a: jnp.ndarray, y_b: jnp.ndarray, sr: int,
         jnp.linalg.norm(ch_a) * jnp.linalg.norm(ch_b) + 1e-8
     )
     return jnp.clip(0.4 * mel_sim + 0.6 * ch_sim, 0.0, 1.0)
-
-
-@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop"))
-def similarity_batch_program(y_ref: jnp.ndarray, ys: jnp.ndarray, sr: int,
-                             n_fft: int = 2048, hop: int = 512) -> jnp.ndarray:
-    """(L,), (B, L) -> (B,) similarities; the reference features are
-    computed once and every candidate is scored in one program (the
-    auto-matcher's batched sweep)."""
-    fb = jnp.asarray(mel_filterbank(sr, n_fft, 128).T)
-    cm = jnp.asarray(_chroma_matrix(sr, n_fft))
-
-    def feats(y):
-        p = dsp.stft_power(y, n_fft, hop)
-        mel = jnp.dot(p, fb, preferred_element_type=jnp.float32).ravel()
-        ch = jnp.dot(p, cm, preferred_element_type=jnp.float32).ravel()
-        return mel, ch
-
-    mel_r, ch_r = feats(y_ref)
-
-    def one(y):
-        mel, ch = feats(y)
-        mel_sim = jnp.dot(mel_r, mel) / (
-            jnp.linalg.norm(mel_r) * jnp.linalg.norm(mel) + 1e-8)
-        ch_sim = jnp.dot(ch_r, ch) / (
-            jnp.linalg.norm(ch_r) * jnp.linalg.norm(ch) + 1e-8)
-        return jnp.clip(0.4 * mel_sim + 0.6 * ch_sim, 0.0, 1.0)
-
-    return jax.vmap(one)(ys)
 
 
 def audio_similarity(y_a: np.ndarray, y_b: np.ndarray, sr: int) -> float:
