@@ -186,11 +186,29 @@ class AegisServer:
         @r.post("/api/analyze/{sid}")
         def analyze(sid, query, **kw):
             sess = self._sess(sid)
+            # turbo=off|tiles|stream|auto: auto picks the bounded-memory
+            # streamed path for uploads past stream_threshold_s (the
+            # reference hard-caps long tracks instead, aegis_app.py:274-281)
+            mode = query.get("turbo", None)
+            if mode is None:  # back-compat boolean param
+                mode = "tiles" if coerce(query, "turbo_mode", False,
+                                         bool) else "auto"
+            if mode not in ("off", "tiles", "stream", "auto"):
+                raise HTTPError(400, f"unknown turbo mode: {mode}")
+            turbo_mode = {"off": False, "tiles": True, "stream": "stream",
+                          "auto": False}[mode]
+            if mode == "auto":
+                from aegis_tpu.io.audio import load_audio as _la
+
+                y_probe, sr_probe = _la(sess["file_path"], sr=None)
+                thr = coerce(query, "stream_threshold_s", 240.0)
+                if len(y_probe) / float(sr_probe) > thr:
+                    turbo_mode = "stream"
             raw = self.engine.audio_to_midi(
                 sess["file_path"], None,
                 start_time=coerce(query, "start_time", 0.0),
                 end_time=coerce(query, "end_time", None, float),
-                turbo_mode=coerce(query, "turbo_mode", False, bool),
+                turbo_mode=turbo_mode,
                 rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
             )
             if raw is None:
@@ -205,6 +223,8 @@ class AegisServer:
                 "num_events": len(events),
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
+                "analysis_mode": ("stream" if turbo_mode == "stream"
+                                  else "tiles" if turbo_mode else "fused"),
                 "message": f"Analysis complete: {len(events)} notes detected",
             })
 

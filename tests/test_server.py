@@ -275,3 +275,36 @@ def test_verify_endpoints_over_http(server_url):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_analyze_turbo_modes(server_url):
+    """turbo=off|stream|auto param: mode is reported, streamed analysis
+    matches the fused path on a short clip, auto engages streaming past
+    the (test-lowered) duration threshold."""
+    import urllib.error
+
+    buf = io.BytesIO()
+    write_wav(buf, two_tone(sr=SR), SR)
+    status, _, data = _req(f"{server_url}/api/upload?name=m.wav", "POST",
+                           buf.getvalue())
+    sid = json.loads(data)["session_id"]
+
+    status, _, data = _req(
+        f"{server_url}/api/analyze/{sid}?turbo=off&confidence_threshold=0.5",
+        "POST")
+    base = json.loads(data)
+    assert base["analysis_mode"] == "fused"
+
+    status, _, data = _req(
+        f"{server_url}/api/analyze/{sid}?turbo=auto&stream_threshold_s=0.5"
+        f"&confidence_threshold=0.5", "POST")
+    j = json.loads(data)
+    assert j["analysis_mode"] == "stream"
+    assert ({e["note"] for e in j["events"]}
+            == {e["note"] for e in base["events"]})
+
+    try:
+        _req(f"{server_url}/api/analyze/{sid}?turbo=bogus", "POST")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
