@@ -53,10 +53,15 @@ def read_wav(path_or_bytes: Union[str, bytes, io.BytesIO]) -> Tuple[np.ndarray, 
 
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
 
     (audio_format, channels, sample_rate, _byte_rate, _block_align, bits) = (
         struct.unpack_from("<HHIIHH", fmt, 0)
     )
+    if bits in (16, 24, 32, 64):  # clamp data to whole samples (corrupt tail)
+        bps = bits // 8
+        raw = raw[: (len(raw) // bps) * bps]
     if audio_format == _WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
         (audio_format,) = struct.unpack_from("<H", fmt, 24)
 

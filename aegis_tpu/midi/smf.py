@@ -172,16 +172,22 @@ class MidiFile:
 
         if data[:4] != b"MThd":
             raise ValueError("not an SMF file")
-        (hlen, _fmt, n_tracks, division) = struct.unpack_from(">IHHH", data, 4)
-        mid = cls(ticks_per_beat=division)
-        pos = 8 + hlen
-        for _ in range(n_tracks):
-            if data[pos : pos + 4] != b"MTrk":
-                raise ValueError("bad track chunk")
-            (tlen,) = struct.unpack_from(">I", data, pos + 4)
-            body = data[pos + 8 : pos + 8 + tlen]
-            mid.tracks.append(cls._parse_track(body))
-            pos += 8 + tlen
+        # truncated/garbage input surfaces as ValueError, not struct.error /
+        # IndexError — the server maps ValueError to a 400
+        try:
+            (hlen, _fmt, n_tracks, division) = struct.unpack_from(
+                ">IHHH", data, 4)
+            mid = cls(ticks_per_beat=division)
+            pos = 8 + hlen
+            for _ in range(n_tracks):
+                if data[pos : pos + 4] != b"MTrk":
+                    raise ValueError("bad track chunk")
+                (tlen,) = struct.unpack_from(">I", data, pos + 4)
+                body = data[pos + 8 : pos + 8 + tlen]
+                mid.tracks.append(cls._parse_track(body))
+                pos += 8 + tlen
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"corrupt SMF: {e}") from e
         return mid
 
     @staticmethod

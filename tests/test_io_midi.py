@@ -122,3 +122,24 @@ def test_events_to_midi_random_roundtrip():
         assert got == want
         starts = [x["start"] for x in sorted(notes, key=lambda v: v["start"])]
         assert all(b >= a for a, b in zip(starts, starts[1:]))
+
+
+def test_smf_wav_decode_fuzz():
+    """300 random/truncated byte blobs: decoders raise ValueError (mapped to
+    HTTP 400 by the server), never struct.error/IndexError, never hang."""
+    import numpy as np
+
+    from aegis_tpu.io.wav import read_wav
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    rng = np.random.default_rng(0)
+    for i in range(300):
+        n = int(rng.integers(0, 200))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        if rng.random() < 0.5:
+            data = (b"MThd" if i % 2 else b"RIFF") + data
+        for fn in (midi_to_notes, read_wav):
+            try:
+                fn(data)
+            except ValueError:
+                pass
