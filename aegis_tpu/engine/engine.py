@@ -89,7 +89,8 @@ class AegisEngine:
 
                     return run_analyze_turbo(y, self.audio, self.pyin_cfg,
                                              rake_sensitivity,
-                                             turbo=turbo_config)
+                                             turbo=turbo_config,
+                                             fetch_mel=fetch_mel)
                 from aegis_tpu.core.analyze import run_analyze
 
                 return run_analyze(y, self.audio, self.pyin_cfg,

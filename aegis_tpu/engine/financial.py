@@ -68,7 +68,8 @@ class AegisFinancialEngine:
                     return run_analyze_turbo(
                         y, self.audio, self.pyin_cfg, rake_sensitivity,
                         turbo=turbo_config, fetch_mel=fetch_mel,
-                        financial=True)
+                        financial=True,
+                        use_guitar_filters=use_guitar_filters)
                 from aegis_tpu.core.analyze import run_analyze
 
                 return run_analyze(y, self.audio, self.pyin_cfg,

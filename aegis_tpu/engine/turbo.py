@@ -329,17 +329,12 @@ def analyze_audio_sharded(
                 jnp.repeat(dist, k_local)[:, None], (b * k_local, tile))
 
         # ONE packed output buffer (same trick as core.analyze._pack):
-        # per-array D2H transfers cost ~25ms each on tunneled backends
-        from aegis_tpu.core.analyze import _GTR_ROWS
-
+        # per-array D2H transfers cost ~25ms each on tunneled backends.
+        # Every row is (b*k_local, tile) per-frame here, incl. the
+        # distortion partial sums.
         rows = (_FIN_ROWS if financial
                 else _GTR_ROWS if guitar_only else _V1_ROWS)
-        cols = []
-        for k_ in rows:
-            arr = out[k_].astype(jnp.float32)
-            if arr.ndim == 1:  # per-tile scalar (dist sums) -> broadcast
-                arr = jnp.broadcast_to(arr[:, None], (arr.shape[0], tile))
-            cols.append(arr[..., None])
+        cols = [out[k_].astype(jnp.float32)[..., None] for k_ in rows]
         head = [out["mel_db"]] if include_mel else []
         packed = jnp.concatenate(head + cols, axis=-1)
         return packed.reshape((b, k_local) + packed.shape[1:])
@@ -627,9 +622,12 @@ def run_analyze_streamed(
     high_sum = total_sum = 0.0
     if financial:
         # the last two columns carry PER-FRAME distortion partial sums,
-        # summed over the full padded window — the same convention the
-        # single-device program AND the CPU oracle use (both compute the
-        # informational distortion scalar over their bucket-padded mel)
+        # summed over the full padded window — the same CONVENTION as the
+        # single-device program and the CPU oracle (all compute the
+        # informational distortion scalar over their padded mel).  The
+        # padding LENGTH differs per mode (bucket vs tile vs slab multiple),
+        # so the scalar can differ in its low digits between modes; it feeds
+        # only the coarse clean/light/heavy classification
         sums = buf[:, n_mels + len(rows) - 2:]
         high_sum, total_sum = sums.sum(axis=0)
         buf = buf[:, : n_mels + len(rows) - 2]

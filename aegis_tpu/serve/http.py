@@ -144,8 +144,10 @@ def make_handler(router: Router):
             except HTTPError as e:
                 self._respond(json_response({"detail": e.detail}, e.status))
             except (ValueError, TypeError) as e:
-                # malformed query/body values (param coercion) are client
-                # errors, not server faults
+                # malformed query/body values (param coercion) map to 400;
+                # an internal ValueError (e.g. a shape bug) lands here too,
+                # so keep the traceback for server-side diagnosis
+                traceback.print_exc()
                 self._respond(json_response({"detail": str(e)}, 400))
             except BrokenPipeError:
                 pass

@@ -179,8 +179,19 @@ class AegisServer:
             path = os.path.join(self.temp_dir, f"{sid}{suffix}")
             with open(path, "wb") as f:
                 f.write(data)
-            self.sessions.update(sid, file_path=path)
+            # probe the duration ONCE here (WAV header read is cheap) so
+            # /api/analyze's turbo=auto decision never re-decodes the file
+            duration_s = None
+            try:
+                from aegis_tpu.io.wav import read_wav
+
+                x, sr_native = read_wav(data)
+                duration_s = len(x) / float(sr_native)
+            except ValueError:
+                pass  # non-WAV (mp3/ogg): decoded at analyze time instead
+            self.sessions.update(sid, file_path=path, duration_s=duration_s)
             return json_response({"session_id": sid, "file_name": filename,
+                                  "duration_s": duration_s,
                                   "message": "Upload successful"})
 
         @r.post("/api/analyze/{sid}")
@@ -198,12 +209,14 @@ class AegisServer:
             turbo_mode = {"off": False, "tiles": True, "stream": "stream",
                           "auto": False}[mode]
             if mode == "auto":
-                from aegis_tpu.io.audio import load_audio as _la
-
-                y_probe, sr_probe = _la(sess["file_path"], sr=None)
                 thr = coerce(query, "stream_threshold_s", 240.0)
-                if len(y_probe) / float(sr_probe) > thr:
-                    turbo_mode = "stream"
+                start = coerce(query, "start_time", 0.0)
+                end = coerce(query, "end_time", None, float)
+                dur = sess.get("duration_s")  # probed once at upload
+                if dur is not None:
+                    effective = (min(end, dur) if end else dur) - start
+                    if effective > thr:
+                        turbo_mode = "stream"
             raw = self.engine.audio_to_midi(
                 sess["file_path"], None,
                 start_time=coerce(query, "start_time", 0.0),

@@ -129,7 +129,10 @@ def render_notes(
 
     n = buffers.shape[0]
     blk = max_len
-    n_blocks = max(total_samples // blk, 1)
+    # ceil so a trailing partial block still receives audio (all current
+    # callers pass powers of two where this is exact anyway); the final
+    # [:total_samples] crop drops the padding
+    n_blocks = max(-(-total_samples // blk), 1)
     rem = (starts % blk).astype(jnp.int32)
     b0 = (starts // blk).astype(jnp.int32)
 

@@ -29,10 +29,15 @@ def compare_note_lists(original: List[dict], reversed_notes: List[dict],
     timing accuracy = 1 - avg_err/0.5.
 
     Error averages run over ALL greedy pairs (every original's nearest
-    estimate, matched or not — reference reverse_analyzer.py:114-134), so
-    a dropped note degrades pitch/timing accuracy instead of the scores
-    saturating inside the match-tolerance band.  ``pitch_error_semitones``
-    and ``timing_error_ms`` report raw means over matched pairs only, for
+    estimate, matched or not — reference reverse_analyzer.py:114-134), so a
+    dropped note degrades pitch/timing accuracy instead of the scores
+    saturating inside the match-tolerance band.  Each pair's contribution is
+    CAPPED at the score scale (12 semitones / 0.5 s): in the raw reference
+    accounting one dropped note's arbitrarily distant nearest neighbor could
+    drag timing_accuracy to ~0 on an otherwise perfect clip (observed in
+    round 1: 3-note clip, 2 re-transcribed -> 'timing 10%'); with the cap it
+    costs exactly its 1/N share.  ``pitch_error_semitones`` and
+    ``timing_error_ms`` report raw means over matched pairs only, for
     fine-grained alignment quality on the notes that did match."""
     if not original or not reversed_notes:
         return {"note_accuracy": 0.0, "pitch_accuracy": 0.0,
@@ -52,8 +57,8 @@ def compare_note_lists(original: List[dict], reversed_notes: List[dict],
                 best_d, best = d, rev
         pitch_diff = abs(orig["note"] - best["note"])
         time_diff = abs(orig["start"] - best["start"])
-        pitch_errors.append(pitch_diff)
-        timing_errors.append(time_diff)
+        pitch_errors.append(min(pitch_diff, 12.0))
+        timing_errors.append(min(time_diff, 0.5))
         if pitch_diff <= pitch_tolerance and time_diff <= time_tolerance:
             matched += 1
             m_pitch.append(pitch_diff)
