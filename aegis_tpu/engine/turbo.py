@@ -572,7 +572,7 @@ def run_analyze_streamed(
     scale_j = jnp.asarray(scale)
     rs = jnp.float32(rake_sensitivity)
 
-    def edge_for(s: int) -> jnp.ndarray:
+    def _edge_np(s: int) -> np.ndarray:
         lo, hi = s * slab_samp, (s + 1) * slab_samp
         left = y16[:, max(lo - ctx, 0): lo]
         if left.shape[1] < ctx:
@@ -580,10 +580,22 @@ def run_analyze_streamed(
         right = y16[:, hi: hi + ctx]
         if right.shape[1] < ctx:
             right = np.pad(right, ((0, 0), (0, ctx - right.shape[1])))
-        return jnp.asarray(np.concatenate([left, right], axis=1))
+        return np.concatenate([left, right], axis=1)
+
+    # upload each slab ONCE and reuse the device buffer in both passes —
+    # H2D rides the tunnel at ~44 MB/s, so the duplicate upload used to
+    # cost as much as the mel pass itself.  Device residency is the int16
+    # input only (~2.6 MB per minute of audio); the big per-frame buffers
+    # stay slab-bounded.
+    slabs_dev = [jnp.asarray(y16[:, s * slab_samp: (s + 1) * slab_samp])
+                 for s in range(n_slabs)]
+    edges_dev = [jnp.asarray(_edge_np(s)) for s in range(n_slabs)]
 
     def slab(s: int) -> jnp.ndarray:
-        return jnp.asarray(y16[:, s * slab_samp: (s + 1) * slab_samp])
+        return slabs_dev[s]
+
+    def edge_for(s: int) -> jnp.ndarray:
+        return edges_dev[s]
 
     # pass 1: track-global mel-power reference (bounded in-flight pipeline)
     gmax = 0.0
