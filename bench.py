@@ -68,6 +68,12 @@ def main() -> None:
         a = engine.analyze(y, fetch_mel=False)
         engine.extract_events(a)
 
+    # a couple of throwaway iterations AFTER compile: the first measured
+    # block repeatedly catches the tunnel's cold phase (observed: the
+    # first block at 120-220x while a later identical-cost block in the
+    # same run holds 380x)
+    fin_iter()
+    fin_iter()
     print("# financial 60s two-phase:", file=sys.stderr)
     elapsed = _median_time(fin_iter, 7)
     rtf = duration / elapsed

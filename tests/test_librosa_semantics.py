@@ -140,3 +140,33 @@ def test_chirp_instantaneous_frequency():
     # cents; the anchor is that NO octave/semitone-class error occurs
     assert np.nanmedian(np.abs(cents)) < 25
     assert np.nanmax(np.abs(cents)) < 60
+
+
+def test_stft_matches_torch():
+    """External cross-check with a fully independent implementation: the
+    oracle's |STFT|^2 (centered, reflect-padded, periodic Hann) against
+    torch.stft with the same conventions."""
+    torch = pytest.importorskip("torch")
+
+    sr, n_fft, hop = 22050, 2048, 512
+    rng = np.random.default_rng(5)
+    t = np.arange(sr // 2) / sr
+    y = (0.4 * np.sin(2 * np.pi * 220 * t)
+         + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+
+    win = torch.hann_window(n_fft, periodic=True, dtype=torch.float64)
+    spec = torch.stft(torch.tensor(y, dtype=torch.float64), n_fft=n_fft,
+                      hop_length=hop, window=win, center=True,
+                      pad_mode="reflect", return_complex=True)
+    p_torch = (spec.real ** 2 + spec.imag ** 2).numpy()  # (bins, T)
+
+    # our oracle exposes mel; recover the raw power via its own stft helper
+    from aegis_tpu.ref import dsp_ref
+
+    p_ours = dsp_ref.stft_power(y, n_fft, hop)  # (T, bins) or (bins, T)?
+    if p_ours.shape[0] != p_torch.shape[0]:
+        p_ours = p_ours.T
+    n = min(p_ours.shape[1], p_torch.shape[1])
+    a, b = p_ours[:, :n], p_torch[:, :n]
+    denom = np.maximum(np.abs(b).max(), 1e-12)
+    assert np.max(np.abs(a - b)) / denom < 1e-6
