@@ -76,3 +76,43 @@ def test_svg_renderers():
     for engine in ("svg", "html_midi_player", "tonejs", "webaudiofont"):
         out = render_piano_roll(blob, engine=engine)
         assert isinstance(out, str) and len(out) > 50
+
+
+def test_spa_id_references_consistent():
+    """Every $("id") lookup in the SPA's script must have a matching
+    id= attribute in the markup (no browser in the image, so this static
+    lint is the UI-regression net)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "aegis_tpu",
+                        "serve", "static", "index.html")
+    src = open(path).read()
+    declared = set(re.findall(r'id="([\w-]+)"', src))
+    used = set(re.findall(r'\$\("([\w-]+)"\)', src))
+    missing = used - declared
+    assert not missing, f"SPA references undeclared ids: {sorted(missing)}"
+    # core controls present
+    assert {"file", "drop", "analyze", "conf", "turbo", "poly"} <= declared
+
+
+def test_spa_endpoints_exist_on_server():
+    """Every /api/... path the SPA fetches must be routed by the server."""
+    import os
+    import re
+
+    from aegis_tpu.engine.engine import AegisEngine
+    from aegis_tpu.serve.server import AegisServer
+
+    path = os.path.join(os.path.dirname(__file__), "..", "aegis_tpu",
+                        "serve", "static", "index.html")
+    src = open(path).read()
+    called = set(re.findall(r'/api/([\w-]+)', src))
+    srv = AegisServer(engine=AegisEngine(sample_rate=22050, backend="ref"))
+    routed = set()
+    for method, regex, fn in srv.router._routes:
+        m = re.match(r"\^/api/([\w-]+)", regex.pattern)
+        if m:
+            routed.add(m.group(1))
+    missing = called - routed
+    assert not missing, f"SPA calls unrouted endpoints: {sorted(missing)}"
