@@ -191,7 +191,8 @@ def extract_events_v1(
         a[:T] for a in (rake_mask, f0, voiced_flag, active_probs, rms)
     )
 
-    f0_smooth = medfilt(np.nan_to_num(f0), kernel_size=3) if smooth else np.nan_to_num(f0)
+    f0_smooth = (medfilt(np.nan_to_num(f0), kernel_size=3)
+                 if smooth and T >= 3 else np.nan_to_num(f0))
     rms_db = amplitude_to_db(rms)
 
     min_frames = int((min_note_duration_ms / 1000.0) * sr / hop_length)

@@ -18,6 +18,8 @@ Same endpoint surface as the reference FastAPI backend (server.py, port
   POST /api/per-note-optimize/{sid}
   POST /api/fret-filter/{sid}
   POST /api/events/{sid}            sync client piano-roll edits
+  POST /api/stream-start | /api/stream-feed/{sid} | GET /api/stream-events/
+       {sid} | POST /api/stream-finalize/{sid}   live-source streaming
   GET  /api/tabs/{sid}
 
 Fixed vs the reference (SURVEY.md Appendix A): /api/fret-filter regenerates
@@ -545,6 +547,82 @@ class AegisServer:
                 "db_range": [round(lo, 1), round(hi, 1)],
                 "grid_base64": base64.b64encode(
                     g.astype(np.uint8).tobytes()).decode(),
+            })
+
+        # ------------------------------------------------ live streaming
+        # POST /api/stream-start            -> {session_id, lookahead_s}
+        # POST /api/stream-feed/{sid}       (body: int16 LE PCM)  -> progress
+        # GET  /api/stream-events/{sid}     -> live events
+        # POST /api/stream-finalize/{sid}   -> final events + MIDI
+        # Beyond-reference: online transcription for live sources
+        # (engine.realtime.StreamingTranscriber).
+
+        @r.post("/api/stream-start")
+        def stream_start(query, **kw):
+            from aegis_tpu.engine.realtime import StreamingTranscriber
+
+            self.sessions.sweep()
+            rt = StreamingTranscriber(
+                audio=self.engine.audio,
+                tile_frames=coerce(query, "tile_frames", 64),
+                halo_frames=coerce(query, "halo_frames", 32),
+                rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
+                confidence_threshold=coerce(query, "confidence_threshold",
+                                            0.5),
+            )
+            sid = self.sessions.create(file_name="<live>", raw_data=None,
+                                       events=None, midi_data=None,
+                                       stream=rt)
+            return json_response({"session_id": sid,
+                                  "sample_rate": self.engine.sr,
+                                  "lookahead_s": round(rt.lookahead_s, 3)})
+
+        @r.post("/api/stream-feed/{sid}")
+        def stream_feed(sid, body, **kw):
+            sess = self._sess(sid)
+            rt = sess.get("stream")
+            if rt is None:
+                raise HTTPError(400, "Not a streaming session.")
+            if not body:
+                raise HTTPError(400, "empty chunk")
+            chunk = np.frombuffer(
+                body[: (len(body) // 2) * 2], dtype="<i2"
+            ).astype(np.float32) / 32768.0
+            tiles = rt.feed(chunk)
+            return json_response({
+                "tiles_analyzed": tiles,
+                "frames_analyzed": rt.frames_analyzed,
+                "seconds_analyzed": round(
+                    rt.frames_analyzed * self.engine.hop_length
+                    / self.engine.sr, 3),
+            })
+
+        @r.get("/api/stream-events/{sid}")
+        def stream_events(sid, **kw):
+            sess = self._sess(sid)
+            rt = sess.get("stream")
+            if rt is None:
+                raise HTTPError(400, "Not a streaming session.")
+            events = rt.poll_events()
+            return json_response({"num_events": len(events),
+                                  "events": _events_json(events)})
+
+        @r.post("/api/stream-finalize/{sid}")
+        def stream_finalize(sid, query, **kw):
+            sess = self._sess(sid)
+            rt = sess.get("stream")
+            if rt is None:
+                raise HTTPError(400, "Not a streaming session.")
+            events = rt.finalize()
+            midi_data = events_to_midi(
+                events, self.engine.sr, self.engine.hop_length,
+                midi_program=coerce(query, "midi_program", 27),
+                output=None) if events else b""
+            self.sessions.update(sid, events=events, midi_data=midi_data)
+            return json_response({
+                "num_events": len(events),
+                "events": _events_json(events),
+                "midi_base64": base64.b64encode(midi_data).decode(),
             })
 
         @r.get("/api/tabs/{sid}")

@@ -1,0 +1,75 @@
+"""Online streaming transcriber: chunked feeding matches the offline turbo
+pipeline once the causal dB reference has locked (loud-first clip)."""
+
+import numpy as np
+
+from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
+from aegis_tpu.engine.realtime import StreamingTranscriber
+from aegis_tpu.engine.turbo import run_analyze_turbo
+from aegis_tpu.tools.signal_gen import karplus_strong
+
+SR = 22050
+AUDIO = AudioConfig(sample_rate=SR)
+
+
+def _loud_first_clip():
+    """Loudest attack first, so the running dB reference equals the global
+    one from tile 0 (the causal-vs-offline difference vanishes)."""
+    rng = np.random.default_rng(3)
+    parts = [karplus_strong(110.0, 0.8, SR, rng=rng),          # loud A2
+             0.5 * karplus_strong(146.83, 0.7, SR, rng=rng),   # D3
+             0.4 * karplus_strong(196.0, 0.7, SR, rng=rng)]    # G3
+    y = np.concatenate(parts)
+    return (y / max(np.max(np.abs(y)), 1e-9) * 0.8).astype(np.float32)
+
+
+def test_streaming_matches_turbo_events():
+    from aegis_tpu.core.events import extract_events_v1
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    y = _loud_first_clip()
+    tile, halo = 16, 8
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=tile, halo_frames=halo,
+                              confidence_threshold=0.5)
+    rng = np.random.default_rng(0)
+    pos = 0
+    while pos < len(y):  # arbitrary chunk sizes incl. tiny ones
+        n = int(rng.integers(100, 9000))
+        rt.feed(y[pos: pos + n])
+        pos += n
+    live = rt.poll_events()  # callable mid-stream
+    got = rt.finalize()
+    assert got, "no events from the stream"
+    assert len(live) <= len(got) + 1
+
+    tr = run_analyze_turbo(y, AUDIO, PyinConfig(),
+                           turbo=TurboConfig(tile_frames=tile,
+                                             halo_frames=halo))
+    ref = extract_events_v1(
+        rake_mask=tr["rake_mask"], f0=np.nan_to_num(tr["f0"]),
+        voiced_flag=tr["voiced_flag"], active_probs=tr["voiced_probs"],
+        rms=tr["rms"], sr=SR, hop_length=512, confidence_threshold=0.5)
+    m = note_event_f1(events_to_seconds(ref, SR, 512),
+                      events_to_seconds(got, SR, 512))
+    assert m["f1"] == 1.0, (m, ref, got)
+
+
+def test_streaming_lookahead_and_empty():
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8)
+    assert 0 < rt.lookahead_s < 2.0
+    assert rt.poll_events() == []
+    assert rt.finalize() == []
+    # silence stream: analyzes tiles, emits nothing
+    rt2 = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8)
+    rt2.feed(np.zeros(SR, np.float32))
+    assert rt2.finalize() == []
+
+
+def test_streaming_incremental_tiles():
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8)
+    tile_samp = 16 * 512
+    ctx = rt._ctx
+    # not enough for the first tile's right halo yet
+    assert rt.feed(np.zeros(tile_samp, np.float32)) == 0
+    # completing the halo releases exactly one tile
+    assert rt.feed(np.zeros(2 * ctx, np.float32)) == 1

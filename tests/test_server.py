@@ -308,3 +308,47 @@ def test_analyze_turbo_modes(server_url):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_streaming_endpoints(server_url):
+    """Live-source streaming over HTTP: start -> feed int16 chunks ->
+    poll -> finalize."""
+    import urllib.error
+
+    status, _, data = _req(
+        f"{server_url}/api/stream-start?tile_frames=16&halo_frames=8"
+        f"&confidence_threshold=0.5", "POST")
+    j = json.loads(data)
+    sid = j["session_id"]
+    assert j["lookahead_s"] > 0 and j["sample_rate"] == SR
+
+    y = two_tone(sr=SR)
+    pcm = np.round(np.clip(y, -1, 1) * 32767).astype("<i2").tobytes()
+    third = len(pcm) // 3 // 2 * 2
+    total_tiles = 0
+    for i in range(3):
+        status, _, data = _req(f"{server_url}/api/stream-feed/{sid}", "POST",
+                               pcm[i * third: (i + 1) * third])
+        assert status == 200
+        total_tiles += json.loads(data)["tiles_analyzed"]
+    assert total_tiles >= 1
+
+    status, _, data = _req(f"{server_url}/api/stream-events/{sid}")
+    assert status == 200  # live view is callable mid-stream
+
+    status, _, data = _req(f"{server_url}/api/stream-finalize/{sid}", "POST")
+    j = json.loads(data)
+    assert {e["note"] for e in j["events"]} >= {55, 62}
+    assert j["midi_base64"]
+
+    # feeding a non-streaming session -> 400
+    buf = io.BytesIO()
+    write_wav(buf, y, SR)
+    status, _, data = _req(f"{server_url}/api/upload?name=n.wav", "POST",
+                           buf.getvalue())
+    sid2 = json.loads(data)["session_id"]
+    try:
+        _req(f"{server_url}/api/stream-feed/{sid2}", "POST", b"\x00\x00")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
