@@ -81,22 +81,40 @@ def peel_voices(cqt_power: jnp.ndarray, supp: jnp.ndarray,
     return jnp.stack(bins_out, axis=1), jnp.stack(sal_out, axis=1)
 
 
+def roll_and_confidence(bins: jnp.ndarray, sals: jnp.ndarray,
+                        bins_per_octave: int = 12,
+                        rel_threshold: float = 0.25,
+                        abs_threshold: float = 0.02,
+                        global_peak: jnp.ndarray | None = None,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, V) voices -> ((T, 128) bool MIDI activation, (T, 128) confidence).
+
+    ``global_peak`` lets a sharded caller supply the track-global salience
+    maximum (a pmax over the mesh time axis); per-frame acceptance is
+    otherwise purely local, so tiled execution is exact."""
+    T, V = bins.shape
+    lead = jnp.maximum(sals[:, :1], 1e-10)
+    if global_peak is None:
+        global_peak = jnp.max(sals)
+    keep = (sals >= rel_threshold * lead) & (
+        sals >= abs_threshold * jnp.maximum(global_peak, 1e-10))
+    midi = jnp.round(CQT_FMIN_MIDI + 12.0 * bins.astype(jnp.float32)
+                     / bins_per_octave).astype(jnp.int32)
+    midi = jnp.clip(midi, 0, MIDI_BINS - 1)
+    rows = jnp.broadcast_to(jnp.arange(T)[:, None], (T, V))
+    roll = jnp.zeros((T, MIDI_BINS), bool).at[rows, midi].max(keep)
+    conf = jnp.zeros((T, MIDI_BINS), jnp.float32).at[rows, midi].max(
+        sals / lead)
+    return roll, conf
+
+
 def voices_to_piano_roll(bins: jnp.ndarray, sals: jnp.ndarray,
                          bins_per_octave: int = 12,
                          rel_threshold: float = 0.25,
                          abs_threshold: float = 0.02) -> jnp.ndarray:
     """(T, V) voices -> (T, 128) bool MIDI activation."""
-    T, V = bins.shape
-    lead = sals[:, :1]
-    global_peak = jnp.max(sals)
-    keep = (sals >= rel_threshold * jnp.maximum(lead, 1e-10)) & (
-        sals >= abs_threshold * jnp.maximum(global_peak, 1e-10))
-    midi = jnp.round(CQT_FMIN_MIDI + 12.0 * bins.astype(jnp.float32)
-                     / bins_per_octave).astype(jnp.int32)
-    midi = jnp.clip(midi, 0, MIDI_BINS - 1)
-    roll = jnp.zeros((T, MIDI_BINS), bool)
-    rows = jnp.broadcast_to(jnp.arange(T)[:, None], (T, V))
-    return roll.at[rows, midi].max(keep)
+    return roll_and_confidence(bins, sals, bins_per_octave, rel_threshold,
+                               abs_threshold)[0]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -110,18 +128,10 @@ def analyze_poly_program(y: jnp.ndarray, sr: int, n_fft: int = 2048,
     cqt = pseudo_cqt_t(y, sr, n_fft, hop_length, n_bins, bins_per_octave)
     supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
     bins, sals = peel_voices(cqt, supp, max_voices)
-    roll = voices_to_piano_roll(bins, sals, bins_per_octave)
+    roll, conf = roll_and_confidence(bins, sals, bins_per_octave)
     rms_ = dsp.rms(y, n_fft, hop_length)
     mel = dsp.melspectrogram_t(y, sr, n_fft, hop_length, 128)
     onset_env = onset_strength_t(mel)
-    lead = jnp.maximum(sals[:, :1], 1e-10)
-    conf = jnp.zeros((roll.shape[0], MIDI_BINS), jnp.float32)
-    rows = jnp.broadcast_to(
-        jnp.arange(roll.shape[0])[:, None], bins.shape)
-    midi = jnp.clip(jnp.round(CQT_FMIN_MIDI + 12.0 * bins.astype(jnp.float32)
-                              / bins_per_octave).astype(jnp.int32),
-                    0, MIDI_BINS - 1)
-    conf = conf.at[rows, midi].max(sals / lead)
     return {"roll": roll, "confidence": conf, "rms": rms_,
             "onset_env": onset_env}
 

@@ -72,6 +72,21 @@ class AegisPolyEngine:
         if len(y) == 0:
             return None
         true_frames = 1 + len(y) // self.hop_length
+
+        if kwargs.get("turbo_mode") in ("tiles", "turbo", True):
+            # sharded tiled path (multi-chip or seam-tested single-chip)
+            from aegis_tpu.engine.turbo import run_analyze_poly_turbo
+
+            log.info(f"Polyphonic Perception Phase [tiles] "
+                     f"({len(y)/self.sr:.1f}s)")
+            out = run_analyze_poly_turbo(
+                y, sr=self.sr, n_fft=self.n_fft, hop_length=self.hop_length,
+                n_bins=self.n_bins, bins_per_octave=self.bins_per_octave,
+                max_voices=self.max_voices,
+                turbo=kwargs.get("turbo_config"), mesh=kwargs.get("mesh"))
+            out["y"] = y
+            return out
+
         y_pad = _pad_bucket(y)
         log.info(f"Polyphonic Perception Phase ({len(y)/self.sr:.1f}s, "
                  f"<= {self.max_voices} voices)")

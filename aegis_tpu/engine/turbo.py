@@ -485,6 +485,212 @@ def run_analyze_batch(
 
 
 # --------------------------------------------------------------------------
+# Sharded polyphonic program (CQT salience peeling over the mesh)
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "n_fft", "hop", "n_mels", "n_bins",
+                     "bins_per_octave", "max_voices", "mesh", "n_tiles",
+                     "tile", "halo", "data_axis", "time_axis"),
+)
+def analyze_poly_sharded(
+    y16: jnp.ndarray,    # (B, n_tiles*tile*hop) int16 PCM, time-sharded
+    scale: jnp.ndarray,  # (B,) dequant scales
+    edge16: jnp.ndarray,  # (B, 2*ctx) int16 track-edge context: the host's
+                          # reflect padding on the left (STFT pad_mode), zeros
+                          # on the right (past the padded tail)
+    sr: int, n_fft: int, hop: int, n_mels: int, n_bins: int,
+    bins_per_octave: int, max_voices: int,
+    mesh: Mesh, n_tiles: int, tile: int, halo: int,
+    data_axis: str = "data", time_axis: str = "time",
+) -> jnp.ndarray:
+    """The polyphonic Perception Phase (core.poly.analyze_poly_program)
+    sharded over a (data, time) mesh with on-device halo exchange.
+
+    Per-frame work (CQT projection, harmonic peeling, RMS, onset flux) is
+    local to a haloed tile; the only cross-tile state is two per-track
+    scalars — the global salience peak (voice acceptance floor) and the
+    mel-power dB reference (onset envelope) — each one ``pmax`` over the
+    time axis riding ICI.  Returns ONE packed
+    (B, n_tiles, tile, 2*MIDI_BINS + 2) buffer: [roll | confidence | rms |
+    onset_env].
+    """
+    from aegis_tpu.core.cqt import onset_from_db
+    from aegis_tpu.core.filters import cqt_filterbank
+    from aegis_tpu.core.poly import (MIDI_BINS, harmonic_suppression_matrix,
+                                     peel_voices, roll_and_confidence)
+
+    span = _slab_span(tile, halo, hop, n_fft)
+    ctx = halo * hop + n_fft // 2
+    n_time = mesh.shape[time_axis]
+    k_local = n_tiles // n_time
+    if ctx > k_local * tile * hop:
+        raise ValueError(
+            f"halo context ({ctx} samples) exceeds a device's local block "
+            f"({k_local * tile * hop} samples); increase tile_frames or "
+            f"reduce halo_frames/mesh time-axis size.")
+    t2 = tile + 2 * halo
+
+    window = jnp.asarray(hann_window(n_fft))
+    cos_m, sin_m = dft_matrices(n_fft)
+    cqt_fb = jnp.asarray(cqt_filterbank(sr, n_fft, n_bins, bins_per_octave).T)
+    mel_fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T)
+    supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
+
+    def worker(y_loc, sc, edge):
+        b, _ = y_loc.shape
+        y_f = y_loc.astype(jnp.float32) * sc[:, None]
+
+        fwd = [(i, i + 1) for i in range(n_time - 1)]
+        bwd = [(i + 1, i) for i in range(n_time - 1)]
+        left = jax.lax.ppermute(y_f[:, -ctx:], time_axis, fwd)
+        right = jax.lax.ppermute(y_f[:, :ctx], time_axis, bwd)
+        idx_t = jax.lax.axis_index(time_axis)
+        zero = jnp.zeros_like(left)
+        # STFT frames reflect-pad at the track edges (dsp.frame_signal);
+        # RMS frames zero-pad (dsp.rms) — splice each convention separately
+        e_l = edge[:, :ctx].astype(jnp.float32) * sc[:, None]
+        e_r = edge[:, ctx:].astype(jnp.float32) * sc[:, None]
+        y_s = jnp.concatenate([jnp.where(idx_t == 0, e_l, left), y_f,
+                               jnp.where(idx_t == n_time - 1, e_r, right)],
+                              axis=1)
+        y_z = jnp.concatenate([jnp.where(idx_t == 0, zero, left), y_f,
+                               jnp.where(idx_t == n_time - 1, zero, right)],
+                              axis=1)
+
+        def slabs(yx):
+            s = jnp.stack([yx[:, j * tile * hop: j * tile * hop + span]
+                           for j in range(k_local)], axis=1)
+            return s.reshape(b * k_local, span)
+
+        def tilefn(slab_s, slab_z):
+            fr = _frame_slab(slab_s, t2, hop, n_fft, 0) * window[None, :]
+            re = jnp.dot(fr, cos_m, preferred_element_type=jnp.float32)
+            im = jnp.dot(fr, sin_m, preferred_element_type=jnp.float32)
+            power = re * re + im * im
+            cqt_p = jnp.dot(power, cqt_fb,
+                            preferred_element_type=jnp.float32)
+            mel_p = jnp.dot(power, mel_fb,
+                            preferred_element_type=jnp.float32)
+            frz = _frame_slab(slab_z, t2, hop, n_fft, 0)
+            rms_ = jnp.sqrt(jnp.mean(frz * frz, axis=-1))
+            bins_v, sals_v = peel_voices(cqt_p, supp, max_voices)
+            return bins_v, sals_v, mel_p, rms_
+
+        bins_v, sals_v, mel_p, rms_ = jax.vmap(tilefn)(slabs(y_s), slabs(y_z))
+        sl = slice(halo, halo + tile)
+
+        # per-track global scalars over the time axis only (NOT data);
+        # vmapped outputs are (b*k_local, t2, ...)
+        sal_glob = jax.lax.pmax(
+            jnp.max(sals_v[:, sl].reshape(b, -1), axis=1), time_axis)
+        mel_glob = jax.lax.pmax(
+            jnp.max(mel_p[:, sl].reshape(b, -1), axis=1), time_axis)
+
+        # onset envelope: dB with the track-global ref, lag-1 flux on the
+        # haloed tile so seams are exact (halo >= 1 frame)
+        amin = 1e-10
+        ref_db = 10.0 * jnp.log10(jnp.maximum(amin, jnp.repeat(mel_glob,
+                                                               k_local)))
+        mel_db = (10.0 * jnp.log10(jnp.maximum(amin, mel_p))
+                  - ref_db[:, None, None])
+        mel_db = jnp.maximum(mel_db, -80.0)
+        onset = jax.vmap(onset_from_db)(
+            mel_db.reshape(b * k_local, t2, n_mels))[:, sl]
+
+        gp = jnp.repeat(sal_glob, k_local)
+        roll, conf = jax.vmap(
+            lambda bn, sv, g: roll_and_confidence(
+                bn, sv, bins_per_octave, global_peak=g)
+        )(bins_v.reshape(b * k_local, t2, -1)[:, sl],
+          sals_v.reshape(b * k_local, t2, -1)[:, sl], gp)
+
+        packed = jnp.concatenate(
+            [roll.astype(jnp.float32), conf,
+             rms_.reshape(b * k_local, t2)[:, sl, None],
+             onset[..., None]], axis=-1)
+        assert packed.shape[-1] == 2 * MIDI_BINS + 2
+        return packed.reshape((b, k_local) + packed.shape[1:])
+
+    from jax import shard_map
+
+    return shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(data_axis, time_axis), P(data_axis), P(data_axis)),
+        out_specs=P(data_axis, time_axis),
+        check_vma=False,
+    )(y16, scale, edge16)
+
+
+def run_analyze_poly_turbo(
+    ys: np.ndarray,  # (n_samples,) one track or (B, n_samples) equal-length
+    sr: int = 22050,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    max_voices: int = 6,
+    n_mels: int = 128,
+    turbo: Optional[TurboConfig] = None,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """Sharded polyphonic analyze: tile over the mesh time axis (and tracks
+    over the data axis) and stitch tile interiors.  Output schema matches
+    AegisPolyEngine.analyze: {roll, confidence, rms, onset_env}, batched
+    along axis 0 when ``ys`` is 2-D."""
+    from aegis_tpu.core.poly import MIDI_BINS
+
+    single = ys.ndim == 1
+    ys2 = np.asarray(ys, np.float32)[None] if single else np.asarray(
+        ys, np.float32)
+    turbo = turbo or TurboConfig()
+    if mesh is None:
+        if single:
+            mesh = _default_mesh(time_only=True)
+        else:
+            devs = np.array(jax.devices())
+            b_axis = int(np.gcd(len(devs), len(ys2)))
+            mesh = Mesh(devs.reshape(b_axis, -1), ("data", "time"))
+    n_time = mesh.shape["time"]
+
+    tile, halo = turbo.tile_frames, turbo.halo_frames
+    ctx = halo * hop_length + n_fft // 2
+    true_frames = 1 + ys2.shape[1] // hop_length
+    n_tiles = max(1, -(-true_frames // tile))
+    n_tiles = -(-n_tiles // n_time) * n_time
+    n_samp = n_tiles * tile * hop_length
+
+    y16, scale = quantize_tracks(ys2, n_samp)
+    # left context = the track's reflect padding (same int16 samples, so the
+    # dequantized slab equals frame_signal's reflect pad exactly)
+    edge = np.zeros((len(ys2), 2 * ctx), np.int16)
+    pad = n_fft // 2
+    for i in range(len(ys2)):
+        m = min(pad, max(ys2.shape[1] - 1, 0))
+        if m:
+            edge[i, ctx - m: ctx] = y16[i, m: 0: -1]
+
+    packed = analyze_poly_sharded(
+        jnp.asarray(y16), jnp.asarray(scale), jnp.asarray(edge),
+        sr, n_fft, hop_length, n_mels, n_bins, bins_per_octave, max_voices,
+        mesh, n_tiles, tile, halo)
+    buf = np.array(packed)
+    buf = buf.reshape(buf.shape[0], -1, buf.shape[-1])[:, :true_frames]
+    m = MIDI_BINS
+    out = {
+        "roll": buf[:, :, :m] > 0.5,
+        "confidence": buf[:, :, m: 2 * m],
+        "rms": buf[:, :, 2 * m].astype(np.float64),
+        "onset_env": buf[:, :, 2 * m + 1],
+    }
+    out["onset_env"][:, 0] = 0.0  # first-frame convention (lag pad)
+    if single:
+        out = {k: v[0] for k, v in out.items()}
+    return out
+
+
+# --------------------------------------------------------------------------
 # Streamed long-track mode (bounded device/host memory)
 # --------------------------------------------------------------------------
 

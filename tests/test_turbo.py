@@ -149,6 +149,64 @@ def test_batch_financial_per_track_scalars():
     assert out["trend"].shape[0] == 2
 
 
+# ------------------------------------------------------------------ poly
+def test_poly_turbo_matches_single_device():
+    """Sharded polyphonic program (CQT peeling over the mesh) vs the fused
+    single-device program: same roll, same events (the last §5.7 pipeline)."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.engine.turbo import run_analyze_poly_turbo
+    from aegis_tpu.tools.signal_gen import karplus_strong
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    rng = np.random.default_rng(7)
+    n = int(SR * 2.5)
+    y = np.zeros(n, np.float32)
+    for i, m in enumerate((60, 64, 67, 55)):  # staggered chord
+        f = 440.0 * 2 ** ((m - 69) / 12)
+        s = int(i * 0.4 * SR)
+        p = karplus_strong(f, 1.2, SR, rng=rng)
+        y[s: s + len(p)] += p[: n - s]
+    y = (y / max(np.max(np.abs(y)), 1e-9) * 0.8).astype(np.float32)
+
+    eng = AegisPolyEngine(sample_rate=SR)
+    ref = eng.analyze(y)
+    ref_ev = eng.extract_events(ref)
+    assert ref_ev, "fixture produced no polyphonic events"
+    ref_sec = events_to_seconds(ref_ev, SR, eng.hop_length)
+
+    # several tile/halo configs, incl. a tile count that does not divide
+    for tile, halo in [(32, 8), (24, 4)]:
+        tc = TurboConfig(tile_frames=tile, halo_frames=halo)
+        out = run_analyze_poly_turbo(y, sr=SR, turbo=tc)
+        T = ref["roll"].shape[0]
+        assert out["roll"].shape[0] == T
+        assert (out["roll"] == ref["roll"]).mean() > 0.9999, (tile, halo)
+        np.testing.assert_allclose(out["rms"], ref["rms"],
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(out["onset_env"], ref["onset_env"],
+                                   atol=1e-3)
+        got = eng.extract_events({**ref, **out})
+        m = note_event_f1(ref_sec,
+                          events_to_seconds(got, SR, eng.hop_length))
+        assert m["f1"] == 1.0, (tile, halo, m)
+
+
+def test_poly_turbo_batch():
+    """Batched sharded poly over (data, time): per-track scalars stay
+    per-track (quiet track's voice floor isn't referenced to the loud one)."""
+    from aegis_tpu.engine.turbo import run_analyze_poly_turbo
+
+    t = np.arange(SR) / SR
+    loud = (0.8 * np.sin(2 * np.pi * 261.63 * t)).astype(np.float32)
+    quiet = (0.01 * np.sin(2 * np.pi * 392.0 * t)).astype(np.float32)
+    tc = TurboConfig(tile_frames=16, halo_frames=4)
+    out = run_analyze_poly_turbo(np.stack([loud, quiet]), sr=SR, turbo=tc)
+    assert out["roll"].shape[0] == 2
+    # each track's pitch is active in its own roll despite the level gap
+    assert out["roll"][0][:, 60].mean() > 0.5   # C4
+    assert out["roll"][1][:, 67].mean() > 0.5   # G4
+
+
 # ------------------------------------------------------------------ streaming
 def test_streamed_matches_turbo_v1():
     """run_analyze_streamed == run_analyze_turbo BIT-EXACTLY for the v1 rows:
