@@ -33,13 +33,10 @@ from aegis_tpu.utils.logging import get_logger
 
 log = get_logger("PolyEngine")
 
-_BUCKET = 1 << 16
-
-
 def _pad_bucket(y: np.ndarray) -> np.ndarray:
-    n = _BUCKET
-    while n < len(y):
-        n <<= 1
+    from aegis_tpu.core.analyze import bucket_length
+
+    n = bucket_length(len(y))
     return np.pad(y, (0, n - len(y))) if n != len(y) else y
 
 
