@@ -11,8 +11,9 @@ financial trend/articulation analysis — all inside the same program so
 nothing round-trips to host between stages (the reference runs each stage as
 a separate librosa/NumPy pass, SURVEY.md §3.1/§3.3).
 
-Input lengths are bucketed to powers of two so recompilation is rare; callers
-truncate the returned frame arrays to ``n_frames(true_length)``.
+Input lengths are bucketed to a 32-steps-per-octave grid (<= ~3.2% padding;
+see bucket_length) so recompilation is rare; callers truncate the returned
+frame arrays to ``n_frames(true_length)``.
 """
 
 from __future__ import annotations

@@ -171,6 +171,9 @@ class AegisEngine:
             if kwargs.get("use_onsets", False) else None,
         )
         if output_mid is not None:
+            bpm = kwargs.get("bpm")
+            if bpm == "auto":
+                bpm = self.estimate_bpm(raw_data)
             events_to_midi(
                 events,
                 self.sr,
@@ -178,9 +181,21 @@ class AegisEngine:
                 midi_program=kwargs.get("midi_program", 27),
                 vibrato_rate=kwargs.get("vibrato_rate", 5.0),
                 vibrato_depth=kwargs.get("vibrato_depth", 0.3),
+                bpm=bpm,
                 output=output_mid,
             )
         return events
+
+    def estimate_bpm(self, raw_data: Dict):
+        """Tempo estimate from the analysis onset envelope (None when the
+        track carries no periodicity).  Beyond-reference: the reference
+        always encodes MIDI at an implicit 120 BPM."""
+        env = raw_data.get("onset_env")
+        if env is None:
+            return None
+        from aegis_tpu.core.tempo import estimate_tempo
+
+        return estimate_tempo(env, self.sr, self.hop_length)
 
     # ------------------------------------------------------------ persistence
 

@@ -112,8 +112,16 @@ class AegisFinancialEngine:
 
     def extract_events(self, analysis: Dict[str, np.ndarray],
                        **kwargs) -> Tuple[List[dict], Dict]:
-        """Phase 4b: events from cached analysis (re-runnable per slider)."""
-        return extract_events_financial(
+        """Phase 4b: events from cached analysis (re-runnable per slider).
+
+        kwargs["bpm"]: a number, or "auto" to estimate from the onset
+        envelope; the resolved value rides in info["bpm"] and keys the MIDI
+        encoder's tempo (beyond-reference; default stays the reference's
+        fixed 120 BPM)."""
+        bpm = kwargs.get("bpm")
+        if bpm == "auto":
+            bpm = self.estimate_bpm(analysis)
+        events, info = extract_events_financial(
             rake_mask=analysis["rake_mask"],
             f0=analysis["f0"],
             voiced_flag=analysis["voiced_flag"],
@@ -132,6 +140,17 @@ class AegisFinancialEngine:
             use_harmonic_filter=kwargs.get("use_harmonic_filter", True),
             harmonic_tolerance=kwargs.get("harmonic_tolerance", 1),
         )
+        if bpm:
+            info["bpm"] = float(bpm)
+        return events, info
+
+    def estimate_bpm(self, analysis: Dict[str, np.ndarray]):
+        env = analysis.get("onset_env")
+        if env is None:
+            return None
+        from aegis_tpu.core.tempo import estimate_tempo
+
+        return estimate_tempo(env, self.sr, self.hop_length)
 
     def audio_to_midi_financial(self, input_wav, output_mid,
                                 **kwargs) -> Optional[str]:
@@ -161,6 +180,6 @@ class AegisFinancialEngine:
             log.info(f"[4/5] key: {k['key']} {k['mode']} ({k['confidence']:.2f})")
 
         events_to_midi_financial(events, self.sr, self.hop_length,
-                                 output=output_mid)
+                                 bpm=info.get("bpm"), output=output_mid)
         log.info(f"[5/5] wrote {output_mid}")
         return output_mid

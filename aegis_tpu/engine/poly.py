@@ -127,9 +127,15 @@ class AegisPolyEngine:
                                  self.hop_length)
             events = split_events_at_onsets(events, onsets)
         if output_mid is not None:
+            bpm = kwargs.get("bpm")
+            if bpm == "auto":
+                from aegis_tpu.core.tempo import estimate_tempo
+
+                bpm = estimate_tempo(analysis["onset_env"], self.sr,
+                                     self.hop_length)
             events_to_midi(events, self.sr, self.hop_length,
                            midi_program=kwargs.get("midi_program", 25),
-                           output=output_mid)
+                           bpm=bpm, output=output_mid)
         return events
 
     def audio_to_midi(self, input_wav, output_mid=None, **kwargs):

@@ -28,7 +28,11 @@ def midi_to_notes(path_or_bytes: Union[str, bytes], include_track: bool = True) 
             abs_tick += msg.time
             if msg.type == "set_tempo":
                 tempo_changes.append((abs_tick, msg.tempo))
-    tempo_changes.sort()
+    # stable sort on tick ONLY: a real set_tempo AT tick 0 must stay after
+    # the seeded default so it takes effect from tick 0 (a full tuple sort
+    # ordered (0, tempo<500000) BEFORE the default, silently reverting the
+    # track to 120 BPM)
+    tempo_changes.sort(key=lambda c: c[0])
 
     def tick_to_seconds(tick: int) -> float:
         secs = 0.0

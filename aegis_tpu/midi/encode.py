@@ -39,21 +39,31 @@ def events_to_midi(
     midi_program: int = 27,
     vibrato_rate: float = 5.0,
     vibrato_depth: float = 0.3,
+    bpm: Optional[float] = None,
     output: Union[str, io.BytesIO, None] = None,
 ) -> Optional[bytes]:
     """v1 encoder: dual main/safe tracks with bend & vibrato pitchwheel curves.
 
+    ``bpm`` (beyond-reference, core.tempo): write a set_tempo meta event and
+    use that tempo in the tick math, so note WALL-CLOCK times are unchanged
+    but the musical grid aligns with the track (the reference always encodes
+    at an implicit 120 BPM).  None keeps the reference behavior.
+
     Returns the SMF bytes when ``output`` is None, otherwise writes to the
     path / stream.
     """
+    tempo_us = DEFAULT_TEMPO_US if bpm is None else max(
+        1, int(round(60e6 / float(bpm))))
     mid = MidiFile(ticks_per_beat=DEFAULT_TICKS_PER_BEAT)
     track_main, track_safe = MidiTrack(), MidiTrack()
     mid.tracks.extend([track_main, track_safe])
+    if bpm is not None:
+        track_main.append(MidiMessage("set_tempo", tempo=tempo_us, time=0))
     for t in (track_main, track_safe):
         t.append(MidiMessage("program_change", program=midi_program, time=0))
 
     secs_per_frame = hop_length / sr
-    ticks_per_sec = second2tick(1.0, DEFAULT_TICKS_PER_BEAT, DEFAULT_TEMPO_US)
+    ticks_per_sec = second2tick(1.0, DEFAULT_TICKS_PER_BEAT, tempo_us)
 
     timeline = []  # absolute-tick event list, sorted later
     for evt in events:
@@ -132,17 +142,24 @@ def events_to_midi_financial(
     sr: int,
     hop_length: int,
     *,
+    bpm: Optional[float] = None,
     output: Union[str, io.BytesIO, None] = None,
 ) -> Optional[bytes]:
-    """v2 encoder: named tracks, 120 BPM fixed-tempo tick math, plain
+    """v2 encoder: named tracks, fixed-tempo tick math (120 BPM by default,
+    matching the reference; ``bpm`` writes a set_tempo meta and keys the tick
+    math to it — wall-clock times unchanged, musical grid aligned), plain
     note_on/note_off pairs (no pitchwheel)."""
+    tempo_us = DEFAULT_TEMPO_US if bpm is None else max(
+        1, int(round(60e6 / float(bpm))))
     mid = MidiFile(ticks_per_beat=DEFAULT_TICKS_PER_BEAT)
     track_main, track_safe = MidiTrack(), MidiTrack()
     mid.tracks.extend([track_main, track_safe])
     track_main.append(MidiMessage("track_name", name="Aegis Financial - Main", time=0))
     track_safe.append(MidiMessage("track_name", name="Aegis Financial - Safe", time=0))
+    if bpm is not None:
+        track_main.append(MidiMessage("set_tempo", tempo=tempo_us, time=0))
 
-    ms_per_tick = 500.0 / mid.ticks_per_beat  # 120 BPM
+    ms_per_tick = (tempo_us / 1000.0) / mid.ticks_per_beat
     ms_per_frame = (hop_length / sr) * 1000.0
 
     last = {"main": 0, "safe": 0}

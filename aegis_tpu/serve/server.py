@@ -119,8 +119,21 @@ class AegisServer:
             "midi_program": coerce(query, "midi_program", 27),
             "noise_gate_db": coerce(query, "noise_gate_db", -40.0),
         }
+        bpm_q = query.get("bpm")
+        if bpm_q:
+            if bpm_q == "auto":
+                params["bpm"] = "auto"
+            else:
+                try:
+                    params["bpm"] = float(bpm_q)
+                except ValueError:
+                    raise HTTPError(400, "bpm must be a number or 'auto'")
         buf = io.BytesIO()
         events = self.engine.extract_events(sess["raw_data"], buf, **params)
+        if params.get("bpm") == "auto":
+            # resolve for the response and for later re-encodes
+            # (fret-filter / edit-sync), which reuse sess["params"]
+            params["bpm"] = self.engine.estimate_bpm(sess["raw_data"])
         return events, buf.getvalue(), params
 
     def _extract_poly(self, sess: Dict, query: Dict[str, str]):
@@ -240,6 +253,7 @@ class AegisServer:
                 "midi_base64": base64.b64encode(midi_data).decode(),
                 "analysis_mode": ("stream" if turbo_mode == "stream"
                                   else "tiles" if turbo_mode else "fused"),
+                "bpm": params.get("bpm"),
                 "message": f"Analysis complete: {len(events)} notes detected",
             })
 
@@ -255,6 +269,7 @@ class AegisServer:
                 "num_events": len(events),
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
+                "bpm": params.get("bpm"),
             })
 
         @r.get("/api/midi/{sid}")
@@ -434,7 +449,8 @@ class AegisServer:
             params = sess.get("params", {})
             midi_data = events_to_midi(
                 filtered, self.engine.sr, self.engine.hop_length,
-                midi_program=params.get("midi_program", 27), output=None,
+                midi_program=params.get("midi_program", 27),
+                bpm=params.get("bpm"), output=None,
             )
             self.sessions.update(sid, events=filtered, midi_data=midi_data)
             return json_response({
@@ -516,7 +532,8 @@ class AegisServer:
             params = sess.get("params", {})
             midi_data = events_to_midi(
                 events, self.engine.sr, self.engine.hop_length,
-                midi_program=params.get("midi_program", 27), output=None,
+                midi_program=params.get("midi_program", 27),
+                bpm=params.get("bpm"), output=None,
             )
             self.sessions.update(sid, events=events, midi_data=midi_data)
             return json_response({

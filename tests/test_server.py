@@ -72,6 +72,31 @@ def test_full_session_lifecycle(server_url):
     assert status == 200
     assert json.loads(data)["num_events"] >= 1
 
+    # refilter with tempo-aware export: bpm riding in the response, a
+    # set_tempo meta in the MIDI, malformed value rejected
+    status, _, data = _req(
+        f"{server_url}/api/refilter/{sid}?confidence_threshold=0.5&bpm=96.5",
+        "POST")
+    assert status == 200
+    j = json.loads(data)
+    assert j["bpm"] == 96.5
+    import base64 as _b64
+
+    from aegis_tpu.midi.smf import MidiFile
+
+    mf = MidiFile.load(_b64.b64decode(j["midi_base64"]))
+    tempos = [m.tempo for t in mf.tracks for m in t if m.type == "set_tempo"]
+    assert tempos and abs(60e6 / tempos[0] - 96.5) < 0.1
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _req(f"{server_url}/api/refilter/{sid}?bpm=fast", "POST")
+    assert err.value.code == 400
+    status, _, data = _req(
+        f"{server_url}/api/refilter/{sid}?confidence_threshold=0.5&bpm=auto",
+        "POST")
+    assert status == 200
+    got = json.loads(data)["bpm"]
+    assert got is None or 30.0 <= got <= 300.0
+
     # MIDI download
     status, ctype, data = _req(f"{server_url}/api/midi/{sid}")
     assert status == 200 and ctype == "audio/midi" and data[:4] == b"MThd"
