@@ -143,14 +143,18 @@ def main() -> None:
     raw = st.session_state["raw_data"]
 
     # Phase 2: instant re-filter
+    tempo_aware = st.checkbox(
+        "Tempo-aware MIDI (set_tempo from the detected BPM)", value=False)
     buf = io.BytesIO()
     events = engine.extract_events(
         raw, buf,
         confidence_threshold=conf, noise_gate_db=gate,
         min_note_duration_ms=min_dur, sustain_ms=sustain,
         midi_program=int(program),
+        bpm="auto" if tempo_aware else None,
     )
     midi_bytes = buf.getvalue()
+    bpm_est = engine.estimate_bpm(raw) if tempo_aware else None
 
     col1, col2 = st.columns([3, 1])
     with col1:
@@ -162,6 +166,8 @@ def main() -> None:
         st.metric("Main / Safe", f"{main_n} / {len(events) - main_n}")
         rake_ratio = float(np.mean(raw["rake_mask"])) if len(raw["rake_mask"]) else 0.0
         st.metric("Rake frames", f"{rake_ratio:.1%}")
+        if bpm_est:
+            st.metric("Tempo", f"{bpm_est:.1f} BPM")
         st.download_button("⬇ MIDI", midi_bytes, "aegis.mid", "audio/midi")
 
     if not zen:

@@ -137,6 +137,12 @@ class AegisServer:
         return events, buf.getvalue(), params
 
     def _extract_poly(self, sess: Dict, query: Dict[str, str]):
+        bpm = query.get("bpm")
+        if bpm and bpm != "auto":
+            try:
+                bpm = float(bpm)
+            except ValueError:
+                raise HTTPError(400, "bpm must be a number or 'auto'")
         buf = io.BytesIO()
         events = self.poly_engine.extract_events(
             sess["poly_analysis"], buf,
@@ -145,6 +151,7 @@ class AegisServer:
             sustain_ms=coerce(query, "sustain_ms", 40),
             use_onsets=coerce(query, "use_onsets", True, bool),
             midi_program=coerce(query, "midi_program", 25),
+            bpm=bpm or None,
         )
         midi_data = buf.getvalue()
         # sessions.get returns the live dict; mutate in place (same pattern

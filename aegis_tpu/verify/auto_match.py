@@ -86,32 +86,56 @@ def _combo_events(engine, raw_data, conf, min_dur, sustain):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sample_rate", "mb", "total",
-                                             "n_chunks"))
-def _score_sweep(y_ref, freqs, starts, lengths, vels, sample_rate, mb, total,
-                 n_chunks):
-    """(B,) similarity scores for B padded note-array combos, ONE dispatch.
+def _feat_mats(sample_rate, n_fft=2048):
+    import jax.numpy as jnp
 
-    Renders each combo with the vmapped ADSR synth and scores it against the
-    reference features (mel + chroma cosine); lax.map over chunks bounds the
-    live (chunk, nb, mb) note-buffer footprint without host round trips."""
+    from aegis_tpu.core.filters import mel_filterbank
+    from aegis_tpu.verify.similarity import _chroma_matrix
+
+    return (jnp.asarray(mel_filterbank(sample_rate, n_fft, 128).T),
+            jnp.asarray(_chroma_matrix(sample_rate, n_fft)))
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def _ref_feats(y_ref, sample_rate):
+    """Reference-audio mel/chroma feature rows as device arrays — computed
+    ONCE per auto-match call; both sweep phases reuse them (recomputing the
+    ~1M-sample reference STFT per phase and re-uploading y_ref dominated
+    the warm sweep time)."""
     import jax.numpy as jnp
 
     from aegis_tpu.core import dsp
-    from aegis_tpu.core.filters import mel_filterbank
-    from aegis_tpu.synth.adsr import render_notes
-    from aegis_tpu.verify.similarity import _chroma_matrix
 
     n_fft, hop = 2048, 512
-    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, 128).T)
-    cm = jnp.asarray(_chroma_matrix(sample_rate, n_fft))
+    fb, cm = _feat_mats(sample_rate, n_fft)
+    p = dsp.stft_power(y_ref, n_fft, hop)
+    return (jnp.dot(p, fb, preferred_element_type=jnp.float32).ravel(),
+            jnp.dot(p, cm, preferred_element_type=jnp.float32).ravel())
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "mb", "total",
+                                             "n_chunks"))
+def _score_sweep(mel_r, ch_r, freqs, starts, lengths, vels, sample_rate, mb,
+                 total, n_chunks):
+    """(B,) similarity scores for B padded note-array combos, ONE dispatch.
+
+    Renders each combo with the vmapped ADSR synth and scores it against the
+    precomputed reference feature rows (mel + chroma cosine); lax.map over
+    chunks bounds the live (chunk, nb, mb) note-buffer footprint without
+    host round trips."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core import dsp
+    from aegis_tpu.synth.adsr import render_notes
+
+    n_fft, hop = 2048, 512
+    fb, cm = _feat_mats(sample_rate, n_fft)
 
     def feats(y):
         p = dsp.stft_power(y, n_fft, hop)
         return (jnp.dot(p, fb, preferred_element_type=jnp.float32).ravel(),
                 jnp.dot(p, cm, preferred_element_type=jnp.float32).ravel())
 
-    mel_r, ch_r = feats(y_ref)
     nrm_mel = jnp.linalg.norm(mel_r)
     nrm_ch = jnp.linalg.norm(ch_r)
 
@@ -143,13 +167,15 @@ def _score_sweep(y_ref, freqs, starts, lengths, vels, sample_rate, mb, total,
     return jax.lax.map(score_chunk, xs).reshape(b)
 
 
-def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
-                   progress_callback):
+def _sweep_batched(engine, raw_data, mel_r, ch_r, total, sample_rate, grid,
+                   phase, progress_callback):
     """All grid combos scored in ONE device program: per-combo event lists
     (host, fast phase-2 re-extraction) are padded into (B, Nmax) note
-    arrays, rendered with the vmapped ADSR synth, and scored by the batched
-    similarity — 2 dispatches per sweep instead of ~4 per combo
-    (SURVEY.md §7.4: iterative grid loops become batched device sweeps).
+    arrays, rendered with the vmapped ADSR synth, and scored against the
+    precomputed reference feature rows — 1 dispatch per sweep instead of
+    ~4 per combo (SURVEY.md §7.4: iterative grid loops become batched
+    device sweeps).  ``total`` is the render length in samples (the
+    reference features were computed over the same padded window).
     """
     import jax.numpy as jnp
 
@@ -180,9 +206,6 @@ def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
     nb = 1
     while nb < n_max:
         nb <<= 1
-    total = 1 << 14
-    while total < len(y_orig):
-        total <<= 1
 
     freqs = np.full((B, nb), 440.0, np.float32)
     starts = np.zeros((B, nb), np.int32)
@@ -204,8 +227,6 @@ def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
     while mb < max_note:
         mb <<= 1
 
-    y_ref = np.zeros(total, np.float32)
-    y_ref[: len(y_orig)] = y_orig
     # the render materializes (chunk, nb, mb) f32 note buffers; cap the live
     # footprint (long clips with permissive grids can reach hundreds of
     # notes x multi-second sustains).  Chunking happens INSIDE one jitted
@@ -223,7 +244,7 @@ def _sweep_batched(engine, raw_data, y_orig, sample_rate, grid, phase,
         lengths = np.concatenate([lengths, np.ones((pad, nb), np.int32)])
         vels = np.concatenate([vels, np.zeros((pad, nb), np.float32)])
     scores = np.asarray(_score_sweep(
-        jnp.asarray(y_ref), jnp.asarray(freqs), jnp.asarray(starts),
+        mel_r, ch_r, jnp.asarray(freqs), jnp.asarray(starts),
         jnp.asarray(lengths), jnp.asarray(vels), sample_rate, mb, total,
         n_chunks))[:B]
     scores = np.where([len(e) > 0 for e in event_lists], scores, -1.0)
@@ -262,16 +283,28 @@ def auto_match_parameters(
 
         batched = not get_synthesizer().is_available()
     if batched:
-        coarse, score = _sweep_batched(engine, raw_data, y_orig, sample_rate,
-                                       COARSE_GRID, "coarse",
+        import jax.numpy as jnp
+
+        from aegis_tpu.core.analyze import bucket_length
+
+        # reference features once, reused by both phases (one upload, one
+        # STFT; the pow2 render pad also shrinks to the sub-octave bucket)
+        total = bucket_length(len(y_orig))
+        y_ref = np.zeros(total, np.float32)
+        y_ref[: len(y_orig)] = y_orig
+        mel_r, ch_r = _ref_feats(jnp.asarray(y_ref), sample_rate)
+
+        coarse, score = _sweep_batched(engine, raw_data, mel_r, ch_r, total,
+                                       sample_rate, COARSE_GRID, "coarse",
                                        progress_callback)
         if coarse is None:
             log.warning("no valid combination found")
             return None
         log.info(f"coarse best: {coarse} score={score:.3f}")
-        fine, fine_score = _sweep_batched(engine, raw_data, y_orig,
-                                          sample_rate, _fine_grid(coarse),
-                                          "fine", progress_callback)
+        fine, fine_score = _sweep_batched(engine, raw_data, mel_r, ch_r,
+                                          total, sample_rate,
+                                          _fine_grid(coarse), "fine",
+                                          progress_callback)
         if fine is not None and fine_score >= score:
             coarse, score = fine, fine_score
         log.info(f"final best: {coarse} score={score:.3f}")
