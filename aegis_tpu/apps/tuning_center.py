@@ -145,16 +145,16 @@ def main() -> None:
     # Phase 2: instant re-filter
     tempo_aware = st.checkbox(
         "Tempo-aware MIDI (set_tempo from the detected BPM)", value=False)
+    bpm_est = engine.estimate_bpm(raw) if tempo_aware else None
     buf = io.BytesIO()
     events = engine.extract_events(
         raw, buf,
         confidence_threshold=conf, noise_gate_db=gate,
         min_note_duration_ms=min_dur, sustain_ms=sustain,
         midi_program=int(program),
-        bpm="auto" if tempo_aware else None,
+        bpm=bpm_est,
     )
     midi_bytes = buf.getvalue()
-    bpm_est = engine.estimate_bpm(raw) if tempo_aware else None
 
     col1, col2 = st.columns([3, 1])
     with col1:

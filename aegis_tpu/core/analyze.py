@@ -43,7 +43,7 @@ def bucket_length(n: int) -> int:
     by the persistent compile cache)."""
     if n <= MIN_BUCKET:
         return MIN_BUCKET
-    g = 1 << max((n - 1).bit_length() - 5, 12)
+    g = 1 << max((n - 1).bit_length() - 6, 12)
     return -(-n // g) * g
 
 
@@ -52,6 +52,18 @@ def pad_to_bucket(y: np.ndarray) -> np.ndarray:
     if b == len(y):
         return y
     return np.pad(y, (0, b - len(y)))
+
+
+def quantize_pcm16(y: np.ndarray):
+    """ONE track -> (int16 PCM, dequant scale float): the per-track
+    peak-scaled transport convention every device ingest path shares
+    (engine.turbo.quantize_tracks is the batched/padded variant built on
+    the same math).  A silent track returns scale 0.0."""
+    y = np.asarray(y)
+    peak = float(np.max(np.abs(y))) if y.size else 0.0
+    if peak <= 0:
+        return np.zeros(y.shape, np.int16), 0.0
+    return np.round(y * (32767.0 / peak)).astype(np.int16), peak / 32767.0
 
 
 @functools.partial(jax.jit, static_argnames=("audio", "pyin_cfg"))
@@ -226,14 +238,9 @@ def dispatch_analyze(
     true_frames = audio.n_frames(len(y))
     y_pad = pad_to_bucket(np.asarray(y, np.float32))
     if transport == "int16":
-        peak = float(np.max(np.abs(y_pad))) if y_pad.size else 0.0
-        if peak > 0:
-            y_dev = jnp.asarray(
-                np.round(y_pad * (32767.0 / peak)).astype(np.int16))
-            scale = jnp.float32(peak / 32767.0)
-        else:
-            y_dev = jnp.asarray(np.zeros_like(y_pad, np.int16))
-            scale = jnp.float32(0.0)
+        y16, s = quantize_pcm16(y_pad)
+        y_dev = jnp.asarray(y16)
+        scale = jnp.float32(s)
     else:
         y_dev = jnp.asarray(y_pad)
         scale = jnp.float32(1.0)

@@ -25,6 +25,16 @@ from typing import Optional
 import numpy as np
 
 
+def estimate_bpm(analysis: dict, sr: int, hop_length: int) -> Optional[float]:
+    """Tempo from an analysis/raw_data dict's onset envelope (None when the
+    envelope is absent or carries no periodicity) — the one shared body
+    behind every engine facade's ``estimate_bpm``."""
+    env = analysis.get("onset_env")
+    if env is None:
+        return None
+    return estimate_tempo(env, sr, hop_length)
+
+
 def estimate_tempo(
     onset_env: np.ndarray,
     sr: int,

@@ -36,6 +36,33 @@ from aegis_tpu.utils.logging import get_logger
 log = get_logger("Aegis")
 
 
+def normalize_turbo_mode(mode, n_samples: int, sample_rate: int,
+                         stream_threshold_s: float = 240.0,
+                         allow_stream: bool = True):
+    """One canonical turbo vocabulary for the facades AND the HTTP layer.
+
+    Returns False (fused single program), "tiles" (sharded tiling) or
+    "stream" (bounded-memory slabs):
+      False | None | "" | "off"  -> False
+      True | "tiles" | "turbo"   -> "tiles"
+      "stream"                   -> "stream" (or "tiles" if not available)
+      "auto"                     -> "stream" past stream_threshold_s,
+                                    else False
+    Unknown strings raise ValueError — a silent truthy-string fallthrough
+    used to route turbo_mode="off" to the TILED path."""
+    if mode in (False, None, "", "off"):
+        return False
+    if mode in (True, "tiles", "turbo"):
+        return "tiles"
+    if mode == "stream":
+        return "stream" if allow_stream else "tiles"
+    if mode == "auto":
+        if n_samples / sample_rate > stream_threshold_s:
+            return "stream" if allow_stream else "tiles"
+        return False
+    raise ValueError(f"unknown turbo mode: {mode!r}")
+
+
 class AegisEngine:
     def __init__(self, sample_rate: int = 44100, hop_length: int = 512,
                  n_fft: int = 2048, backend: str = "auto"):
@@ -108,7 +135,6 @@ class AegisEngine:
         """Perception Phase (analyze once): returns the cacheable raw_data."""
         start_time = kwargs.get("start_time", 0)
         end_time = kwargs.get("end_time", None)
-        turbo_mode = kwargs.get("turbo_mode", False)
         rake_sensitivity = kwargs.get("rake_sensitivity", 0.6)
 
         if isinstance(input_wav, np.ndarray):
@@ -119,6 +145,9 @@ class AegisEngine:
                                duration=duration)
         if len(y) == 0:
             return None
+        turbo_mode = normalize_turbo_mode(
+            kwargs.get("turbo_mode", False), len(y), self.sr,
+            kwargs.get("stream_threshold_s", 240.0))
 
         log.info(f"Perception Phase (turbo={turbo_mode}, {len(y)/self.sr:.1f}s)")
         from aegis_tpu.utils.prof import phase
@@ -190,12 +219,9 @@ class AegisEngine:
         """Tempo estimate from the analysis onset envelope (None when the
         track carries no periodicity).  Beyond-reference: the reference
         always encodes MIDI at an implicit 120 BPM."""
-        env = raw_data.get("onset_env")
-        if env is None:
-            return None
-        from aegis_tpu.core.tempo import estimate_tempo
+        from aegis_tpu.core.tempo import estimate_bpm
 
-        return estimate_tempo(env, self.sr, self.hop_length)
+        return estimate_bpm(raw_data, self.sr, self.hop_length)
 
     # ------------------------------------------------------------ persistence
 

@@ -96,15 +96,19 @@ class AegisFinancialEngine:
             y, _ = _load_audio(input_wav, sr=self.sr)
         if len(y) == 0:
             return None
+        from aegis_tpu.engine.engine import normalize_turbo_mode
         from aegis_tpu.utils.prof import phase
 
+        turbo_mode = normalize_turbo_mode(
+            kwargs.get("turbo_mode", False), len(y), self.sr,
+            kwargs.get("stream_threshold_s", 240.0))
         with phase("financial.perception", quiet=True):
             out = self._analyze(
                 y,
                 kwargs.get("rake_sensitivity", 0.6),
                 kwargs.get("use_guitar_filters", True),
                 kwargs.get("fetch_mel", True),
-                kwargs.get("turbo_mode", False),
+                turbo_mode,
                 kwargs.get("turbo_config", None),
             )
         out["y"] = y
@@ -145,12 +149,9 @@ class AegisFinancialEngine:
         return events, info
 
     def estimate_bpm(self, analysis: Dict[str, np.ndarray]):
-        env = analysis.get("onset_env")
-        if env is None:
-            return None
-        from aegis_tpu.core.tempo import estimate_tempo
+        from aegis_tpu.core.tempo import estimate_bpm
 
-        return estimate_tempo(env, self.sr, self.hop_length)
+        return estimate_bpm(analysis, self.sr, self.hop_length)
 
     def audio_to_midi_financial(self, input_wav, output_mid,
                                 **kwargs) -> Optional[str]:

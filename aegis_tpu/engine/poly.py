@@ -70,7 +70,15 @@ class AegisPolyEngine:
             return None
         true_frames = 1 + len(y) // self.hop_length
 
-        if kwargs.get("turbo_mode") in ("tiles", "turbo", True):
+        from aegis_tpu.engine.engine import normalize_turbo_mode
+
+        # no slab-streamed poly mode exists; stream/auto requests map to the
+        # tiled path (bounded per-tile compute; the packed poly output is
+        # ~100 KB/min, so the fixed output buffer is not the constraint)
+        mode = normalize_turbo_mode(
+            kwargs.get("turbo_mode", False), len(y), self.sr,
+            kwargs.get("stream_threshold_s", 240.0), allow_stream=False)
+        if mode == "tiles":
             # sharded tiled path (multi-chip or seam-tested single-chip)
             from aegis_tpu.engine.turbo import run_analyze_poly_turbo
 
@@ -90,16 +98,12 @@ class AegisPolyEngine:
         # ONE packed buffer = one device->host transfer (the four separate
         # fetches cost more than the program itself on a tunneled backend),
         # int16 PCM upload (half the bytes; -96 dBFS quantization noise)
-        peak = float(np.max(np.abs(y_pad))) if y_pad.size else 0.0
-        if peak > 0:
-            y_dev = jnp.asarray(np.round(y_pad * (32767.0 / peak))
-                                .astype(np.int16))
-            scale = jnp.float32(peak / 32767.0)
-        else:
-            y_dev = jnp.asarray(np.zeros_like(y_pad, np.int16))
-            scale = jnp.float32(0.0)
+        from aegis_tpu.core.analyze import quantize_pcm16
+
+        y16, s = quantize_pcm16(y_pad)
         buf = np.asarray(P.analyze_poly_program_packed(
-            y_dev, scale, self.sr, self.n_fft, self.hop_length,
+            jnp.asarray(y16), jnp.float32(s), self.sr, self.n_fft,
+            self.hop_length,
             self.n_bins, self.bins_per_octave,
             self.max_voices))[:true_frames]
         m = P.MIDI_BINS
@@ -129,10 +133,9 @@ class AegisPolyEngine:
         if output_mid is not None:
             bpm = kwargs.get("bpm")
             if bpm == "auto":
-                from aegis_tpu.core.tempo import estimate_tempo
+                from aegis_tpu.core.tempo import estimate_bpm
 
-                bpm = estimate_tempo(analysis["onset_env"], self.sr,
-                                     self.hop_length)
+                bpm = estimate_bpm(analysis, self.sr, self.hop_length)
             events_to_midi(events, self.sr, self.hop_length,
                            midi_program=kwargs.get("midi_program", 25),
                            bpm=bpm, output=output_mid)

@@ -132,14 +132,10 @@ class StreamingTranscriber:
     def _run_tile(self, slab: np.ndarray) -> None:
         import jax.numpy as jnp
 
+        from aegis_tpu.core.analyze import quantize_pcm16
+
         program = _tile_program(self.audio, self.pyin_cfg, self.turbo)
-        peak = float(np.max(np.abs(slab)))
-        if peak > 0:
-            slab16 = np.round(slab * (32767.0 / peak)).astype(np.int16)
-            scale = peak / 32767.0
-        else:
-            slab16 = np.zeros_like(slab, np.int16)
-            scale = 0.0
+        slab16, scale = quantize_pcm16(slab)
         rows, new_ref = program(jnp.asarray(slab16), jnp.float32(scale),
                                 jnp.float32(self.rake_sensitivity),
                                 jnp.float32(self._ref_power))

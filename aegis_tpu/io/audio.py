@@ -61,6 +61,38 @@ def _decode_with_ffmpeg(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, i
     return np.frombuffer(out.stdout, dtype="<f4").copy(), 44100
 
 
+def probe_duration(path_or_bytes: Union[str, bytes]) -> Optional[float]:
+    """Cheap duration probe: WAV header math (no sample decode), ffprobe for
+    other formats, None when neither applies.  The serve layer's turbo=auto
+    decision keys on this, so it must work for every format the analyze
+    path can decode (anything ffmpeg handles ships with ffprobe)."""
+    from aegis_tpu.io.wav import wav_duration
+
+    try:
+        return wav_duration(path_or_bytes)
+    except (ValueError, OSError):
+        pass
+    import shutil
+    import subprocess
+
+    ffprobe = shutil.which("ffprobe")
+    if ffprobe is None:
+        return None
+    cmd = [ffprobe, "-v", "error", "-show_entries", "format=duration",
+           "-of", "csv=p=0"]
+    try:
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            out = subprocess.run(cmd + ["pipe:0"], input=bytes(path_or_bytes),
+                                 capture_output=True, timeout=30)
+        else:
+            out = subprocess.run(cmd + [str(path_or_bytes)],
+                                 capture_output=True, timeout=30)
+        text = out.stdout.decode().strip()
+        return float(text) if out.returncode == 0 and text else None
+    except (OSError, subprocess.SubprocessError, ValueError):
+        return None
+
+
 def load_audio(
     path_or_bytes: Union[str, bytes],
     sr: Optional[int] = 22050,

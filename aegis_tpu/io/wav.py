@@ -19,6 +19,57 @@ _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
+def wav_duration(path_or_bytes: Union[str, bytes, io.BytesIO]) -> float:
+    """Duration in seconds from the RIFF chunk headers alone — no sample
+    decode (a server-side upload probe must not decode a multi-minute file
+    to learn its length).  Raises ValueError for non-WAV/corrupt input."""
+    if isinstance(path_or_bytes, bytes):
+        f: io.IOBase = io.BytesIO(path_or_bytes)
+        close = False
+    elif hasattr(path_or_bytes, "read"):
+        f = path_or_bytes
+        close = False
+    else:
+        f = open(path_or_bytes, "rb")
+        close = True
+    try:
+        start = f.tell()
+        file_end = f.seek(0, 2)
+        f.seek(start)
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        fmt = None
+        data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            (size,) = struct.unpack_from("<I", hdr, 4)
+            # clamp a lying size field to the actual bytes present
+            size = min(size, max(file_end - f.tell(), 0))
+            if hdr[:4] == b"fmt ":
+                fmt = f.read(size)
+                f.seek(size & 1, 1)
+            else:
+                if hdr[:4] == b"data":
+                    data_size = size
+                f.seek(size + (size & 1), 1)
+        if fmt is None or data_size is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        if len(fmt) < 16:
+            raise ValueError("truncated WAV fmt chunk")
+        (_, channels, sample_rate, _, block_align, bits) = struct.unpack_from(
+            "<HHIIHH", fmt, 0)
+        frame_bytes = block_align or max(1, channels) * max(bits, 8) // 8
+        if sample_rate <= 0 or frame_bytes <= 0:
+            raise ValueError("invalid WAV fmt chunk")
+        return (data_size // frame_bytes) / float(sample_rate)
+    finally:
+        if close:
+            f.close()
+
+
 def read_wav(path_or_bytes: Union[str, bytes, io.BytesIO]) -> Tuple[np.ndarray, int]:
     """Read a RIFF/WAVE file.
 

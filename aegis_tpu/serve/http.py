@@ -95,17 +95,21 @@ class Router:
 
 
 def coerce(query: Dict[str, str], name: str, default, cast=None):
-    """Typed query-parameter access with defaults."""
+    """Typed query-parameter access with defaults; malformed values are a
+    CLIENT error (400), never a 500."""
     if name not in query:
         return default
     val = query[name]
     cast = cast or (type(default) if default is not None else str)
     if cast is bool:
         return val.lower() in ("1", "true", "yes", "on")
-    if cast is float or isinstance(default, float):
-        return float(val)
-    if cast is int or isinstance(default, int):
-        return int(float(val))
+    try:
+        if cast is float or isinstance(default, float):
+            return float(val)
+        if cast is int or isinstance(default, int):
+            return int(float(val))
+    except ValueError:
+        raise HTTPError(400, f"invalid value for '{name}': {val!r}")
     return val
 
 
@@ -143,12 +147,6 @@ def make_handler(router: Router):
                 self._respond(resp)
             except HTTPError as e:
                 self._respond(json_response({"detail": e.detail}, e.status))
-            except (ValueError, TypeError) as e:
-                # malformed query/body values (param coercion) map to 400;
-                # an internal ValueError (e.g. a shape bug) lands here too,
-                # so keep the traceback for server-side diagnosis
-                traceback.print_exc()
-                self._respond(json_response({"detail": str(e)}, 400))
             except BrokenPipeError:
                 pass
             except Exception as e:

@@ -128,17 +128,26 @@ class AegisServer:
                     params["bpm"] = float(bpm_q)
                 except ValueError:
                     raise HTTPError(400, "bpm must be a number or 'auto'")
+        if params.get("bpm") == "auto":
+            # resolve ONCE: the number feeds the encode below, the response,
+            # and later re-encodes (fret-filter / edit-sync) via
+            # sess["params"]
+            params["bpm"] = self.engine.estimate_bpm(sess["raw_data"])
         buf = io.BytesIO()
         events = self.engine.extract_events(sess["raw_data"], buf, **params)
-        if params.get("bpm") == "auto":
-            # resolve for the response and for later re-encodes
-            # (fret-filter / edit-sync), which reuse sess["params"]
-            params["bpm"] = self.engine.estimate_bpm(sess["raw_data"])
         return events, buf.getvalue(), params
 
     def _extract_poly(self, sess: Dict, query: Dict[str, str]):
         bpm = query.get("bpm")
-        if bpm and bpm != "auto":
+        if bpm == "auto":
+            # resolve ONCE here: the number goes to the encoder AND the
+            # response, so the SPA tempo label works in poly mode too
+            from aegis_tpu.core.tempo import estimate_tempo
+
+            bpm = estimate_tempo(sess["poly_analysis"]["onset_env"],
+                                 self.poly_engine.sr,
+                                 self.poly_engine.hop_length)
+        elif bpm:
             try:
                 bpm = float(bpm)
             except ValueError:
@@ -158,7 +167,7 @@ class AegisServer:
         # as the analyze endpoint's raw_data store)
         sess["events"] = events
         sess["midi_data"] = midi_data
-        return events, midi_data
+        return events, midi_data, (bpm or None)
 
     # ---------------------------------------------------------------- routes
 
@@ -201,16 +210,12 @@ class AegisServer:
             path = os.path.join(self.temp_dir, f"{sid}{suffix}")
             with open(path, "wb") as f:
                 f.write(data)
-            # probe the duration ONCE here (WAV header read is cheap) so
-            # /api/analyze's turbo=auto decision never re-decodes the file
-            duration_s = None
-            try:
-                from aegis_tpu.io.wav import read_wav
+            # probe the duration ONCE here (WAV = header math, other
+            # formats = ffprobe; never a sample decode) so /api/analyze's
+            # turbo=auto decision is format-agnostic and upload stays cheap
+            from aegis_tpu.io.audio import probe_duration
 
-                x, sr_native = read_wav(data)
-                duration_s = len(x) / float(sr_native)
-            except ValueError:
-                pass  # non-WAV (mp3/ogg): decoded at analyze time instead
+            duration_s = probe_duration(data)
             self.sessions.update(sid, file_path=path, duration_s=duration_s)
             return json_response({"session_id": sid, "file_name": filename,
                                   "duration_s": duration_s,
@@ -228,8 +233,7 @@ class AegisServer:
                                          bool) else "auto"
             if mode not in ("off", "tiles", "stream", "auto"):
                 raise HTTPError(400, f"unknown turbo mode: {mode}")
-            turbo_mode = {"off": False, "tiles": True, "stream": "stream",
-                          "auto": False}[mode]
+            turbo_mode = mode
             if mode == "auto":
                 thr = coerce(query, "stream_threshold_s", 240.0)
                 start = coerce(query, "start_time", 0.0)
@@ -237,15 +241,21 @@ class AegisServer:
                 dur = sess.get("duration_s")  # probed once at upload
                 if dur is not None:
                     effective = (min(end, dur) if end else dur) - start
-                    if effective > thr:
-                        turbo_mode = "stream"
-            raw = self.engine.audio_to_midi(
-                sess["file_path"], None,
-                start_time=coerce(query, "start_time", 0.0),
-                end_time=coerce(query, "end_time", None, float),
-                turbo_mode=turbo_mode,
-                rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
-            )
+                    turbo_mode = "stream" if effective > thr else "off"
+                # dur unknown (no ffprobe): pass "auto" through — the engine
+                # resolves it from the decoded length with the same rule
+            try:
+                raw = self.engine.audio_to_midi(
+                    sess["file_path"], None,
+                    start_time=coerce(query, "start_time", 0.0),
+                    end_time=coerce(query, "end_time", None, float),
+                    turbo_mode=turbo_mode,
+                    stream_threshold_s=coerce(query, "stream_threshold_s",
+                                              240.0),
+                    rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
+                )
+            except ValueError as e:  # undecodable upload is a CLIENT error
+                raise HTTPError(400, f"could not decode audio: {e}")
             if raw is None:
                 raise HTTPError(400, "Analysis failed - empty audio?")
             sess["raw_data"] = raw
@@ -258,8 +268,9 @@ class AegisServer:
                 "num_events": len(events),
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
-                "analysis_mode": ("stream" if turbo_mode == "stream"
-                                  else "tiles" if turbo_mode else "fused"),
+                "analysis_mode": {"off": "fused", "tiles": "tiles",
+                                  "stream": "stream", "auto": "auto"}[
+                                      turbo_mode],
                 "bpm": params.get("bpm"),
                 "message": f"Analysis complete: {len(events)} notes detected",
             })
@@ -470,21 +481,25 @@ class AegisServer:
         def analyze_poly(sid, query, **kw):
             """Polyphonic (chord) transcription via CQT salience peeling."""
             sess = self._sess(sid)
-            analysis = self.poly_engine.analyze(
-                sess["file_path"],
-                start_time=coerce(query, "start_time", 0.0),
-                end_time=coerce(query, "end_time", None, float),
-            )
+            try:
+                analysis = self.poly_engine.analyze(
+                    sess["file_path"],
+                    start_time=coerce(query, "start_time", 0.0),
+                    end_time=coerce(query, "end_time", None, float),
+                )
+            except ValueError as e:
+                raise HTTPError(400, f"could not decode audio: {e}")
             if analysis is None:
                 raise HTTPError(400, "Analysis failed - empty audio?")
             analysis.pop("y", None)
             sess["poly_analysis"] = analysis
-            events, midi_data = self._extract_poly(sess, query)
+            events, midi_data, bpm = self._extract_poly(sess, query)
             return json_response({
                 "session_id": sid,
                 "num_events": len(events),
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
+                "bpm": bpm,
                 "message": f"Polyphonic analysis: {len(events)} notes",
             })
 
@@ -494,11 +509,12 @@ class AegisServer:
             if sess.get("poly_analysis") is None:
                 raise HTTPError(400, "No polyphonic analysis. Run "
                                      "/api/analyze-poly first.")
-            events, midi_data = self._extract_poly(sess, query)
+            events, midi_data, bpm = self._extract_poly(sess, query)
             return json_response({
                 "num_events": len(events),
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
+                "bpm": bpm,
             })
 
         @r.post("/api/events/{sid}")
