@@ -26,10 +26,20 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import sys
 import time
 
 import numpy as np
+
+# The aegis logger mirrors the reference's stdout tags; under the bench's
+# ONE-JSON-line stdout contract every log line must go to stderr instead.
+from aegis_tpu.utils.logging import get_logger
+
+get_logger("bench")  # force handler setup, then retarget it
+for _h in logging.getLogger("aegis").handlers:
+    if isinstance(_h, logging.StreamHandler):
+        _h.setStream(sys.stderr)
 
 
 def _median_time(fn, n: int) -> float:
