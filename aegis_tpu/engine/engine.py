@@ -97,11 +97,35 @@ class AegisEngine:
 
     # -------------------------------------------------------------- phase one
 
+    def _neural_params(self):
+        """PitchNet weights, loaded once and kept device-resident."""
+        if not hasattr(self, "_pitchnet_params"):
+            import jax
+            from aegis_tpu.models.pitchnet import load_params
+
+            self._pitchnet_params = jax.device_put(load_params())
+        return self._pitchnet_params
+
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
                  turbo, fetch_mel: bool = True,
-                 turbo_config=None) -> Dict[str, np.ndarray]:
+                 turbo_config=None, pitch_backend: str = "pyin"
+                 ) -> Dict[str, np.ndarray]:
         """turbo: False = fused single program, True = sharded tiles,
-        "stream" = bounded-memory slab streaming (multi-minute tracks)."""
+        "stream" = bounded-memory slab streaming (multi-minute tracks).
+        pitch_backend: "pyin" (default, the F1-gated parity path) or
+        "neural" (PitchNet — fused mel/rake/RMS + learned f0, no Viterbi;
+        see models/pitchnet.py)."""
+        if pitch_backend == "neural":
+            from aegis_tpu.models.pitchnet import run_analyze_neural
+
+            return run_analyze_neural(y, self.sr, self.hop_length,
+                                      self._neural_params(),
+                                      rake_sensitivity,
+                                      n_fft=self.audio.n_fft,
+                                      n_mels=self.audio.n_mels,
+                                      fetch_mel=fetch_mel)
+        if pitch_backend != "pyin":
+            raise ValueError(f"unknown pitch backend: {pitch_backend!r}")
         if self.backend != "ref":
             try:
                 if turbo == "stream":
@@ -155,7 +179,8 @@ class AegisEngine:
         with phase("aegis.perception", quiet=True):
             out = self._analyze(y, rake_sensitivity, turbo_mode,
                                 kwargs.get("fetch_mel", True),
-                                kwargs.get("turbo_config", None))
+                                kwargs.get("turbo_config", None),
+                                kwargs.get("pitch_backend", "pyin"))
 
         raw = {
             "rake_mask": np.asarray(out["rake_mask"]),

@@ -1,0 +1,143 @@
+"""Synthetic guitar-like training data for PitchNet.
+
+Fully vectorized NumPy synthesis (no per-sample Python loops) of short
+single-gesture clips with exact per-sample f0 ground truth:
+
+  * voiced clips — additive plucked-tone model: 6 partials with random
+    spectral rolloff and slight inharmonicity, fast attack + exponential
+    decay, optional vibrato (sine FM) and pitch chirp (slides/bends), a
+    short broadband pluck transient, and a random noise floor.  This is the
+    same family of signals the reference's own oracle uses
+    (generate_test_signal.py:5-53 Karplus-Strong + rake bursts) but with a
+    continuous f0 label track.
+  * unvoiced clips — white noise, decaying broadband "rake" bursts, and
+    near-silence (which after int16 transport quantization is exactly what
+    the inference path sees).
+
+Clips are returned int16-quantized per clip — identical to the engines'
+device transport convention (core/analyze.py::quantize_pcm16) so training
+and inference see the same quantization noise.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+LABEL_HOP = 128  # f0/voicing ground truth every 128 samples
+
+
+def make_clips(
+    n: int,
+    clip_len: int = 16384,
+    sr: int = 22050,
+    seed: int = 0,
+    voiced_frac: float = 0.85,
+    fmin: float = 80.0,
+    fmax: float = 1000.0,
+) -> Dict[str, np.ndarray]:
+    """Returns {tracks (n, L) int16, scale (n,) f32,
+    f0_hz (n, L//LABEL_HOP) f32 (0 where unvoiced),
+    voiced (n, L//LABEL_HOP) bool}."""
+    rng = np.random.default_rng(seed)
+    nv = int(round(n * voiced_frac))
+    nu = n - nv
+    L = clip_len
+    t = (np.arange(L) / sr).astype(np.float32)
+
+    y = np.zeros((n, L), np.float32)
+    f0_full = np.zeros((n, L), np.float32)
+    voiced_full = np.zeros((n, L), bool)
+
+    # ---- voiced clips (in blocks to bound the (block, L) temporaries) ----
+    done = 0
+    while done < nv:
+        b = min(512, nv - done)
+        base = np.exp(rng.uniform(np.log(fmin), np.log(fmax), (b, 1))).astype(
+            np.float32)
+        has_vib = rng.random((b, 1)) < 0.5
+        vib_depth = rng.uniform(5.0, 60.0, (b, 1)) * has_vib
+        vib_rate = rng.uniform(3.5, 7.5, (b, 1))
+        vib_phase = rng.uniform(0, 2 * np.pi, (b, 1))
+        has_chirp = rng.random((b, 1)) < 0.4
+        chirp = rng.uniform(-400.0, 400.0, (b, 1)) * has_chirp  # cents/clip
+        cents = (vib_depth * np.sin(2 * np.pi * vib_rate * t + vib_phase)
+                 + chirp * (t / t[-1])).astype(np.float32)
+        f0 = base * np.exp2(cents / 1200.0)  # (b, L)
+        phase = (2 * np.pi / sr) * np.cumsum(f0, axis=1)
+
+        alpha = rng.uniform(0.5, 1.8, (b, 1))
+        inharm = rng.uniform(0.0, 2e-4, (b, 1))
+        sig = np.zeros((b, L), np.float32)
+        for k in range(1, 7):
+            amp = (k ** -alpha) * rng.uniform(0.4, 1.0, (b, 1))
+            stretch = k * np.sqrt(1.0 + inharm * k * k)
+            # partials above Nyquist alias; drop them (clip-wise, f0 is
+            # within a factor ~1.26 of base so base is a safe proxy)
+            amp = np.where(base * stretch < 0.48 * sr, amp, 0.0)
+            ph0 = rng.uniform(0, 2 * np.pi, (b, 1))
+            sig += (amp * np.sin(stretch * phase + ph0)).astype(np.float32)
+
+        attack = rng.uniform(0.002, 0.012, (b, 1)).astype(np.float32)
+        tau = rng.uniform(0.15, 1.6, (b, 1)).astype(np.float32)
+        env = (np.minimum(t / attack, 1.0)
+               * np.exp(-np.maximum(t - attack, 0.0) / tau)).astype(np.float32)
+        sig *= env
+
+        # pluck transient: 4 ms of broadband noise at the attack
+        n_pluck = max(int(0.004 * sr), 8)
+        pluck = rng.standard_normal((b, n_pluck)).astype(np.float32)
+        pluck *= rng.uniform(0.1, 0.5, (b, 1)) * np.linspace(1, 0, n_pluck)
+        sig[:, :n_pluck] += pluck
+
+        peak = np.max(np.abs(sig), axis=1, keepdims=True) + 1e-9
+        amp_out = rng.uniform(0.15, 1.0, (b, 1)).astype(np.float32)
+        sig = sig / peak * amp_out
+
+        noise_amp = (10.0 ** (rng.uniform(-60.0, -26.0, (b, 1)) / 20.0)
+                     ).astype(np.float32)
+        sig += noise_amp * rng.standard_normal((b, L)).astype(np.float32)
+
+        # voiced while the tone stands clear of the noise floor (>= ~12 dB)
+        tone_level = amp_out * env
+        vm = tone_level > 4.0 * noise_amp
+
+        y[done:done + b] = sig
+        f0_full[done:done + b] = f0
+        voiced_full[done:done + b] = vm
+        done += b
+
+    # ---- unvoiced clips --------------------------------------------------
+    if nu:
+        kind = rng.integers(0, 3, nu)
+        noise = rng.standard_normal((nu, L)).astype(np.float32)
+        amp = rng.uniform(0.02, 0.8, (nu, 1)).astype(np.float32)
+        un = noise * amp
+        # decaying broadband "rake" bursts (reference vision.py semantics)
+        burst_env = np.exp(-t / 0.03).astype(np.float32)
+        un[kind == 1] *= burst_env
+        # near-silence: amplitudes at or below 1-2 int16 LSBs
+        un[kind == 2] = (noise[kind == 2]
+                         * rng.uniform(1e-5, 1e-4, ((kind == 2).sum(), 1))
+                         .astype(np.float32))
+        y[nv:] = un
+
+    # ---- int16 transport quantization (per clip, like quantize_pcm16) ---
+    peak = np.max(np.abs(y), axis=1)
+    peak = np.where(peak > 0, peak, 1.0)
+    scale = (peak / 32767.0).astype(np.float32)
+    tracks = np.round(y / peak[:, None] * 32767.0).astype(np.int16)
+
+    f0_lab = f0_full[:, ::LABEL_HOP].copy()
+    v_lab = voiced_full[:, ::LABEL_HOP].copy()
+    f0_lab[~v_lab] = 0.0
+
+    # shuffle so device batches mix voiced/unvoiced
+    perm = rng.permutation(n)
+    return {
+        "tracks": tracks[perm],
+        "scale": scale[perm],
+        "f0_hz": f0_lab[perm],
+        "voiced": v_lab[perm],
+    }

@@ -1,0 +1,333 @@
+"""PitchNet — a learned monophonic pitch tracker as an alternative backend.
+
+A small spectrum-input MLP (SwiftF0/CREPE-tiny family, PAPERS.md) mapping a
+2048-sample window's normalized log-magnitude spectrum to a 192-bin pitch
+salience distribution (25-cent bins from one semitone below E2) plus a
+voicing logit.  Everything is MXU-shaped: featurization is one matmul-DFT,
+the trunk is dense layers, inference over a whole track is a single fused
+XLA program (frames -> features -> net -> f0 decode, packed output buffer).
+
+Design rationale vs the reference: the reference's only pitch tracker is
+librosa.pyin (aegis_engine_core/worker.py:9-15).  pYIN's cost is the
+O(frame_len x max_lag) CMNDF plus a sequential Viterbi scan; PitchNet
+replaces both with two dense matmuls per frame — no recurrence at all —
+which makes it the fastest analyze path and a second, independent opinion
+on pitch for verification work.
+
+The engines expose it as ``audio_to_midi(..., pitch_backend="neural")``;
+the default remains pYIN (the F1-gated parity path).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from aegis_tpu.config import NOTE_E2_HZ
+
+SR_NATIVE = 22050  # the net is trained at this rate; other rates resample
+WIN = 2048
+N_RFFT = WIN // 2 + 1
+FMIN_HZ = float(NOTE_E2_HZ * 2.0 ** (-1.0 / 12.0))  # one semitone below E2
+CENTS_PER_BIN = 25.0
+N_BINS = 192  # covers FMIN .. FMIN * 2^(191*25/1200) ~ 1226 Hz (above C6)
+HIDDEN = (512, 256)
+
+_DEFAULT_WEIGHTS = os.path.join(os.path.dirname(__file__), "weights",
+                                "pitchnet_v1.npz")
+
+
+# --------------------------------------------------------------------- model
+
+
+def _model(hidden: Tuple[int, ...] = HIDDEN):
+    import flax.linen as nn
+
+    class PitchNet(nn.Module):
+        @nn.compact
+        def __call__(self, feats):  # (B, N_RFFT) -> ((B, N_BINS), (B,))
+            x = feats
+            for h in hidden:
+                x = nn.relu(nn.Dense(h)(x))
+            pitch_logits = nn.Dense(N_BINS)(x)
+            voiced_logit = nn.Dense(1)(x)[..., 0]
+            return pitch_logits, voiced_logit
+
+    return PitchNet()
+
+
+def init_params(seed: int = 0, hidden: Tuple[int, ...] = HIDDEN):
+    import jax
+
+    model = _model(hidden)
+    feats = np.zeros((1, N_RFFT), np.float32)
+    return model.init(jax.random.PRNGKey(seed), feats)["params"]
+
+
+def apply_model(params, feats, hidden: Tuple[int, ...] = HIDDEN):
+    return _model(hidden).apply({"params": params}, feats)
+
+
+def featurize(windows):
+    """(B, WIN) f32 audio windows -> (B, N_RFFT) standardized log-magnitude.
+
+    Per-window standardization makes the features gain-invariant, so deep
+    into a note's decay the spectrum still looks like the attack's — the
+    voicing head learns tone-vs-noise shape, not level."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.filters import dft_matrices, hann_window
+
+    cos, sin = dft_matrices(WIN)  # matmul-DFT: keep the spectrum on the MXU
+    w = windows * jnp.asarray(hann_window(WIN))[None, :]
+    power = (w @ jnp.asarray(cos)) ** 2 + (w @ jnp.asarray(sin)) ** 2
+    logm = 0.5 * jnp.log1p(power)
+    mu = logm.mean(axis=-1, keepdims=True)
+    sd = logm.std(axis=-1, keepdims=True)
+    return (logm - mu) / (sd + 1e-5)
+
+
+def bin_centers_cents() -> np.ndarray:
+    return (np.arange(N_BINS) * CENTS_PER_BIN).astype(np.float32)
+
+
+def decode_f0(pitch_logits, voiced_logit):
+    """Logits -> (f0_hz, voiced_prob): local expectation over the 9 bins
+    around the argmax (CREPE's decoding), giving sub-bin cents precision."""
+    import jax
+    import jax.numpy as jnp
+
+    p = jax.nn.softmax(pitch_logits, axis=-1)  # (B, N_BINS)
+    centers = jnp.asarray(bin_centers_cents())
+    best = jnp.argmax(p, axis=-1)  # (B,)
+    offs = jnp.arange(-4, 5)
+    idx = jnp.clip(best[:, None] + offs[None, :], 0, N_BINS - 1)
+    pw = jnp.take_along_axis(p, idx, axis=-1)
+    cw = centers[idx]
+    cents = (pw * cw).sum(-1) / (pw.sum(-1) + 1e-9)
+    f0 = FMIN_HZ * jnp.exp2(cents / 1200.0)
+    return f0, jax.nn.sigmoid(voiced_logit)
+
+
+# ---------------------------------------------------------------- training
+
+
+def pitch_target(f0_hz, voiced):
+    """Gaussian-blurred one-hot over the cents grid (sigma ~30 cents);
+    uniform for unvoiced frames (they carry no pitch loss anyway)."""
+    import jax.numpy as jnp
+
+    cents = 1200.0 * jnp.log2(jnp.maximum(f0_hz, 1e-3) / FMIN_HZ)
+    centers = jnp.asarray(bin_centers_cents())
+    d = (centers[None, :] - cents[:, None]) / (1.2 * CENTS_PER_BIN)
+    g = jnp.exp(-0.5 * d * d)
+    g = g / (g.sum(-1, keepdims=True) + 1e-9)
+    uni = jnp.full((1, N_BINS), 1.0 / N_BINS)
+    return jnp.where(voiced[:, None], g, uni)
+
+
+def loss_fn(params, windows, f0_hz, voiced, hidden: Tuple[int, ...] = HIDDEN):
+    import jax.numpy as jnp
+    import optax
+
+    logits, vlogit = apply_model(params, featurize(windows), hidden)
+    target = pitch_target(f0_hz, voiced)
+    ce = optax.softmax_cross_entropy(logits, target)  # (B,)
+    vmask = voiced.astype(jnp.float32)
+    pitch_loss = (ce * vmask).sum() / (vmask.sum() + 1e-6)
+    voiced_loss = optax.sigmoid_binary_cross_entropy(vlogit, vmask).mean()
+    return pitch_loss + voiced_loss
+
+
+def sample_windows(rng, tracks16, scale, f0_hz, voiced, batch: int):
+    """Device-side batch sampler: random (clip, offset) crops gathered from
+    the resident int16 clip bank; labels read at the window center."""
+    import jax
+    import jax.numpy as jnp
+
+    n, L = tracks16.shape
+    r1, r2 = jax.random.split(rng)
+    ci = jax.random.randint(r1, (batch,), 0, n)
+    off = jax.random.randint(r2, (batch,), 0, L - WIN + 1)
+
+    def crop(i, o):
+        row = jax.lax.dynamic_slice(tracks16, (i, o), (1, WIN))[0]
+        return row.astype(jnp.float32)
+
+    wins = jax.vmap(crop)(ci, off) * scale[ci][:, None]
+    lab = jnp.clip((off + WIN // 2) // 128, 0, f0_hz.shape[1] - 1)
+    return wins, f0_hz[ci, lab], voiced[ci, lab]
+
+
+def make_train_step(mesh=None, batch: int = 256,
+                    hidden: Tuple[int, ...] = HIDDEN):
+    """Build the jitted training step:
+    (params, opt_state, base_rng, step_idx, bank...) -> (params, opt_state,
+    loss).  The per-step RNG is folded INSIDE the program (one dispatch per
+    step — host-side key splitting would double the tunneled dispatch
+    count).  With a mesh, the sampled window batch is sharded over every
+    mesh axis (pure data parallelism; params stay replicated and XLA
+    inserts the gradient psum over ICI)."""
+    import optax
+
+    def step(params, opt_state, base_rng, step_idx, tracks16, scale,
+             f0_hz, voiced):
+        rng = jax.random.fold_in(base_rng, step_idx)
+        wins, f0b, vb = sample_windows(rng, tracks16, scale, f0_hz, voiced,
+                                       batch)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dp = PartitionSpec(mesh.axis_names)
+            wins = jax.lax.with_sharding_constraint(
+                wins, NamedSharding(mesh, PartitionSpec(mesh.axis_names,
+                                                        None)))
+            f0b = jax.lax.with_sharding_constraint(
+                f0b, NamedSharding(mesh, dp))
+            vb = jax.lax.with_sharding_constraint(vb, NamedSharding(mesh, dp))
+        loss, grads = jax.value_and_grad(loss_fn)(params, wins, f0b, vb,
+                                                  hidden)
+        updates, opt_state = _optimizer().update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def _optimizer():
+    import optax
+
+    return optax.adamw(3e-4, weight_decay=1e-5)
+
+
+def init_train_state(seed: int = 0, hidden: Tuple[int, ...] = HIDDEN):
+    params = init_params(seed, hidden)
+    return params, _optimizer().init(params)
+
+
+# ------------------------------------------------------------- checkpoints
+
+
+def save_params(params, path: str) -> None:
+    flat = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v).astype(np.float16)
+
+    walk(params)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path: Optional[str] = None) -> Dict:
+    """Load a checkpoint as a nested f32 param dict.  Raises
+    FileNotFoundError when no checkpoint exists (callers surface that as
+    'neural backend unavailable')."""
+    path = path or _DEFAULT_WEIGHTS
+    with np.load(path) as z:
+        tree: Dict = {}
+        for key in z.files:
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key].astype(np.float32)
+    return tree
+
+
+def have_default_weights() -> bool:
+    return os.path.exists(_DEFAULT_WEIGHTS)
+
+
+# ------------------------------------------------------- fused analyze path
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "hop_length", "n_fft", "n_mels",
+                     "include_mel"))
+def analyze_neural_program_packed(y16, scale, rake_sensitivity, params,
+                                  sample_rate: int, hop_length: int,
+                                  n_fft: int, n_mels: int,
+                                  include_mel: bool = True):
+    """The v1 Perception Phase with PitchNet in place of pYIN — mel, rake,
+    RMS, onset envelope and neural f0/voicing in ONE fused program with the
+    same packed (T, n_mels + 6) output layout as core.analyze._V1_ROWS."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core import dsp, masks
+    from aegis_tpu.core.cqt import onset_strength_t
+
+    y = y16.astype(jnp.float32) * scale
+    mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
+    mel_db = dsp.power_to_db(mel)
+    rake = masks.detect_rake(mel_db, hop_length, sample_rate,
+                             rake_sensitivity)
+    rms_ = dsp.rms(y, WIN, hop_length)
+    onset_env = onset_strength_t(mel)
+
+    frames = dsp.frame_signal(y, WIN, hop_length, "constant")  # (T, WIN)
+    logits, vlogit = apply_model(params, featurize(frames))
+    f0, vprob = decode_f0(logits, vlogit)
+    voiced = vprob > 0.5
+    f0 = jnp.where(voiced, f0, jnp.nan)
+
+    T = f0.shape[0]
+    cols = [f0, voiced, vprob, rms_, rake, onset_env]
+    head = [mel_db] if include_mel else []
+    return jnp.concatenate(
+        head + [jnp.broadcast_to(c.astype(jnp.float32), (T,))[:, None]
+                for c in cols], axis=1)
+
+
+def run_analyze_neural(
+    y: np.ndarray,
+    sr: int,
+    hop_length: int,
+    params,
+    rake_sensitivity: float = 0.6,
+    n_fft: int = 2048,
+    n_mels: int = 128,
+    fetch_mel: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Host wrapper mirroring core.analyze.run_analyze for the neural
+    backend.  Non-native sample rates are resampled to 22.05 kHz with the
+    hop scaled to preserve the frame rate (44100/512 -> 22050/256), so the
+    returned arrays align frame-for-frame with the pYIN path's."""
+    from aegis_tpu.core.analyze import _V1_ROWS, _unpack, pad_to_bucket, \
+        quantize_pcm16
+
+    expect_frames = 1 + len(y) // hop_length
+    if sr != SR_NATIVE:
+        from aegis_tpu.io.audio import resample
+
+        y = resample(np.asarray(y, np.float32), sr, SR_NATIVE)
+        hop22 = max(int(round(hop_length * SR_NATIVE / sr)), 1)
+    else:
+        hop22 = hop_length
+
+    import jax.numpy as jnp
+
+    y_pad = pad_to_bucket(np.asarray(y, np.float32))
+    y16, s = quantize_pcm16(y_pad)
+    packed = analyze_neural_program_packed(
+        jnp.asarray(y16), jnp.float32(s), jnp.float32(rake_sensitivity),
+        params, SR_NATIVE, hop22, n_fft, n_mels, fetch_mel)
+    true_frames = 1 + len(y) // hop22
+    buf = np.asarray(packed)[:true_frames]
+    if true_frames != expect_frames:  # resample rounding: pad/trim edge
+        if true_frames > expect_frames:
+            buf = buf[:expect_frames]
+        else:
+            buf = np.pad(buf, ((0, expect_frames - true_frames), (0, 0)),
+                         mode="edge")
+    return _unpack(buf, _V1_ROWS, n_mels if fetch_mel else 0)

@@ -244,6 +244,16 @@ class AegisServer:
                     turbo_mode = "stream" if effective > thr else "off"
                 # dur unknown (no ffprobe): pass "auto" through — the engine
                 # resolves it from the decoded length with the same rule
+            pitch_backend = query.get("pitch_backend", "pyin")
+            if pitch_backend not in ("pyin", "neural"):
+                raise HTTPError(400,
+                                f"unknown pitch backend: {pitch_backend}")
+            if pitch_backend == "neural":
+                from aegis_tpu.models.pitchnet import have_default_weights
+
+                if not have_default_weights():
+                    raise HTTPError(400, "neural backend unavailable: "
+                                         "no PitchNet checkpoint")
             try:
                 raw = self.engine.audio_to_midi(
                     sess["file_path"], None,
@@ -253,6 +263,7 @@ class AegisServer:
                     stream_threshold_s=coerce(query, "stream_threshold_s",
                                               240.0),
                     rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
+                    pitch_backend=pitch_backend,
                 )
             except ValueError as e:  # undecodable upload is a CLIENT error
                 raise HTTPError(400, f"could not decode audio: {e}")

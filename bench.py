@@ -8,7 +8,7 @@ contract:
 
     {"metric": "realtime_factor", "value": N, "unit": "x_realtime",
      "vs_baseline": N/4.8,
-     "v1_rtf": ..., "poly_rtf": ..., "folder_sweep_s": ...,
+     "v1_rtf": ..., "neural_rtf": ..., "poly_rtf": ..., "folder_sweep_s": ...,
      "folder_rtf_aggregate": ..., "auto_match_s": ..., "reverse_s": ...,
      "per_note_s": ..., "technique_s": ...}
 
@@ -100,6 +100,20 @@ def main() -> None:
     v1_iter()  # compile
     print("# v1 60s two-phase:", file=sys.stderr)
     v1_rtf = duration / _median_time(v1_iter, 3)
+
+    # ---------------- neural (PitchNet) backend on the same track -----------
+    from aegis_tpu.models.pitchnet import have_default_weights
+
+    neural_rtf = 0.0
+    if have_default_weights():
+        def neural_iter():
+            raw = v1.audio_to_midi(y, None, fetch_mel=False,
+                                   pitch_backend="neural")
+            v1.extract_events(raw, None)
+
+        neural_iter()  # compile
+        print("# neural (PitchNet) 60s two-phase:", file=sys.stderr)
+        neural_rtf = duration / _median_time(neural_iter, 3)
 
     # ---------------- polyphonic CQT engine (10 s chord track) --------------
     from aegis_tpu.engine.poly import AegisPolyEngine
@@ -242,6 +256,7 @@ def main() -> None:
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 4.8, 2),
         "v1_rtf": round(v1_rtf, 1),
+        "neural_rtf": round(neural_rtf, 1),
         "poly_rtf": round(poly_rtf, 1),
         "folder_sweep_s": round(folder_s, 3),
         "folder_rtf_aggregate": round(folder_rtf, 1),

@@ -1,0 +1,160 @@
+"""PitchNet (models/) tests: data generator invariants, decode math,
+learning sanity, committed-checkpoint accuracy, engine integration, and the
+mesh-sharded training step."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aegis_tpu.models import pitchnet as pn
+from aegis_tpu.models.data import LABEL_HOP, make_clips
+
+
+def _tone(sr, f, dur=1.0, decay=2.0):
+    t = np.arange(int(sr * dur)) / sr
+    env = np.exp(-decay * t)
+    y = env * sum(a * np.sin(2 * np.pi * f * (k + 1) * t)
+                  for k, a in enumerate([1.0, 0.5, 0.25]))
+    return (0.8 * y / np.max(np.abs(y))).astype(np.float32)
+
+
+# ----------------------------------------------------------------- data gen
+
+
+def test_make_clips_shapes_and_labels():
+    d = make_clips(32, clip_len=4096, seed=3, voiced_frac=0.75)
+    assert d["tracks"].shape == (32, 4096) and d["tracks"].dtype == np.int16
+    assert d["f0_hz"].shape == (32, 4096 // LABEL_HOP)
+    # labels: voiced frames carry a positive f0, unvoiced carry 0
+    assert (d["f0_hz"][d["voiced"]] > 0).all()
+    assert (d["f0_hz"][~d["voiced"]] == 0).all()
+    # roughly the requested voiced fraction (clip-level)
+    frac = d["voiced"].any(axis=1).mean()
+    assert 0.5 < frac <= 0.85
+    # per-clip peak scaling uses the full int16 range (transport parity
+    # with core.analyze.quantize_pcm16)
+    assert (np.abs(d["tracks"]).max(axis=1) == 32767).all()
+
+
+# ------------------------------------------------------------- decode math
+
+
+def test_decode_f0_bin_roundtrip():
+    for b in (5, 60, 150):
+        logits = np.full((1, pn.N_BINS), -10.0, np.float32)
+        logits[0, b] = 10.0
+        f0, vp = pn.decode_f0(jnp.asarray(logits), jnp.asarray([3.0]))
+        want = pn.FMIN_HZ * 2.0 ** (b * pn.CENTS_PER_BIN / 1200.0)
+        assert abs(float(f0[0]) / want - 1.0) < 1e-3
+        assert float(vp[0]) > 0.9
+
+
+def test_pitch_target_peak_at_true_bin():
+    f0 = np.array([pn.FMIN_HZ * 2 ** (40 * pn.CENTS_PER_BIN / 1200.0)],
+                  np.float32)
+    tgt = np.asarray(pn.pitch_target(jnp.asarray(f0), jnp.asarray([True])))
+    assert tgt.shape == (1, pn.N_BINS)
+    assert tgt[0].argmax() == 40
+    assert abs(tgt[0].sum() - 1.0) < 1e-3
+
+
+# ------------------------------------------------------------ learning loop
+
+
+def test_train_step_learns():
+    d = make_clips(96, clip_len=4096, seed=11)
+    params, opt_state = pn.init_train_state(0, hidden=(64,))
+    step = pn.make_train_step(None, batch=64, hidden=(64,))
+    args = (jnp.asarray(d["tracks"]), jnp.asarray(d["scale"]),
+            jnp.asarray(d["f0_hz"]), jnp.asarray(d["voiced"]))
+    key = jax.random.PRNGKey(2)
+    first = None
+    for i in range(60):
+        params, opt_state, loss = step(params, opt_state, key, np.int32(i),
+                                       *args)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.7 * first, (first, float(loss))
+
+
+def test_train_step_sharded_matches_finite():
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "time"))
+    d = make_clips(32, clip_len=4096, seed=5)
+    params, opt_state = pn.init_train_state(0, hidden=(64,))
+    step = pn.make_train_step(mesh, batch=32, hidden=(64,))
+    params, opt_state, loss = step(
+        params, opt_state, jax.random.PRNGKey(0), np.int32(0),
+        jnp.asarray(d["tracks"]), jnp.asarray(d["scale"]),
+        jnp.asarray(d["f0_hz"]), jnp.asarray(d["voiced"]))
+    assert np.isfinite(float(loss))
+
+
+# ------------------------------------------- committed checkpoint accuracy
+
+
+needs_weights = pytest.mark.skipif(not pn.have_default_weights(),
+                                   reason="no committed pitchnet checkpoint")
+
+
+@needs_weights
+def test_checkpoint_tracks_clean_tones():
+    params = pn.load_params()
+    for f in (110.0, 196.0, 440.0):
+        y = _tone(pn.SR_NATIVE, f)
+        out = pn.run_analyze_neural(y, pn.SR_NATIVE, 512, params,
+                                    fetch_mel=False)
+        v = out["voiced_flag"]
+        assert v.mean() > 0.5, f
+        med = np.median(out["f0"][v])
+        cents = abs(1200 * np.log2(med / f))
+        assert cents < 50, (f, med, cents)
+
+
+@needs_weights
+def test_checkpoint_rejects_noise():
+    rng = np.random.default_rng(0)
+    y = (0.3 * rng.standard_normal(pn.SR_NATIVE)).astype(np.float32)
+    out = pn.run_analyze_neural(y, pn.SR_NATIVE, 512, None or pn.load_params(),
+                                fetch_mel=False)
+    assert out["voiced_flag"].mean() < 0.4
+
+
+@needs_weights
+def test_engine_neural_backend():
+    from aegis_tpu.engine.engine import AegisEngine
+
+    for sr in (22050, 44100):
+        eng = AegisEngine(sample_rate=sr)
+        y = np.concatenate([_tone(sr, 196.0, 0.6), _tone(sr, 293.66, 0.6)])
+        raw = eng.audio_to_midi(y, None, pitch_backend="neural")
+        assert raw["f0"].shape == (1 + len(y) // eng.hop_length,)
+        buf = io.BytesIO()
+        ev = eng.extract_events(raw, buf, confidence_threshold=0.3)
+        notes = {e["note"] for e in ev}
+        assert {55, 62} <= notes, (sr, notes)
+
+    with pytest.raises(ValueError):
+        AegisEngine()._analyze(np.zeros(2048, np.float32), 0.6, False,
+                               pitch_backend="bogus")
+
+
+# --------------------------------------------------------- checkpoint io
+
+
+def test_save_load_roundtrip(tmp_path):
+    params = pn.init_params(0, hidden=(32,))
+    path = str(tmp_path / "w.npz")
+    pn.save_params(jax.device_get(params), path)
+    loaded = pn.load_params(path)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), b, atol=2e-3)

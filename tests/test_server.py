@@ -377,3 +377,32 @@ def test_streaming_endpoints(server_url):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_analyze_neural_backend(server_url):
+    """pitch_backend=neural routes analysis through PitchNet; bad backend
+    names are a 400."""
+    import urllib.error
+
+    from aegis_tpu.models.pitchnet import have_default_weights
+
+    buf = io.BytesIO()
+    write_wav(buf, two_tone(sr=SR), SR)
+    status, _, data = _req(f"{server_url}/api/upload?name=nn.wav", "POST",
+                           buf.getvalue())
+    sid = json.loads(data)["session_id"]
+
+    try:
+        _req(f"{server_url}/api/analyze/{sid}?pitch_backend=psychic", "POST")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    if not have_default_weights():
+        pytest.skip("no committed PitchNet checkpoint")
+    status, _, data = _req(
+        f"{server_url}/api/analyze/{sid}?pitch_backend=neural"
+        f"&confidence_threshold=0.5", "POST")
+    assert status == 200
+    j = json.loads(data)
+    assert {e["note"] for e in j["events"]} >= {55, 62}
