@@ -7,7 +7,8 @@ import os
 import tempfile
 
 from aegis_tpu.apps.common import audio_player, require_streamlit
-from aegis_tpu.synth.stems import DEMUCS_MODELS, find_demucs, separate_all_stems
+from aegis_tpu.synth.stems import (DEMUCS_MODELS, find_demucs, separate_hpss,
+                                   separate_all_stems)
 
 
 def main() -> None:
@@ -15,11 +16,13 @@ def main() -> None:
     st.set_page_config(page_title="Stem Lab", layout="centered")
     st.title("🥁 Stem Lab")
 
-    if find_demucs() is None:
-        st.warning("Demucs binary not found (PATH / $AEGIS_DEMUCS_BIN). "
-                   "Separation unavailable; the engine will use the full mix.")
+    have_demucs = find_demucs() is not None
+    if not have_demucs:
+        st.info("Demucs binary not found (PATH / $AEGIS_DEMUCS_BIN); "
+                "the on-device HPSS separator is available instead.")
 
-    model = st.selectbox("Model", list(DEMUCS_MODELS))
+    choices = (list(DEMUCS_MODELS) if have_demucs else []) + ["hpss (on-device)"]
+    model = st.selectbox("Model", choices)
     upload = st.file_uploader("Audio", type=["wav", "mp3", "flac"])
     if upload is None or st.button("Separate") is False:
         return
@@ -27,10 +30,16 @@ def main() -> None:
     with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
         f.write(upload.getvalue())
     with st.status("Separating…"):
-        stems = separate_all_stems(f.name, tempfile.mkdtemp(), model=model)
+        if model.startswith("hpss"):
+            harm = separate_hpss(f.name, tempfile.mkdtemp())
+            stem_dir = os.path.dirname(harm)
+            stems = [os.path.join(stem_dir, n)
+                     for n in ("other.wav", "drums.wav")]
+        else:
+            stems = separate_all_stems(f.name, tempfile.mkdtemp(), model=model)
     os.unlink(f.name)
     if not stems:
-        st.error("Separation failed or Demucs unavailable.")
+        st.error("Separation failed.")
         return
     for path in stems:
         name = os.path.basename(path)

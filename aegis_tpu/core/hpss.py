@@ -1,0 +1,153 @@
+"""Harmonic/percussive source separation (HPSS) on device.
+
+A TPU-native stem separator (Fitzgerald 2010, the librosa.effects.hpss
+algorithm family): harmonic content forms time-continuous ridges in the
+spectrogram, percussive content forms frequency-continuous columns, so a
+median filter along time enhances harmonics, one along frequency enhances
+percussion, and soft Wiener masks split the complex STFT.
+
+This backs the reference's Demucs wrapper (aegis_engine_core/stems.py:12-29)
+when the external binary is unavailable: instead of silently returning the
+original mix, the engine can strip drums/transients on the chip in
+milliseconds (synth/stems.py method="hpss"/"auto").
+
+TPU-first choices:
+  * STFT/iSTFT are matmul-DFTs on the MXU (core/filters.dft_matrices),
+    frames built from contiguous slice+reshape copies (core/dsp.frame_signal)
+    — no FFT unit, no gathers.
+  * The overlap-add inverse is scatter-free: with hop | n_fft the output is
+    the sum of n_fft/hop statically-shifted contiguous reshapes (the exact
+    adjoint of frame_signal's fast path).  Scatter-adds serialize on TPU
+    (CLAUDE.md); shifted adds don't.
+  * Median windows are built as stacked shifted slices and reduced with
+    jnp.median (a sort over a 17-wide trailing axis — tiny).
+
+NumPy oracle: aegis_tpu/ref/hpss_ref.py (parity-tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aegis_tpu.core.dsp import frame_signal
+from aegis_tpu.core.filters import dft_matrices, hann_window
+
+
+def _idft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse one-sided DFT as matmul operands: frame = R @ icos + I @ isin
+    with shapes (n_bins, n_fft).  Interior bins carry the conjugate-symmetry
+    factor 2."""
+    n_bins = 1 + n_fft // 2
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    w = np.full((n_bins, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    icos = (w * np.cos(ang) / n_fft).astype(np.float32)
+    isin = (w * np.sin(ang) / n_fft).astype(np.float32)
+    return icos, isin
+
+
+def stft_complex(y: jnp.ndarray, n_fft: int, hop_length: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Centered Hann STFT as (real, imag), each (T, 1+n_fft//2)."""
+    cos, nsin = dft_matrices(n_fft)  # nsin is already -sin(ang)
+    frames = frame_signal(y, n_fft, hop_length, "constant")
+    fw = frames * jnp.asarray(hann_window(n_fft))[None, :]
+    return fw @ jnp.asarray(cos), fw @ jnp.asarray(nsin)
+
+
+def istft(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop_length: int,
+          length: int) -> jnp.ndarray:
+    """Inverse STFT with Hann synthesis window and window-sum-square
+    normalization, scatter-free overlap-add (requires hop | n_fft)."""
+    assert n_fft % hop_length == 0, "istft fast path needs hop | n_fft"
+    icos, isin = _idft_matrices(n_fft)
+    win = hann_window(n_fft)
+    frames = (real @ jnp.asarray(icos) - imag @ jnp.asarray(isin))
+    frames = frames * jnp.asarray(win)[None, :]
+
+    T = frames.shape[0]
+    k = n_fft // hop_length
+    pad = n_fft // 2  # centered framing offset
+    out_len = T * hop_length + n_fft
+    out = jnp.zeros(out_len, frames.dtype)
+    for j in range(k):
+        seg = frames[:, j * hop_length:(j + 1) * hop_length].reshape(-1)
+        out = out.at[j * hop_length: j * hop_length + T * hop_length].add(seg)
+
+    # window-sum-square normalization (precomputed on host: same shifted
+    # accumulation of win^2 — data-independent)
+    wss = np.zeros(out_len, np.float32)
+    w2 = (win * win).astype(np.float32)
+    for t in range(T):
+        wss[t * hop_length: t * hop_length + n_fft] += w2
+    out = out / jnp.asarray(np.maximum(wss, 1e-8))
+    return out[pad: pad + length]
+
+
+def _median_along(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    """Running median of odd window `size` along `axis`, edge-padded —
+    built from `size` statically shifted slices (no gathers)."""
+    half = size // 2
+    pads = [(0, 0), (0, 0)]
+    pads[axis] = (half, half)
+    xp = jnp.pad(x, pads, mode="edge")
+    n = x.shape[axis]
+    slices = []
+    for j in range(size):
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(j, j + n)
+        slices.append(xp[tuple(sl)])
+    return jnp.median(jnp.stack(slices, axis=-1), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
+                                             "kernel_time", "kernel_freq",
+                                             "length"))
+def hpss_program(y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 512,
+                 kernel_time: int = 17, kernel_freq: int = 17,
+                 power: float = 2.0, length: int | None = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused program: STFT -> dual median filters -> soft masks ->
+    two iSTFTs.  Returns (harmonic, percussive) waveforms of `length`."""
+    y = y.astype(jnp.float32)
+    n = length if length is not None else y.shape[0]
+    real, imag = stft_complex(y, n_fft, hop_length)
+    S = jnp.sqrt(real * real + imag * imag)  # (T, F) magnitude
+
+    H = _median_along(S, kernel_time, axis=0)   # harmonic: smooth in time
+    P = _median_along(S, kernel_freq, axis=1)   # percussive: smooth in freq
+
+    Hp = H ** power
+    Pp = P ** power
+    denom = Hp + Pp + 1e-10
+    mh = Hp / denom
+    mp = Pp / denom
+
+    y_h = istft(real * mh, imag * mh, n_fft, hop_length, n)
+    y_p = istft(real * mp, imag * mp, n_fft, hop_length, n)
+    return y_h, y_p
+
+
+def hpss(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512,
+         kernel_time: int = 17, kernel_freq: int = 17,
+         power: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Host wrapper: bucket-pad (compile-cache friendly), int16 transport,
+    run the fused program, trim."""
+    from aegis_tpu.core.analyze import pad_to_bucket, quantize_pcm16
+
+    n = len(y)
+    y_pad = pad_to_bucket(np.asarray(y, np.float32))
+    y16, s = quantize_pcm16(y_pad)
+    y_dev = jnp.asarray(y16).astype(jnp.float32) * jnp.float32(s)
+    y_h, y_p = hpss_program(y_dev, n_fft, hop_length, kernel_time,
+                            kernel_freq, power, length=len(y_pad))
+    return np.asarray(y_h)[:n], np.asarray(y_p)[:n]

@@ -5,6 +5,12 @@ when it is unavailable (aegis_engine_core/stems.py:12-29, with a hardcoded
 user path we do not replicate).  Demucs is discovered on PATH or via
 $AEGIS_DEMUCS_BIN; retraining/porting the model is out of scope (SURVEY.md
 §2.7).
+
+Beyond-reference: when Demucs is absent, ``method="auto"`` (the default)
+degrades to on-device harmonic/percussive separation (core/hpss.py) instead
+of silently returning the unseparated mix — drums and pick transients are
+stripped on the chip in milliseconds, which is exactly what the downstream
+monophonic pitch tracker wants.  ``method="hpss"`` forces it.
 """
 
 from __future__ import annotations
@@ -28,12 +34,45 @@ def find_demucs() -> Optional[str]:
     return shutil.which("demucs")
 
 
+def separate_hpss(input_wav: str, output_dir: str) -> str:
+    """On-device harmonic/percussive split; returns the harmonic stem path
+    (the guitar-ish content) and writes the percussive stem alongside it."""
+    import numpy as np
+
+    from aegis_tpu.core.hpss import hpss
+    from aegis_tpu.io.audio import load_audio
+    from aegis_tpu.io.wav import write_wav
+
+    y, sr = load_audio(input_wav, sr=None)
+    y_h, y_p = hpss(np.asarray(y, np.float32))
+    base = os.path.splitext(os.path.basename(input_wav))[0]
+    stem_dir = os.path.join(output_dir, "hpss", base)
+    os.makedirs(stem_dir, exist_ok=True)
+    harm = os.path.join(stem_dir, "other.wav")
+    write_wav(harm, y_h, sr)
+    write_wav(os.path.join(stem_dir, "drums.wav"), y_p, sr)
+    log.info(f"HPSS stems written to {stem_dir}")
+    return harm
+
+
 def separate_stems(input_wav: str, output_dir: str,
-                   model: str = "htdemucs", timeout: float = 600.0) -> str:
-    """Run Demucs 4-stem separation; return the 'other' stem (guitar/synth)
-    or the original input if Demucs is unavailable or fails."""
+                   model: str = "htdemucs", timeout: float = 600.0,
+                   method: str = "auto") -> str:
+    """Return the guitar-ish stem: Demucs 'other' when available, the
+    on-device HPSS harmonic stem otherwise (method="auto"); "demucs" and
+    "hpss" force one path.  Falls back to the original input only when the
+    forced method fails."""
+    if method == "hpss":
+        return separate_hpss(input_wav, output_dir)
     binary = find_demucs()
     if binary is None:
+        if method == "auto":
+            log.info("demucs not found; on-device HPSS fallback")
+            try:
+                return separate_hpss(input_wav, output_dir)
+            except Exception as e:
+                log.warning(f"HPSS failed ({e}); using original mix")
+                return input_wav
         log.warning("demucs not found; using original mix")
         return input_wav
     try:

@@ -1,0 +1,71 @@
+"""HPSS (core/hpss.py): iSTFT exactness, device-vs-oracle parity,
+separation quality, and the stems-wrapper fallback."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from aegis_tpu.core.hpss import hpss, hpss_program, istft, stft_complex
+from aegis_tpu.ref.hpss_ref import hpss_ref
+
+SR = 22050
+
+
+def _mix(dur=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * dur)) / SR
+    tone = 0.5 * np.sin(2 * np.pi * 220 * t) + 0.25 * np.sin(2 * np.pi * 440 * t)
+    clicks = np.zeros_like(t)
+    for c in np.arange(0.1, dur - 0.05, 0.15):
+        k = int(c * SR)
+        clicks[k:k + 80] += rng.standard_normal(80) * 0.6
+    return (tone + clicks).astype(np.float32), tone, clicks
+
+
+def test_istft_roundtrip_exact():
+    t = np.arange(8192) / SR
+    y = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    r, i = stft_complex(jnp.asarray(y), 2048, 512)
+    rec = np.asarray(istft(r, i, 2048, 512, len(y)))
+    assert np.abs(rec - y).max() < 1e-5
+
+
+def test_hpss_program_matches_oracle():
+    y, _, _ = _mix()
+    yh, yp = hpss_program(jnp.asarray(y), length=len(y))
+    yh_r, yp_r = hpss_ref(y)
+    assert np.abs(np.asarray(yh) - yh_r).max() < 1e-4
+    assert np.abs(np.asarray(yp) - yp_r).max() < 1e-4
+
+
+def test_hpss_separates_tone_from_clicks():
+    y, tone, clicks = _mix()
+    yh, yp = hpss(y)
+    assert np.corrcoef(yh, tone)[0, 1] > 0.95
+    assert np.corrcoef(yp, clicks)[0, 1] > 0.7
+    # energy conservation within the masked decomposition (soft masks sum
+    # to ~1 per bin)
+    assert abs((yh + yp).mean() - y.mean()) < 0.05
+
+
+def test_separate_stems_hpss_fallback(tmp_path, monkeypatch):
+    from aegis_tpu.io.wav import write_wav
+    from aegis_tpu.synth import stems
+
+    y, _, _ = _mix(0.5)
+    src = str(tmp_path / "in.wav")
+    write_wav(src, y, SR)
+
+    monkeypatch.setattr(stems, "find_demucs", lambda: None)
+    out = stems.separate_stems(src, str(tmp_path), method="auto")
+    assert out != src and out.endswith("other.wav") and os.path.exists(out)
+    assert os.path.exists(os.path.join(os.path.dirname(out), "drums.wav"))
+
+    forced = stems.separate_stems(src, str(tmp_path / "f"), method="hpss")
+    assert forced.endswith("other.wav")
+
+    from aegis_tpu.io.wav import read_wav
+
+    yh, sr2 = read_wav(out)
+    assert sr2 == SR and len(yh) == len(y)
