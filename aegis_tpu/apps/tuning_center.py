@@ -55,7 +55,12 @@ def main() -> None:
         st.header("Analysis modes")
         turbo = st.checkbox("Turbo (sharded tiles)", value=False)
         zen = st.checkbox("Zen mode (minimal UI)", value=False)
-        use_stem = st.checkbox("External stem (Demucs)", value=False)
+        use_stem = st.checkbox("Stem separation (Demucs, or on-device HPSS)",
+                               value=False)
+        from aegis_tpu.models.pitchnet import have_default_weights
+
+        neural = (st.checkbox("Neural pitch tracker (PitchNet)", value=False)
+                  if have_default_weights() else False)
 
         st.header("Phase 1 — Perception")
         rake_sens = st.slider("Rake sensitivity", 0.1, 1.0, 0.6, 0.05)
@@ -125,7 +130,8 @@ def main() -> None:
         os.unlink(f.name)
 
     key = phase1_cache_key(file_bytes, start=start_time, end=end_time,
-                           rake=rake_sens, turbo=turbo, stem=use_stem)
+                           rake=rake_sens, turbo=turbo, stem=use_stem,
+                           neural=neural)
     if st.session_state.get("p1_key") != key:
         with st.status("Perception Phase (analyze once)…"):
             raw = engine.audio_to_midi(
@@ -134,6 +140,7 @@ def main() -> None:
                 end_time=end_time or None,
                 turbo_mode=turbo,
                 rake_sensitivity=rake_sens,
+                pitch_backend="neural" if neural else "pyin",
             )
         if raw is None:
             st.error("Empty audio.")
