@@ -120,14 +120,23 @@ def main() -> None:
     engine = st.session_state.setdefault("engine", AegisEngine(sample_rate=44100))
 
     if use_stem:
-        import tempfile, os
+        # cache the separated stem by upload content: every widget
+        # interaction reruns this script, and the HPSS fallback is a real
+        # device program (unlike the old return-the-input no-op)
+        stem_key = phase1_cache_key(file_bytes, op="stem")
+        if st.session_state.get("stem_key") != stem_key:
+            import tempfile, os
 
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-            f.write(file_bytes)
-        stem_path = engine.separate_stems(f.name, tempfile.mkdtemp())
-        with open(stem_path, "rb") as sf_:
-            file_bytes = sf_.read()
-        os.unlink(f.name)
+            with tempfile.NamedTemporaryFile(suffix=".wav",
+                                             delete=False) as f:
+                f.write(file_bytes)
+            with st.status("Separating stems…"):
+                stem_path = engine.separate_stems(f.name, tempfile.mkdtemp())
+            with open(stem_path, "rb") as sf_:
+                st.session_state["stem_bytes"] = sf_.read()
+            st.session_state["stem_key"] = stem_key
+            os.unlink(f.name)
+        file_bytes = st.session_state["stem_bytes"]
 
     key = phase1_cache_key(file_bytes, start=start_time, end=end_time,
                            rake=rake_sens, turbo=turbo, stem=use_stem,

@@ -134,20 +134,53 @@ def hpss_program(y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 512,
 
     y_h = istft(real * mh, imag * mh, n_fft, hop_length, n)
     y_p = istft(real * mp, imag * mp, n_fft, hop_length, n)
-    return y_h, y_p
+    # ONE stacked output = one device->host transfer (CLAUDE.md: each
+    # transfer costs ~25-30 ms through the tunnel)
+    return jnp.stack([y_h, y_p])
+
+
+# Above this many samples the fused program's (T, F, kernel) median stacks
+# get large (~17x the spectrogram); process in exact overlapping slabs.
+_SLAB_SAMPLES = 1 << 21  # ~95 s @ 22050
 
 
 def hpss(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512,
          kernel_time: int = 17, kernel_freq: int = 17,
          power: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: bucket-pad (compile-cache friendly), int16 transport,
-    run the fused program, trim."""
+    one packed (2, n) fetch.  Tracks longer than ~95 s run as overlapping
+    slabs with a halo of (kernel_time//2)*hop + 2*n_fft samples: a kept
+    sample depends on frames within n_fft/hop of it, whose median context
+    reaches kernel_time//2 frames further, whose analysis windows reach
+    n_fft/2 further still — the halo covers that whole chain, so every kept
+    sample sees the identical median context and overlap-add window sum as
+    the unsliced program (exact, bounded memory)."""
     from aegis_tpu.core.analyze import pad_to_bucket, quantize_pcm16
 
+    y = np.asarray(y, np.float32)
     n = len(y)
-    y_pad = pad_to_bucket(np.asarray(y, np.float32))
-    y16, s = quantize_pcm16(y_pad)
-    y_dev = jnp.asarray(y16).astype(jnp.float32) * jnp.float32(s)
-    y_h, y_p = hpss_program(y_dev, n_fft, hop_length, kernel_time,
-                            kernel_freq, power, length=len(y_pad))
-    return np.asarray(y_h)[:n], np.asarray(y_p)[:n]
+
+    def run(seg: np.ndarray) -> np.ndarray:
+        seg_pad = pad_to_bucket(seg)
+        y16, s = quantize_pcm16(seg_pad)
+        y_dev = jnp.asarray(y16).astype(jnp.float32) * jnp.float32(s)
+        hp = hpss_program(y_dev, n_fft, hop_length, kernel_time,
+                          kernel_freq, power, length=len(seg_pad))
+        return np.asarray(hp)[:, :len(seg)]
+
+    if n <= _SLAB_SAMPLES:
+        out = run(y)
+        return out[0][:n], out[1][:n]
+
+    halo = (kernel_time // 2) * hop_length + 2 * n_fft
+    step = _SLAB_SAMPLES - 2 * halo
+    parts = []
+    for start in range(0, n, step):
+        a = max(start - halo, 0)
+        b = min(start + step + halo, n)
+        seg_out = run(y[a:b])
+        keep_lo = start - a
+        keep_hi = keep_lo + min(step, n - start)
+        parts.append(seg_out[:, keep_lo:keep_hi])
+    out = np.concatenate(parts, axis=1)
+    return out[0][:n], out[1][:n]

@@ -119,6 +119,11 @@ class AegisEngine:
         if pitch_backend == "neural":
             from aegis_tpu.models.pitchnet import run_analyze_neural
 
+            if turbo:
+                log.warning(
+                    f"neural backend runs the fused single program; "
+                    f"turbo={turbo!r} ignored (use pyin for sharded/"
+                    f"bounded-memory analysis of very long tracks)")
             return run_analyze_neural(y, self.sr, self.hop_length,
                                       self._neural_params(),
                                       rake_sensitivity,

@@ -124,8 +124,13 @@ def make_clips(
         y[nv:] = un
 
     # ---- int16 transport quantization (per clip, like quantize_pcm16) ---
+    # Near-silent clips are NOT peak-normalized: at inference quantize_pcm16
+    # scales by the whole track's peak, so quiet passages genuinely occupy
+    # 1-2 LSBs with coarse staircase spectra — normalizing them here would
+    # train the voicing head on smooth noise it never sees in production.
     peak = np.max(np.abs(y), axis=1)
-    peak = np.where(peak > 0, peak, 1.0)
+    quiet = peak < 1e-3
+    peak = np.where(quiet | (peak <= 0), 1.0, peak)
     scale = (peak / 32767.0).astype(np.float32)
     tracks = np.round(y / peak[:, None] * 32767.0).astype(np.int16)
 

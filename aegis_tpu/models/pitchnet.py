@@ -158,8 +158,10 @@ def sample_windows(rng, tracks16, scale, f0_hz, voiced, batch: int):
         row = jax.lax.dynamic_slice(tracks16, (i, o), (1, WIN))[0]
         return row.astype(jnp.float32)
 
+    from aegis_tpu.models.data import LABEL_HOP
+
     wins = jax.vmap(crop)(ci, off) * scale[ci][:, None]
-    lab = jnp.clip((off + WIN // 2) // 128, 0, f0_hz.shape[1] - 1)
+    lab = jnp.clip((off + WIN // 2) // LABEL_HOP, 0, f0_hz.shape[1] - 1)
     return wins, f0_hz[ci, lab], voiced[ci, lab]
 
 
@@ -261,32 +263,88 @@ def analyze_neural_program_packed(y16, scale, rake_sensitivity, params,
                                   include_mel: bool = True):
     """The v1 Perception Phase with PitchNet in place of pYIN — mel, rake,
     RMS, onset envelope and neural f0/voicing in ONE fused program with the
-    same packed (T, n_mels + 6) output layout as core.analyze._V1_ROWS."""
+    same packed (T, n_mels + 6) output layout as core.analyze._V1_ROWS.
+    Native-rate (22.05 kHz) single-input variant."""
     import jax.numpy as jnp
 
+    from aegis_tpu.core.analyze import _V1_ROWS, _pack
+    from aegis_tpu.core import dsp
+
+    y = y16.astype(jnp.float32) * scale
+    out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
+                            n_fft, n_mels)
+    frames = dsp.frame_signal(y, WIN, hop_length, "constant")  # (T, WIN)
+    out.update(_neural_pitch(params, frames))
+    return _pack(out, _V1_ROWS, include_mel)
+
+
+def _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length, n_fft,
+                      n_mels):
+    """mel/rake/RMS/onset at the caller's ORIGINAL rate and hop — identical
+    semantics to core.analyze.analyze_program's non-pitch rows."""
     from aegis_tpu.core import dsp, masks
     from aegis_tpu.core.cqt import onset_strength_t
 
-    y = y16.astype(jnp.float32) * scale
     mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
     mel_db = dsp.power_to_db(mel)
     rake = masks.detect_rake(mel_db, hop_length, sample_rate,
                              rake_sensitivity)
-    rms_ = dsp.rms(y, WIN, hop_length)
-    onset_env = onset_strength_t(mel)
+    return {
+        "mel_db": mel_db,
+        "rake_mask": rake,
+        "rms": dsp.rms(y, WIN, hop_length),
+        "onset_env": onset_strength_t(mel),
+    }
 
-    frames = dsp.frame_signal(y, WIN, hop_length, "constant")  # (T, WIN)
+
+def _neural_pitch(params, frames):
+    import jax.numpy as jnp
+
     logits, vlogit = apply_model(params, featurize(frames))
     f0, vprob = decode_f0(logits, vlogit)
     voiced = vprob > 0.5
-    f0 = jnp.where(voiced, f0, jnp.nan)
+    return {"f0": jnp.where(voiced, f0, jnp.nan), "voiced_flag": voiced,
+            "voiced_probs": vprob}
 
-    T = f0.shape[0]
-    cols = [f0, voiced, vprob, rms_, rake, onset_env]
-    head = [mel_db] if include_mel else []
-    return jnp.concatenate(
-        head + [jnp.broadcast_to(c.astype(jnp.float32), (T,))[:, None]
-                for c in cols], axis=1)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "hop_length", "n_fft", "n_mels",
+                     "include_mel", "uniform_hop22"))
+def analyze_neural_program_dual(y16, scale, y22_16, scale22, centers,
+                                rake_sensitivity, params,
+                                sample_rate: int, hop_length: int,
+                                n_fft: int, n_mels: int,
+                                include_mel: bool = True,
+                                uniform_hop22: int = 0):
+    """Two-rate variant for sample rates other than 22.05 kHz: the mel /
+    rake / RMS / onset rows run on the ORIGINAL-rate signal with the
+    original hop (exact frame grid, same semantics as the pYIN path), while
+    the pitch head runs on the 22.05 kHz resample — framed uniformly when
+    hop*22050/sr is integral (uniform_hop22 > 0, e.g. 44100/512 -> 256), or
+    gathered at per-frame rounded centers otherwise (exact alignment at any
+    rate; a (T, WIN) gather is slower but correct)."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.analyze import _V1_ROWS, _pack
+    from aegis_tpu.core import dsp
+
+    y = y16.astype(jnp.float32) * scale
+    out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
+                            n_fft, n_mels)
+    T = out["rms"].shape[0]
+
+    y22 = y22_16.astype(jnp.float32) * scale22
+    if uniform_hop22:
+        frames = dsp.frame_signal(y22, WIN, uniform_hop22, "constant")
+        frames = frames[:T]
+    else:
+        pad = WIN // 2
+        y22p = jnp.pad(y22, pad)
+        idx = centers[:T, None] + jnp.arange(WIN)[None, :]  # centered
+        frames = y22p[jnp.clip(idx, 0, y22p.shape[0] - 1)]
+    out.update(_neural_pitch(params, frames))
+    return _pack(out, _V1_ROWS, include_mel)
 
 
 def run_analyze_neural(
@@ -300,34 +358,46 @@ def run_analyze_neural(
     fetch_mel: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Host wrapper mirroring core.analyze.run_analyze for the neural
-    backend.  Non-native sample rates are resampled to 22.05 kHz with the
-    hop scaled to preserve the frame rate (44100/512 -> 22050/256), so the
-    returned arrays align frame-for-frame with the pYIN path's."""
+    backend.  The non-pitch rows (mel/rake/RMS/onset) always use the
+    caller's exact (sr, hop) frame grid; only the pitch head sees a
+    22.05 kHz resample, aligned per frame (uniform stride when divisible,
+    rounded centers otherwise) — no cumulative timing drift at any rate."""
     from aegis_tpu.core.analyze import _V1_ROWS, _unpack, pad_to_bucket, \
         quantize_pcm16
 
-    expect_frames = 1 + len(y) // hop_length
-    if sr != SR_NATIVE:
-        from aegis_tpu.io.audio import resample
-
-        y = resample(np.asarray(y, np.float32), sr, SR_NATIVE)
-        hop22 = max(int(round(hop_length * SR_NATIVE / sr)), 1)
-    else:
-        hop22 = hop_length
-
     import jax.numpy as jnp
 
+    true_frames = 1 + len(y) // hop_length
     y_pad = pad_to_bucket(np.asarray(y, np.float32))
     y16, s = quantize_pcm16(y_pad)
-    packed = analyze_neural_program_packed(
-        jnp.asarray(y16), jnp.float32(s), jnp.float32(rake_sensitivity),
-        params, SR_NATIVE, hop22, n_fft, n_mels, fetch_mel)
-    true_frames = 1 + len(y) // hop22
-    buf = np.asarray(packed)[:true_frames]
-    if true_frames != expect_frames:  # resample rounding: pad/trim edge
-        if true_frames > expect_frames:
-            buf = buf[:expect_frames]
+    rs = jnp.float32(rake_sensitivity)
+
+    if sr == SR_NATIVE:
+        packed = analyze_neural_program_packed(
+            jnp.asarray(y16), jnp.float32(s), rs, params, sr, hop_length,
+            n_fft, n_mels, fetch_mel)
+    else:
+        from aegis_tpu.io.audio import resample
+
+        y22 = resample(np.asarray(y, np.float32), sr, SR_NATIVE)
+        num = hop_length * SR_NATIVE
+        uniform = num % sr == 0
+        hop22 = num // sr if uniform else 0
+        # pad so the pitch framing covers every original-grid frame
+        T_pad = 1 + len(y_pad) // hop_length
+        need = (T_pad * (hop22 or int(np.ceil(num / sr)))) + WIN
+        y22_pad = np.pad(y22, (0, max(need - len(y22), 0)))
+        y22_16, s22 = quantize_pcm16(y22_pad)
+        if uniform:
+            centers = jnp.zeros((1,), jnp.int32)  # unused placeholder
         else:
-            buf = np.pad(buf, ((0, expect_frames - true_frames), (0, 0)),
-                         mode="edge")
+            # window start in the WIN//2-padded y22 = the rounded center
+            # itself (start = c - WIN//2 unpadded, +WIN//2 pad offset)
+            c = np.round(np.arange(T_pad) * num / sr).astype(np.int32)
+            centers = jnp.asarray(c)
+        packed = analyze_neural_program_dual(
+            jnp.asarray(y16), jnp.float32(s), jnp.asarray(y22_16),
+            jnp.float32(s22), centers, rs, params, sr, hop_length,
+            n_fft, n_mels, fetch_mel, hop22)
+    buf = np.asarray(packed)[:true_frames]
     return _unpack(buf, _V1_ROWS, n_mels if fetch_mel else 0)

@@ -3,7 +3,9 @@
 The whole synthetic clip bank lives device-resident (int16, one upload);
 each step is ONE device dispatch (crop sampling, featurization, loss,
 grads, optimizer all fused).  On a tunneled single-chip backend 3000 steps
-run in ~2 minutes; on a multi-device mesh pass --mesh to shard the batch.
+run in ~5 minutes.  Multi-device data-parallel training is available from
+the API — ``train(..., mesh=your_mesh)`` — and is exercised by
+``__graft_entry__.dryrun_multichip``.
 
 Prints progress to stderr and a final JSON metrics line to stdout:
   {"loss": ..., "rpa_50c": ..., "voicing_acc": ..., "median_cents_err": ...}
@@ -26,7 +28,7 @@ def evaluate(params, n_clips: int = 192, clip_len: int = 16384,
     import jax.numpy as jnp
 
     from aegis_tpu.models import pitchnet as pn
-    from aegis_tpu.models.data import make_clips
+    from aegis_tpu.models.data import LABEL_HOP, make_clips
 
     d = make_clips(n_clips, clip_len, seed=seed)
     y = d["tracks"].astype(np.float32) * d["scale"][:, None]
@@ -34,7 +36,7 @@ def evaluate(params, n_clips: int = 192, clip_len: int = 16384,
     wins, f0_true, v_true = [], [], []
     for o in offs:
         wins.append(y[:, o:o + pn.WIN])
-        li = min((o + pn.WIN // 2) // 128, d["f0_hz"].shape[1] - 1)
+        li = min((o + pn.WIN // 2) // LABEL_HOP, d["f0_hz"].shape[1] - 1)
         f0_true.append(d["f0_hz"][:, li])
         v_true.append(d["voiced"][:, li])
     wins = np.concatenate(wins)

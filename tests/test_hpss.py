@@ -33,10 +33,29 @@ def test_istft_roundtrip_exact():
 
 def test_hpss_program_matches_oracle():
     y, _, _ = _mix()
-    yh, yp = hpss_program(jnp.asarray(y), length=len(y))
+    out = np.asarray(hpss_program(jnp.asarray(y), length=len(y)))
     yh_r, yp_r = hpss_ref(y)
-    assert np.abs(np.asarray(yh) - yh_r).max() < 1e-4
-    assert np.abs(np.asarray(yp) - yp_r).max() < 1e-4
+    assert np.abs(out[0] - yh_r).max() < 1e-4
+    assert np.abs(out[1] - yp_r).max() < 1e-4
+
+
+def test_hpss_slab_mode_matches_unsliced():
+    """Force the slab path on a short mix and check it equals the one-shot
+    program (the halo argument: exact, not approximate)."""
+    from aegis_tpu.core import hpss as H
+
+    y, _, _ = _mix(2.0)
+    yh1, yp1 = hpss(y)
+    old = H._SLAB_SAMPLES
+    try:
+        H._SLAB_SAMPLES = 1 << 15  # ~1.5 s -> several slabs
+        yh2, yp2 = hpss(y)
+    finally:
+        H._SLAB_SAMPLES = old
+    # int16 transport is per-slab (slab peak vs track peak) so allow
+    # quantization-level differences, not structural ones
+    assert np.abs(yh1 - yh2).max() < 2e-3
+    assert np.abs(yp1 - yp2).max() < 2e-3
 
 
 def test_hpss_separates_tone_from_clicks():

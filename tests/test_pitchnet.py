@@ -34,9 +34,12 @@ def test_make_clips_shapes_and_labels():
     # roughly the requested voiced fraction (clip-level)
     frac = d["voiced"].any(axis=1).mean()
     assert 0.5 < frac <= 0.85
-    # per-clip peak scaling uses the full int16 range (transport parity
-    # with core.analyze.quantize_pcm16)
-    assert (np.abs(d["tracks"]).max(axis=1) == 32767).all()
+    # per-clip peak scaling uses the full int16 range for normal clips;
+    # near-silent clips stay at a few LSBs (what a track-peak-scaled quiet
+    # passage really looks like after int16 transport)
+    peaks = np.abs(d["tracks"]).max(axis=1)
+    assert ((peaks == 32767) | (peaks < 100)).all()
+    assert (peaks < 100).any(), "expected some near-silence clips"
 
 
 # ------------------------------------------------------------- decode math
@@ -114,6 +117,25 @@ def test_checkpoint_tracks_clean_tones():
         med = np.median(out["f0"][v])
         cents = abs(1200 * np.log2(med / f))
         assert cents < 50, (f, med, cents)
+
+
+@needs_weights
+def test_non_native_rates_align():
+    """44100 (uniform 256-hop) and 48000 (centers-gather) both produce
+    original-grid frame counts with correct pitch — no cumulative drift."""
+    params = pn.load_params()
+    for sr in (44100, 48000):
+        y = _tone(sr, 196.0, 1.0)
+        out = pn.run_analyze_neural(y, sr, 512, params, fetch_mel=False)
+        assert out["f0"].shape == (1 + len(y) // 512,)
+        v = out["voiced_flag"]
+        assert v.mean() > 0.5, sr
+        med = np.median(out["f0"][v])
+        assert abs(1200 * np.log2(med / 196.0)) < 50, (sr, med)
+        # the tone dies at the end; the last frames must not be voiced
+        # at a wrong time position (alignment, not just accuracy)
+        first_half = v[: len(v) // 2].mean()
+        assert first_half > 0.9, sr
 
 
 @needs_weights
