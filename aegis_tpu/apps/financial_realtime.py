@@ -29,6 +29,10 @@ def main() -> None:
         rake = st.slider("Rake sensitivity", 0.1, 1.0, 0.6, 0.05)
         guitar_filters = st.checkbox("Guitar-specific filters", True)
         turbo = st.checkbox("Turbo (sharded tiles)", False)
+        from aegis_tpu.models.pitchnet import have_default_weights
+
+        neural = (st.checkbox("Neural pitch tracker (PitchNet)", False)
+                  if have_default_weights() else False)
         auto_thr = st.checkbox("Adaptive confidence threshold", True)
         conf = None if auto_thr else st.slider("Confidence", 0.1, 0.95, 0.30)
         gate = st.slider("Noise gate (dB)", -80, -10, -40)
@@ -37,12 +41,13 @@ def main() -> None:
         harmonic = st.checkbox("Harmonic (key/scale) filter", True)
 
     key = phase1_cache_key(file_bytes, rake=rake, gf=guitar_filters,
-                           turbo=turbo)
+                           turbo=turbo, neural=neural)
     if st.session_state.get("fin_key") != key:
         with st.status("Financial analysis on device…"):
-            analysis = engine.analyze(file_bytes, rake_sensitivity=rake,
-                                      use_guitar_filters=guitar_filters,
-                                      turbo_mode=turbo)
+            analysis = engine.analyze(
+                file_bytes, rake_sensitivity=rake,
+                use_guitar_filters=guitar_filters, turbo_mode=turbo,
+                pitch_backend="neural" if neural else "pyin")
         st.session_state["fin_key"] = key
         st.session_state["fin_analysis"] = analysis
     analysis = st.session_state["fin_analysis"]

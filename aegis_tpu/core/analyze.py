@@ -102,19 +102,12 @@ def analyze_program(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("audio", "pyin_cfg", "use_guitar_filters"))
-def analyze_financial_program(
-    y: jnp.ndarray,
-    rake_sensitivity: jnp.ndarray,
-    audio: AudioConfig,
-    pyin_cfg: PyinConfig,
-    use_guitar_filters: bool = True,
-) -> Dict[str, jnp.ndarray]:
-    """v2 pipeline phases 1-4a on device (reference
-    aegis_engine_financial.py:73-188 + financial_analysis.py:368-423):
-    mel/rake/pYIN/RMS plus guitar-specific filters and the financial trend,
-    articulation, slide and confidence analysis."""
-    base = analyze_program(y, rake_sensitivity, audio, pyin_cfg)
+def financial_tail(base: Dict[str, jnp.ndarray], audio: AudioConfig,
+                   use_guitar_filters: bool = True) -> Dict[str, jnp.ndarray]:
+    """Phases 3.5-4a on top of ANY base analysis dict with
+    {f0, voiced_flag, voiced_probs, rake_mask, mel_db}: guitar-specific
+    filters plus the financial trend/articulation/slide/confidence stack.
+    Shared by the pYIN and neural (models/pitchnet.py) financial programs."""
     f0, voiced, rake = base["f0"], base["voiced_flag"], base["rake_mask"]
     mel_db = base["mel_db"]
 
@@ -147,6 +140,22 @@ def analyze_financial_program(
         "combined_confidence": combined_conf,
         "adaptive_threshold": adaptive_thr,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("audio", "pyin_cfg", "use_guitar_filters"))
+def analyze_financial_program(
+    y: jnp.ndarray,
+    rake_sensitivity: jnp.ndarray,
+    audio: AudioConfig,
+    pyin_cfg: PyinConfig,
+    use_guitar_filters: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """v2 pipeline phases 1-4a on device (reference
+    aegis_engine_financial.py:73-188 + financial_analysis.py:368-423):
+    mel/rake/pYIN/RMS plus guitar-specific filters and the financial trend,
+    articulation, slide and confidence analysis."""
+    base = analyze_program(y, rake_sensitivity, audio, pyin_cfg)
+    return financial_tail(base, audio, use_guitar_filters)
 
 
 # Per-frame output rows packed alongside mel_db into ONE device buffer: a

@@ -49,9 +49,30 @@ class AegisFinancialEngine:
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
                  use_guitar_filters: bool,
                  fetch_mel: bool = True,
-                 turbo=False, turbo_config=None) -> Dict[str, np.ndarray]:
+                 turbo=False, turbo_config=None,
+                 pitch_backend: str = "pyin") -> Dict[str, np.ndarray]:
         """turbo: False = fused single program, True = sharded tiles,
-        "stream" = bounded-memory slab streaming."""
+        "stream" = bounded-memory slab streaming.  pitch_backend="neural"
+        swaps pYIN for PitchNet in the fused program (fused mode only;
+        see engine.AegisEngine._analyze)."""
+        if pitch_backend == "neural":
+            from aegis_tpu.models.pitchnet import load_params, \
+                run_analyze_neural
+
+            if turbo:
+                log.warning(f"neural backend runs the fused single program;"
+                            f" turbo={turbo!r} ignored")
+            if not hasattr(self, "_pitchnet_params"):
+                import jax
+
+                self._pitchnet_params = jax.device_put(load_params())
+            return run_analyze_neural(
+                y, self.sr, self.hop_length, self._pitchnet_params,
+                rake_sensitivity, n_fft=self.audio.n_fft,
+                n_mels=self.audio.n_mels, fetch_mel=fetch_mel,
+                financial=True, use_guitar_filters=use_guitar_filters)
+        if pitch_backend != "pyin":
+            raise ValueError(f"unknown pitch backend: {pitch_backend!r}")
         if self.backend != "ref":
             try:
                 if turbo == "stream":
@@ -110,6 +131,7 @@ class AegisFinancialEngine:
                 kwargs.get("fetch_mel", True),
                 turbo_mode,
                 kwargs.get("turbo_config", None),
+                kwargs.get("pitch_backend", "pyin"),
             )
         out["y"] = y
         return out

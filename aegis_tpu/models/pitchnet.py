@@ -347,6 +347,35 @@ def analyze_neural_program_dual(y16, scale, y22_16, scale22, centers,
     return _pack(out, _V1_ROWS, include_mel)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "hop_length", "n_fft", "n_mels",
+                     "include_mel", "use_guitar_filters"))
+def analyze_neural_financial_packed(y16, scale, rake_sensitivity, params,
+                                    sample_rate: int, hop_length: int,
+                                    n_fft: int, n_mels: int,
+                                    include_mel: bool = True,
+                                    use_guitar_filters: bool = True):
+    """The v2 financial Perception Phase with PitchNet in place of pYIN:
+    neural base rows + the shared guitar-filter/trend tail
+    (core.analyze.financial_tail), packed as _FIN_ROWS."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.config import AudioConfig
+    from aegis_tpu.core import dsp
+    from aegis_tpu.core.analyze import _FIN_ROWS, _pack, financial_tail
+
+    y = y16.astype(jnp.float32) * scale
+    out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
+                            n_fft, n_mels)
+    frames = dsp.frame_signal(y, WIN, hop_length, "constant")
+    out.update(_neural_pitch(params, frames))
+    audio = AudioConfig(sample_rate=sample_rate, hop_length=hop_length,
+                        n_fft=n_fft, n_mels=n_mels)
+    return _pack(financial_tail(out, audio, use_guitar_filters),
+                 _FIN_ROWS, include_mel)
+
+
 def run_analyze_neural(
     y: np.ndarray,
     sr: int,
@@ -356,14 +385,19 @@ def run_analyze_neural(
     n_fft: int = 2048,
     n_mels: int = 128,
     fetch_mel: bool = True,
+    financial: bool = False,
+    use_guitar_filters: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Host wrapper mirroring core.analyze.run_analyze for the neural
     backend.  The non-pitch rows (mel/rake/RMS/onset) always use the
     caller's exact (sr, hop) frame grid; only the pitch head sees a
     22.05 kHz resample, aligned per frame (uniform stride when divisible,
-    rounded centers otherwise) — no cumulative timing drift at any rate."""
-    from aegis_tpu.core.analyze import _V1_ROWS, _unpack, pad_to_bucket, \
-        quantize_pcm16
+    rounded centers otherwise) — no cumulative timing drift at any rate.
+    financial=True appends the guitar-filter/trend tail (_FIN_ROWS);
+    supported at the native 22.05 kHz rate (the financial engine's
+    default)."""
+    from aegis_tpu.core.analyze import _FIN_ROWS, _V1_ROWS, _unpack, \
+        pad_to_bucket, quantize_pcm16
 
     import jax.numpy as jnp
 
@@ -372,10 +406,20 @@ def run_analyze_neural(
     y16, s = quantize_pcm16(y_pad)
     rs = jnp.float32(rake_sensitivity)
 
-    if sr == SR_NATIVE:
+    if financial and sr != SR_NATIVE:
+        raise ValueError(
+            "neural financial analysis runs at the native 22.05 kHz rate "
+            f"(engine default); got sr={sr}")
+    if financial:
+        packed = analyze_neural_financial_packed(
+            jnp.asarray(y16), jnp.float32(s), rs, params, sr, hop_length,
+            n_fft, n_mels, fetch_mel, use_guitar_filters)
+        rows = _FIN_ROWS
+    elif sr == SR_NATIVE:
         packed = analyze_neural_program_packed(
             jnp.asarray(y16), jnp.float32(s), rs, params, sr, hop_length,
             n_fft, n_mels, fetch_mel)
+        rows = _V1_ROWS
     else:
         from aegis_tpu.io.audio import resample
 
@@ -399,5 +443,6 @@ def run_analyze_neural(
             jnp.asarray(y16), jnp.float32(s), jnp.asarray(y22_16),
             jnp.float32(s22), centers, rs, params, sr, hop_length,
             n_fft, n_mels, fetch_mel, hop22)
+        rows = _V1_ROWS
     buf = np.asarray(packed)[:true_frames]
-    return _unpack(buf, _V1_ROWS, n_mels if fetch_mel else 0)
+    return _unpack(buf, rows, n_mels if fetch_mel else 0)

@@ -139,6 +139,29 @@ def test_non_native_rates_align():
 
 
 @needs_weights
+def test_neural_financial_pipeline():
+    """pitch_backend='neural' through the financial engine: _FIN_ROWS all
+    present, events detected, adaptive threshold finite."""
+    from aegis_tpu.engine.financial import AegisFinancialEngine
+    from aegis_tpu.tools.signal_gen import two_tone
+
+    eng = AegisFinancialEngine(backend="device")
+    a = eng.analyze(two_tone(sr=22050), pitch_backend="neural")
+    for k in ("trend", "artic_codes", "slide_codes", "adaptive_threshold",
+              "mute_mask", "combined_confidence"):
+        assert k in a, k
+    assert np.isfinite(a["adaptive_threshold"])
+    ev, info = eng.extract_events(a, confidence_threshold=0.3)
+    assert {55, 62} <= {e["note"] for e in ev}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # financial neural is 22050-native
+        AegisFinancialEngine(sample_rate=44100, backend="device")._analyze(
+            np.zeros(4096, np.float32), 0.6, True, pitch_backend="neural")
+
+
+@needs_weights
 def test_checkpoint_rejects_noise():
     rng = np.random.default_rng(0)
     y = (0.3 * rng.standard_normal(pn.SR_NATIVE)).astype(np.float32)
