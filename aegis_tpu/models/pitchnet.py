@@ -166,7 +166,7 @@ def sample_windows(rng, tracks16, scale, f0_hz, voiced, batch: int):
 
 
 def make_train_step(mesh=None, batch: int = 256,
-                    hidden: Tuple[int, ...] = HIDDEN):
+                    hidden: Tuple[int, ...] = HIDDEN, lr=3e-4):
     """Build the jitted training step:
     (params, opt_state, base_rng, step_idx, bank...) -> (params, opt_state,
     loss).  The per-step RNG is folded INSIDE the program (one dispatch per
@@ -193,22 +193,25 @@ def make_train_step(mesh=None, batch: int = 256,
             vb = jax.lax.with_sharding_constraint(vb, NamedSharding(mesh, dp))
         loss, grads = jax.value_and_grad(loss_fn)(params, wins, f0b, vb,
                                                   hidden)
-        updates, opt_state = _optimizer().update(grads, opt_state, params)
+        updates, opt_state = _optimizer(lr).update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def _optimizer():
+def _optimizer(lr=3e-4):
+    """lr: float or optax schedule.  A schedule adds a count to the
+    opt_state, so init_train_state must be built with the SAME lr."""
     import optax
 
-    return optax.adamw(3e-4, weight_decay=1e-5)
+    return optax.adamw(lr, weight_decay=1e-5)
 
 
-def init_train_state(seed: int = 0, hidden: Tuple[int, ...] = HIDDEN):
+def init_train_state(seed: int = 0, hidden: Tuple[int, ...] = HIDDEN,
+                     lr=3e-4):
     params = init_params(seed, hidden)
-    return params, _optimizer().init(params)
+    return params, _optimizer(lr).init(params)
 
 
 # ------------------------------------------------------------- checkpoints

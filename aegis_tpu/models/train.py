@@ -78,9 +78,14 @@ def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
     f0_hz = jnp.asarray(d["f0_hz"])
     voiced = jnp.asarray(d["voiced"])
 
-    params, opt_state = pn.init_train_state(seed)
+    import optax
+
+    lr = optax.warmup_cosine_decay_schedule(
+        0.0, 3e-4, warmup_steps=min(100, steps // 10 + 1),
+        decay_steps=steps, end_value=1e-5)
+    params, opt_state = pn.init_train_state(seed, lr=lr)
     base_rng = jax.random.PRNGKey(seed + 1)
-    step_fn = pn.make_train_step(mesh, batch)
+    step_fn = pn.make_train_step(mesh, batch, lr=lr)
 
     t0 = time.time()
     loss = None
