@@ -36,13 +36,21 @@ def make_clips(
     voiced_frac: float = 0.85,
     fmin: float = 80.0,
     fmax: float = 1000.0,
+    ks_frac: float = 0.35,
 ) -> Dict[str, np.ndarray]:
     """Returns {tracks (n, L) int16, scale (n,) f32,
     f0_hz (n, L//LABEL_HOP) f32 (0 where unvoiced),
-    voiced (n, L//LABEL_HOP) bool}."""
+    voiced (n, L//LABEL_HOP) bool}.
+
+    ks_frac of the voiced clips are Karplus-Strong plucked strings (the
+    waveform family the product's test tracks and real guitar attacks live
+    in: a full harmonic series with inharmonic attack noise) — additive
+    tones alone left the net octave-confused on rich spectra (measured:
+    34% of frames >100 cents off on the KS gating clip)."""
     rng = np.random.default_rng(seed)
     nv = int(round(n * voiced_frac))
     nu = n - nv
+    n_ks = int(round(nv * ks_frac))
     L = clip_len
     t = (np.arange(L) / sr).astype(np.float32)
 
@@ -50,8 +58,48 @@ def make_clips(
     f0_full = np.zeros((n, L), np.float32)
     voiced_full = np.zeros((n, L), bool)
 
-    # ---- voiced clips (in blocks to bound the (block, L) temporaries) ----
-    done = 0
+    # ---- Karplus-Strong plucked strings (per clip; lfilter is C-fast) ----
+    from scipy import signal as _signal
+
+    for i in range(n_ks):
+        f_want = float(np.exp(rng.uniform(np.log(fmin), np.log(fmax))))
+        # half the plucks are synthesized at 2x rate and decimated — the
+        # production 44.1 kHz path resamples to 22.05 kHz, and the
+        # anti-alias filter halves the broadband attack peak (a spectrum
+        # the net must also recognize as a note onset)
+        hi_rate = i % 2 == 1
+        sr_syn = 2 * sr if hi_rate else sr
+        L_syn = 2 * L if hi_rate else L
+        N = max(int(sr_syn / f_want), 2)
+        f_true = sr_syn / (N + 0.5)  # the averaging loop adds half a sample
+        decay = float(rng.uniform(0.994, 0.999))
+        if hi_rate:
+            decay = decay ** 0.5  # same per-second ring time at 2x rate
+        x = np.zeros(L_syn, np.float32)
+        x[:min(N, L_syn)] = rng.uniform(-1, 1, min(N, L_syn))
+        a = np.zeros(N + 2)
+        a[0] = 1.0
+        a[N] = a[N + 1] = -0.5 * decay
+        sig = _signal.lfilter([1.0], a, x).astype(np.float32)
+        if hi_rate:
+            sig = _signal.resample_poly(sig, 1, 2).astype(np.float32)[:L]
+        peak = np.abs(sig).max() + 1e-9
+        amp_out = float(rng.uniform(0.15, 1.0))
+        sig = sig / peak * amp_out
+        noise_amp = float(10.0 ** (rng.uniform(-60.0, -26.0) / 20.0))
+        sig += noise_amp * rng.standard_normal(L).astype(np.float32)
+        # voiced while the string rings above the noise floor (1.5x: pYIN
+        # tracks the decay tail well below an equal-power crossover, and
+        # cutting the label early truncated event ends)
+        blk = np.sqrt(np.mean(
+            sig.reshape(-1, LABEL_HOP) ** 2, axis=1))
+        vm = np.repeat(blk > 1.5 * noise_amp, LABEL_HOP)[:L]
+        y[i] = sig
+        f0_full[i] = f_true
+        voiced_full[i] = vm
+
+    # ---- additive voiced clips (blocks bound the (block, L) temporaries) -
+    done = n_ks
     while done < nv:
         b = min(512, nv - done)
         base = np.exp(rng.uniform(np.log(fmin), np.log(fmax), (b, 1))).astype(
@@ -69,9 +117,15 @@ def make_clips(
 
         alpha = rng.uniform(0.5, 1.8, (b, 1))
         inharm = rng.uniform(0.0, 2e-4, (b, 1))
+        # spectral-shape diversity: ~15% pure sines (the scale/benchmark
+        # clips are plain sinusoids), otherwise random partial dropout —
+        # without this the net treats single-peak spectra as unvoiced
+        pure = rng.random((b, 1)) < 0.15
         sig = np.zeros((b, L), np.float32)
         for k in range(1, 7):
             amp = (k ** -alpha) * rng.uniform(0.4, 1.0, (b, 1))
+            if k > 1:
+                amp = amp * (rng.random((b, 1)) < 0.85) * (~pure)
             stretch = k * np.sqrt(1.0 + inharm * k * k)
             # partials above Nyquist alias; drop them (clip-wise, f0 is
             # within a factor ~1.26 of base so base is a safe proxy)
@@ -95,12 +149,15 @@ def make_clips(
         amp_out = rng.uniform(0.15, 1.0, (b, 1)).astype(np.float32)
         sig = sig / peak * amp_out
 
-        noise_amp = (10.0 ** (rng.uniform(-60.0, -26.0, (b, 1)) / 20.0)
+        noise_amp = (10.0 ** (rng.uniform(-70.0, -16.0, (b, 1)) / 20.0)
                      ).astype(np.float32)
         sig += noise_amp * rng.standard_normal((b, L)).astype(np.float32)
 
-        # voiced while the tone stands clear of the noise floor (>= ~12 dB)
-        tone_level = amp_out * env
+        # voiced while the tone stands clear of the noise floor (>= ~12 dB);
+        # the attack (ramp + pluck burst) BELONGS to the note — labeling it
+        # unvoiced taught the net to call plucks noise, which delayed every
+        # onset by 4-7 frames (>50 ms F1 tolerance) on real attacks
+        tone_level = amp_out * np.maximum(env, t < (attack + 0.02))
         vm = tone_level > 4.0 * noise_amp
 
         y[done:done + b] = sig

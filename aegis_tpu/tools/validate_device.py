@@ -70,9 +70,23 @@ def validate(threshold: float = 0.99, include_bench: bool = True,
         results[name] = {"v1_f1": round(f1_v1, 4),
                          "financial_f1": round(f1_fin, 4)}
         ok = ok and f1_v1 >= threshold and f1_fin >= threshold
+
+        # informative (NON-gating): the learned backend vs the same oracle.
+        # PitchNet is not a pYIN spec mirror, so it does not gate — but its
+        # agreement on the gating clips is the honest quality number for
+        # pitch_backend="neural" beyond its synthetic eval (CLAUDE.md).
+        from aegis_tpu.models.pitchnet import have_default_weights
+
+        if have_default_weights():
+            en = dev.extract_events(
+                dev.audio_to_midi(y, None, pitch_backend="neural"), None,
+                confidence_threshold=0.3)
+            results[name]["neural_f1"] = round(f1(en, er, sr), 4)
+
         if not quiet:
-            print(f"# {name}@{sr}: v1={f1_v1:.4f} fin={f1_fin:.4f}",
-                  file=sys.stderr)
+            nf = results[name].get("neural_f1", float("nan"))
+            print(f"# {name}@{sr}: v1={f1_v1:.4f} fin={f1_fin:.4f} "
+                  f"neural={nf:.4f}", file=sys.stderr)
     return {"pass": ok, "threshold": threshold, "clips": results}
 
 
