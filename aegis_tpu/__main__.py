@@ -1,0 +1,174 @@
+"""Unified CLI: ``python -m aegis_tpu <command> ...``
+
+The reference exposes its pipelines as per-file ``__main__`` blocks
+(aegis_engine_financial.py:260-291) and leaves the rest to the UIs; here
+every pipeline is one command on a single entry point:
+
+  transcribe  WAV/MP3 -> MIDI via the v1 engine (two-phase)
+  financial   WAV/MP3 -> MIDI via the v2 financial engine (5-phase)
+  poly        WAV/MP3 -> MIDI via the polyphonic CQT engine
+  stems       separate stems (Demucs if present, on-device HPSS otherwise)
+  tabs        MIDI-adjacent: transcribe then print ASCII tablature
+  serve       start the REST API + SPA  (same as -m aegis_tpu.serve.server)
+  train       train the PitchNet checkpoint (same as -m aegis_tpu.models.train)
+  validate    on-device F1 gate (same as -m aegis_tpu.tools.validate_device)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("input", help="input audio file (wav/mp3/...)")
+    p.add_argument("output", nargs="?", default=None,
+                   help="output .mid path (default: input stem + .mid)")
+    p.add_argument("--start", type=float, default=0.0)
+    p.add_argument("--end", type=float, default=None)
+    p.add_argument("--confidence", type=float, default=None)
+    p.add_argument("--min-duration-ms", type=float, default=None)
+    p.add_argument("--sustain-ms", type=float, default=None)
+    p.add_argument("--bpm", default=None,
+                   help="a number, or 'auto' to estimate the tempo")
+    p.add_argument("--rake", type=float, default=0.6)
+    p.add_argument("--turbo", default="auto",
+                   choices=["off", "tiles", "stream", "auto"])
+
+
+def _out_path(args) -> str:
+    if args.output:
+        return args.output
+    import os
+
+    return os.path.splitext(args.input)[0] + ".mid"
+
+
+def _extract_kwargs(args) -> dict:
+    kw = {}
+    if args.confidence is not None:
+        kw["confidence_threshold"] = args.confidence
+    if args.min_duration_ms is not None:
+        kw["min_note_duration_ms"] = args.min_duration_ms
+    if args.sustain_ms is not None:
+        kw["sustain_ms"] = args.sustain_ms
+    if args.bpm is not None:
+        kw["bpm"] = args.bpm if args.bpm == "auto" else float(args.bpm)
+    return kw
+
+
+def cmd_transcribe(args) -> int:
+    from aegis_tpu.engine.engine import AegisEngine
+
+    eng = AegisEngine(sample_rate=args.sr)
+    raw = eng.audio_to_midi(args.input, None, start_time=args.start,
+                            end_time=args.end, turbo_mode=args.turbo,
+                            rake_sensitivity=args.rake,
+                            pitch_backend=args.pitch_backend)
+    if raw is None:
+        print("error: empty audio", file=sys.stderr)
+        return 1
+    out = _out_path(args)
+    events = eng.extract_events(raw, out, **_extract_kwargs(args))
+    print(f"{len(events)} events -> {out}")
+    return 0
+
+
+def cmd_financial(args) -> int:
+    from aegis_tpu.engine.financial import AegisFinancialEngine
+
+    eng = AegisFinancialEngine()
+    out = _out_path(args)
+    result = eng.audio_to_midi_financial(
+        args.input, out, rake_sensitivity=args.rake, turbo_mode=args.turbo,
+        pitch_backend=args.pitch_backend, **_extract_kwargs(args))
+    if result is None:
+        print("error: empty audio", file=sys.stderr)
+        return 1
+    print(f"-> {out}")
+    return 0
+
+
+def cmd_poly(args) -> int:
+    from aegis_tpu.engine.poly import AegisPolyEngine
+
+    eng = AegisPolyEngine()
+    out = _out_path(args)
+    events = eng.audio_to_midi(args.input, out, start_time=args.start,
+                               end_time=args.end, turbo_mode=args.turbo,
+                               **_extract_kwargs(args))
+    if events is None:
+        print("error: empty audio", file=sys.stderr)
+        return 1
+    print(f"{len(events)} events -> {out}")
+    return 0
+
+
+def cmd_stems(args) -> int:
+    from aegis_tpu.synth.stems import separate_stems
+
+    path = separate_stems(args.input, args.output_dir, method=args.method)
+    print(path)
+    return 0 if path != args.input else 2
+
+
+def cmd_tabs(args) -> int:
+    from aegis_tpu.engine.engine import AegisEngine
+    from aegis_tpu.midi.tabs import generate_tabs, render_ascii_tab
+
+    eng = AegisEngine(sample_rate=args.sr)
+    raw = eng.audio_to_midi(args.input, None, start_time=args.start,
+                            end_time=args.end, turbo_mode=args.turbo,
+                            rake_sensitivity=args.rake,
+                            pitch_backend=args.pitch_backend)
+    if raw is None:
+        print("error: empty audio", file=sys.stderr)
+        return 1
+    events = eng.extract_events(raw, None, **_extract_kwargs(args))
+    print(render_ascii_tab(generate_tabs(events)))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="aegis_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    for name, fn in (("transcribe", cmd_transcribe),
+                     ("financial", cmd_financial),
+                     ("poly", cmd_poly), ("tabs", cmd_tabs)):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("--sr", type=int,
+                       default=22050 if name == "financial" else 44100)
+        p.add_argument("--pitch-backend", default="pyin",
+                       choices=["pyin", "neural"])
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("stems")
+    p.add_argument("input")
+    p.add_argument("output_dir")
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "demucs", "hpss"])
+    p.set_defaults(fn=cmd_stems)
+
+    for name, mod in (("serve", "aegis_tpu.serve.server"),
+                      ("train", "aegis_tpu.models.train"),
+                      ("validate", "aegis_tpu.tools.validate_device")):
+        p = sub.add_parser(name, add_help=False)
+        p.set_defaults(fn=None, module=mod)
+
+    args, rest = ap.parse_known_args(argv)
+    if args.fn is None:  # delegate to the module's own CLI
+        import importlib
+
+        sys.argv = [args.module] + rest
+        importlib.import_module(args.module).main()
+        return 0
+    if rest:
+        ap.error(f"unrecognized arguments: {' '.join(rest)}")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

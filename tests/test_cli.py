@@ -1,0 +1,63 @@
+"""Unified CLI (aegis_tpu/__main__.py): every subcommand through main()."""
+
+import numpy as np
+import pytest
+
+from aegis_tpu.__main__ import main
+from aegis_tpu.io import write_wav
+from aegis_tpu.tools.signal_gen import two_tone
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "clip.wav"
+    write_wav(str(p), two_tone(sr=22050), 22050)
+    return str(p)
+
+
+def test_transcribe(wav_path, tmp_path, capsys):
+    out = str(tmp_path / "o.mid")
+    rc = main(["transcribe", wav_path, out, "--sr", "22050",
+               "--confidence", "0.4", "--bpm", "auto"])
+    assert rc == 0
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    with open(out, "rb") as f:
+        notes = midi_to_notes(f.read())
+    assert {n["note"] for n in notes} >= {55, 62}
+
+
+def test_financial(wav_path, tmp_path):
+    out = str(tmp_path / "f.mid")
+    assert main(["financial", wav_path, out]) == 0
+
+
+def test_poly(wav_path, tmp_path):
+    out = str(tmp_path / "p.mid")
+    assert main(["poly", wav_path, out]) == 0
+
+
+def test_tabs(wav_path, capsys):
+    assert main(["tabs", wav_path, "--sr", "22050"]) == 0
+    text = capsys.readouterr().out
+    assert "e|" in text and "E|" in text
+
+
+def test_stems_hpss(wav_path, tmp_path, monkeypatch):
+    from aegis_tpu.synth import stems
+
+    monkeypatch.setattr(stems, "find_demucs", lambda: None)
+    assert main(["stems", wav_path, str(tmp_path), "--method", "hpss"]) == 0
+
+
+def test_default_output_path(wav_path, capsys):
+    rc = main(["transcribe", wav_path, "--sr", "22050"])
+    assert rc == 0
+    assert wav_path.replace(".wav", ".mid") in capsys.readouterr().out
+
+
+def test_bad_args():
+    with pytest.raises(SystemExit):
+        main(["transcribe"])  # missing input
+    with pytest.raises(SystemExit):
+        main(["nonsense"])
