@@ -110,8 +110,20 @@ def make_clips(
         vib_phase = rng.uniform(0, 2 * np.pi, (b, 1))
         has_chirp = rng.random((b, 1)) < 0.4
         chirp = rng.uniform(-400.0, 400.0, (b, 1)) * has_chirp  # cents/clip
+        # note transitions: ~25% of clips step to a new pitch mid-clip, so
+        # boundary windows (two pitches inside one window) are in
+        # distribution — without them the net emits junk-pitch blips at
+        # note changes (seen as spurious 2-frame events on the scale clip)
+        has_step = rng.random((b, 1)) < 0.25
+        t_step = rng.uniform(0.25, 0.75, (b, 1)) * t[-1]
+        step = (rng.uniform(100.0, 1200.0, (b, 1))
+                * np.sign(rng.standard_normal((b, 1))) * has_step)
+        # keep the stepped pitch inside [fmin, fmax] (and the label grid)
+        step = np.clip(step, 1200.0 * np.log2(fmin / base),
+                       1200.0 * np.log2(fmax / base))
         cents = (vib_depth * np.sin(2 * np.pi * vib_rate * t + vib_phase)
-                 + chirp * (t / t[-1])).astype(np.float32)
+                 + chirp * (t / t[-1])
+                 + step * (t >= t_step)).astype(np.float32)
         f0 = base * np.exp2(cents / 1200.0)  # (b, L)
         phase = (2 * np.pi / sr) * np.cumsum(f0, axis=1)
 

@@ -152,13 +152,14 @@ def sample_windows(rng, tracks16, scale, f0_hz, voiced, batch: int):
     n, L = tracks16.shape
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     ci = jax.random.randint(r1, (batch,), 0, n)
-    # 25% of windows drawn from the attack region: onset frames (half
-    # window silence + pluck + early ringing) are the hardest voicing
-    # decisions and only ~2% of uniformly-sampled offsets — undersampling
-    # them cost ~100 ms of onset lag on real plucks
+    # 35% of windows drawn from the attack region (window centers within
+    # ~46-139 ms of the pluck): onset frames (half window silence + pluck +
+    # early ringing) are the hardest voicing decisions and only ~2% of
+    # uniformly-sampled offsets — undersampling them cost ~100 ms of onset
+    # lag on real plucks
     off_uni = jax.random.randint(r2, (batch,), 0, L - WIN + 1)
-    off_atk = jax.random.randint(r3, (batch,), 0, min(2 * WIN, L - WIN + 1))
-    off = jnp.where(jax.random.uniform(r4, (batch,)) < 0.25, off_atk,
+    off_atk = jax.random.randint(r3, (batch,), 0, min(WIN, L - WIN + 1))
+    off = jnp.where(jax.random.uniform(r4, (batch,)) < 0.35, off_atk,
                     off_uni)
 
     def crop(i, o):
