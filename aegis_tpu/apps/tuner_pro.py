@@ -30,11 +30,17 @@ def main() -> None:
     file_bytes = upload.getvalue()
     engine = st.session_state.setdefault("engine", AegisEngine(sample_rate=44100))
 
-    key = phase1_cache_key(file_bytes, cap=30)
+    from aegis_tpu.models.pitchnet import have_default_weights
+
+    neural = (st.sidebar.checkbox("Neural pitch tracker (PitchNet)", False)
+              if have_default_weights() else False)
+    key = phase1_cache_key(file_bytes, cap=30, neural=neural)
     if st.session_state.get("pro_key") != key:
         with st.status("Analyzing (turbo, first 30 s)…"):
-            raw = engine.audio_to_midi(file_bytes, None, end_time=30.0,
-                                       turbo_mode=True)
+            raw = engine.audio_to_midi(
+                file_bytes, None, end_time=30.0,
+                turbo_mode=not neural,
+                pitch_backend="neural" if neural else "pyin")
         st.session_state["pro_key"] = key
         st.session_state["pro_raw"] = raw
     raw = st.session_state["pro_raw"]

@@ -189,6 +189,31 @@ class AegisServer:
                 "effect_presets": list(EFFECT_PRESETS.keys()),
             })
 
+        @r.get("/api/health")
+        def health(**kw):
+            """Deploy/monitoring probe: backend platform, device count,
+            live session count, available optional components."""
+            import jax
+
+            from aegis_tpu.models.pitchnet import have_default_weights
+            from aegis_tpu.synth.stems import find_demucs
+
+            try:
+                devices = jax.devices()
+                platform = devices[0].platform
+                n_devices = len(devices)
+            except Exception:  # backend init failure still reports healthy HTTP
+                platform, n_devices = "uninitialized", 0
+            return json_response({
+                "status": "ok",
+                "platform": platform,
+                "n_devices": n_devices,
+                "sessions": len(self.sessions),
+                "neural_backend": have_default_weights(),
+                "demucs": find_demucs() is not None,
+                "engine_sr": self.engine.sr,
+            })
+
         @r.post("/api/upload")
         def upload(query, body, content_type, **kw):
             dropped = self.sessions.sweep()  # evict idle sessions (TTL)

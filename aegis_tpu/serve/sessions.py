@@ -46,6 +46,10 @@ class SessionStore:
             if sid in self._sessions:
                 self._sessions[sid].update(fields)
 
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
     def sweep(self) -> int:
         """Drop sessions idle past the TTL, deleting their on-disk artifacts
         (uploaded audio, persisted raw_data checkpoint); returns the number

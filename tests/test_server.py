@@ -406,3 +406,13 @@ def test_analyze_neural_backend(server_url):
     assert status == 200
     j = json.loads(data)
     assert {e["note"] for e in j["events"]} >= {55, 62}
+
+
+def test_health(server_url):
+    status, _, data = _req(f"{server_url}/api/health")
+    assert status == 200
+    j = json.loads(data)
+    assert j["status"] == "ok"
+    assert j["platform"] == "cpu" and j["n_devices"] == 8  # test mesh
+    assert isinstance(j["sessions"], int)
+    assert isinstance(j["neural_backend"], bool)
