@@ -104,6 +104,24 @@ def cmd_poly(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Folder sweep: every track as ONE sharded device batch."""
+    from aegis_tpu.engine.poly import transcribe_folder
+
+    kw = {}
+    if args.confidence is not None:
+        kw["confidence_threshold"] = args.confidence
+    results = transcribe_folder(args.folder, args.output_dir,
+                                pattern=args.pattern,
+                                sample_rate=args.sr, **kw)
+    if not results:
+        print("no matching audio files", file=sys.stderr)
+        return 1
+    for wav, mid, n in results:
+        print(f"{wav} -> {mid} ({n} events)")
+    return 0
+
+
 def cmd_stems(args) -> int:
     from aegis_tpu.synth.stems import separate_stems
 
@@ -144,6 +162,14 @@ def main(argv=None) -> int:
         p.add_argument("--pitch-backend", default="pyin",
                        choices=["pyin", "neural"])
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("batch")
+    p.add_argument("folder")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--pattern", default="*.wav")
+    p.add_argument("--sr", type=int, default=22050)
+    p.add_argument("--confidence", type=float, default=None)
+    p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("stems")
     p.add_argument("input")

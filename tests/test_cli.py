@@ -61,3 +61,16 @@ def test_bad_args():
         main(["transcribe"])  # missing input
     with pytest.raises(SystemExit):
         main(["nonsense"])
+
+
+def test_batch(tmp_path, capsys):
+    for i, f in enumerate((196.0, 293.66)):
+        write_wav(str(tmp_path / f"t{i}.wav"),
+                  two_tone(sr=22050), 22050)
+    rc = main(["batch", str(tmp_path), "--confidence", "0.4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("-> ") == 2
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "*.mid"))) == 2
