@@ -225,7 +225,17 @@ def init_train_state(seed: int = 0, hidden: Tuple[int, ...] = HIDDEN,
 # ------------------------------------------------------------- checkpoints
 
 
-def save_params(params, path: str) -> None:
+# Bump whenever featurize()/decode semantics change: a checkpoint trained
+# against different features silently mistracks, so load_params refuses
+# mismatched versions instead.
+FEATURE_VERSION = 1
+
+
+def save_params(params, path: str, metrics: Optional[Dict] = None) -> None:
+    """f16 npz checkpoint with a __meta__ JSON record (feature version,
+    architecture, bin grid, and any training metrics provided)."""
+    import json
+
     flat = {}
 
     def walk(tree, prefix=""):
@@ -237,18 +247,48 @@ def save_params(params, path: str) -> None:
                 flat[key] = np.asarray(v).astype(np.float16)
 
     walk(params)
+    meta = {"feature_version": FEATURE_VERSION, "win": WIN,
+            "sr_native": SR_NATIVE, "n_bins": N_BINS,
+            "cents_per_bin": CENTS_PER_BIN, "fmin_hz": FMIN_HZ,
+            "hidden": list(HIDDEN), "metrics": metrics or {}}
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8).copy()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **flat)
+
+
+def load_meta(path: Optional[str] = None) -> Dict:
+    """Checkpoint metadata ({} for pre-metadata checkpoints)."""
+    import json
+
+    path = path or _DEFAULT_WEIGHTS
+    with np.load(path) as z:
+        if "__meta__" not in z.files:
+            return {}
+        return json.loads(bytes(z["__meta__"]).decode())
 
 
 def load_params(path: Optional[str] = None) -> Dict:
     """Load a checkpoint as a nested f32 param dict.  Raises
     FileNotFoundError when no checkpoint exists (callers surface that as
-    'neural backend unavailable')."""
+    'neural backend unavailable') and ValueError on a feature-version
+    mismatch (weights trained against different featurize() semantics
+    would silently mistrack)."""
+    import json
+
     path = path or _DEFAULT_WEIGHTS
     with np.load(path) as z:
         tree: Dict = {}
         for key in z.files:
+            if key == "__meta__":
+                meta = json.loads(bytes(z[key]).decode())
+                ver = meta.get("feature_version")
+                if ver != FEATURE_VERSION:
+                    raise ValueError(
+                        f"checkpoint {path} has feature_version {ver}, "
+                        f"this build expects {FEATURE_VERSION}; retrain "
+                        f"with python -m aegis_tpu.models.train")
+                continue
             node = tree
             parts = key.split("/")
             for p in parts[:-1]:

@@ -101,7 +101,7 @@ def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
     metrics = {"loss": float(loss), "steps": steps, "train_s": round(train_s, 1),
                **evaluate(params)}
     if out:
-        pn.save_params(jax.device_get(params), out)
+        pn.save_params(jax.device_get(params), out, metrics=metrics)
         print(f"# saved {out}", file=sys.stderr)
     return params, metrics
 

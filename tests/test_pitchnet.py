@@ -203,3 +203,32 @@ def test_save_load_roundtrip(tmp_path):
     for a, b in zip(flat_a, flat_b):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), b, atol=2e-3)
+
+
+def test_checkpoint_metadata_and_version_gate(tmp_path):
+    params = pn.init_params(0, hidden=(16,))
+    path = str(tmp_path / "w.npz")
+    pn.save_params(jax.device_get(params), path, metrics={"loss": 1.0})
+    meta = pn.load_meta(path)
+    assert meta["feature_version"] == pn.FEATURE_VERSION
+    assert meta["metrics"]["loss"] == 1.0
+    pn.load_params(path)  # matching version loads
+
+    # a mismatched feature version must refuse to load
+    import json
+
+    z = dict(np.load(path))
+    bad = json.loads(bytes(z["__meta__"]).decode())
+    bad["feature_version"] = 999
+    z["__meta__"] = np.frombuffer(json.dumps(bad).encode(),
+                                  dtype=np.uint8).copy()
+    np.savez_compressed(path, **z)
+    with pytest.raises(ValueError):
+        pn.load_params(path)
+
+
+@needs_weights
+def test_committed_checkpoint_has_metadata():
+    meta = pn.load_meta()
+    assert meta.get("feature_version") == pn.FEATURE_VERSION
+    assert meta["hidden"] == list(pn.HIDDEN)
