@@ -31,7 +31,6 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sustain-ms", type=float, default=None)
     p.add_argument("--bpm", default=None,
                    help="a number, or 'auto' to estimate the tempo")
-    p.add_argument("--rake", type=float, default=0.6)
     p.add_argument("--turbo", default="auto",
                    choices=["off", "tiles", "stream", "auto"])
 
@@ -77,10 +76,11 @@ def cmd_transcribe(args) -> int:
 def cmd_financial(args) -> int:
     from aegis_tpu.engine.financial import AegisFinancialEngine
 
-    eng = AegisFinancialEngine()
+    eng = AegisFinancialEngine(sample_rate=args.sr)
     out = _out_path(args)
     result = eng.audio_to_midi_financial(
-        args.input, out, rake_sensitivity=args.rake, turbo_mode=args.turbo,
+        args.input, out, start_time=args.start, end_time=args.end,
+        rake_sensitivity=args.rake, turbo_mode=args.turbo,
         pitch_backend=args.pitch_backend, **_extract_kwargs(args))
     if result is None:
         print("error: empty audio", file=sys.stderr)
@@ -92,14 +92,14 @@ def cmd_financial(args) -> int:
 def cmd_poly(args) -> int:
     from aegis_tpu.engine.poly import AegisPolyEngine
 
-    eng = AegisPolyEngine()
+    eng = AegisPolyEngine(sample_rate=args.sr)
     out = _out_path(args)
-    events = eng.audio_to_midi(args.input, out, start_time=args.start,
-                               end_time=args.end, turbo_mode=args.turbo,
-                               **_extract_kwargs(args))
-    if events is None:
+    analysis = eng.analyze(args.input, start_time=args.start,
+                           end_time=args.end, turbo_mode=args.turbo)
+    if analysis is None:
         print("error: empty audio", file=sys.stderr)
         return 1
+    events = eng.extract_events(analysis, out, **_extract_kwargs(args))
     print(f"{len(events)} events -> {out}")
     return 0
 
@@ -158,9 +158,12 @@ def main(argv=None) -> int:
         p = sub.add_parser(name)
         _add_common(p)
         p.add_argument("--sr", type=int,
-                       default=22050 if name == "financial" else 44100)
-        p.add_argument("--pitch-backend", default="pyin",
-                       choices=["pyin", "neural"])
+                       default=44100 if name in ("transcribe", "tabs")
+                       else 22050)
+        if name != "poly":  # the CQT engine has no rake/pitch backend
+            p.add_argument("--rake", type=float, default=0.6)
+            p.add_argument("--pitch-backend", default="pyin",
+                           choices=["pyin", "neural"])
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("batch")
@@ -178,16 +181,29 @@ def main(argv=None) -> int:
                    choices=["auto", "demucs", "hpss"])
     p.set_defaults(fn=cmd_stems)
 
-    for name, mod in (("serve", "aegis_tpu.serve.server"),
-                      ("train", "aegis_tpu.models.train"),
-                      ("validate", "aegis_tpu.tools.validate_device")):
-        p = sub.add_parser(name, add_help=False)
+    p = sub.add_parser("serve", description="REST API + SPA server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8508)
+    p.set_defaults(fn=None, module="aegis_tpu.serve.server")
+
+    for name, mod, note in (
+            ("train", "aegis_tpu.models.train",
+             "PitchNet trainer; module flags: --steps --batch --clips "
+             "--clip-len --seed --out --platform"),
+            ("validate", "aegis_tpu.tools.validate_device",
+             "on-device F1 gate; module flags: --quick")):
+        p = sub.add_parser(name, description=note)
         p.set_defaults(fn=None, module=mod)
 
     args, rest = ap.parse_known_args(argv)
     if args.fn is None:  # delegate to the module's own CLI
         import importlib
 
+        if args.module == "aegis_tpu.serve.server":
+            if rest:
+                ap.error(f"unrecognized arguments: {' '.join(rest)}")
+            importlib.import_module(args.module).main(args.host, args.port)
+            return 0
         sys.argv = [args.module] + rest
         importlib.import_module(args.module).main()
         return 0

@@ -114,7 +114,10 @@ class AegisFinancialEngine:
         if isinstance(input_wav, np.ndarray):
             y = input_wav.astype(np.float32)
         else:
-            y, _ = _load_audio(input_wav, sr=self.sr)
+            start = kwargs.get("start_time", 0.0)
+            end = kwargs.get("end_time", None)
+            y, _ = _load_audio(input_wav, sr=self.sr, offset=start,
+                               duration=(end - start) if end else None)
         if len(y) == 0:
             return None
         from aegis_tpu.engine.engine import normalize_turbo_mode

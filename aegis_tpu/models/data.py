@@ -91,8 +91,11 @@ def make_clips(
         # voiced while the string rings above the noise floor (1.5x: pYIN
         # tracks the decay tail well below an equal-power crossover, and
         # cutting the label early truncated event ends)
+        # tail-pad so any clip_len works, not only LABEL_HOP multiples
+        n_blk = -(-L // LABEL_HOP)
+        sig_pad = np.pad(sig, (0, n_blk * LABEL_HOP - L), mode="edge")
         blk = np.sqrt(np.mean(
-            sig.reshape(-1, LABEL_HOP) ** 2, axis=1))
+            sig_pad.reshape(-1, LABEL_HOP) ** 2, axis=1))
         vm = np.repeat(blk > 1.5 * noise_amp, LABEL_HOP)[:L]
         y[i] = sig
         f0_full[i] = f_true

@@ -279,21 +279,22 @@ def load_params(path: Optional[str] = None) -> Dict:
     path = path or _DEFAULT_WEIGHTS
     with np.load(path) as z:
         tree: Dict = {}
+        ver = None
         for key in z.files:
             if key == "__meta__":
                 meta = json.loads(bytes(z[key]).decode())
                 ver = meta.get("feature_version")
-                if ver != FEATURE_VERSION:
-                    raise ValueError(
-                        f"checkpoint {path} has feature_version {ver}, "
-                        f"this build expects {FEATURE_VERSION}; retrain "
-                        f"with python -m aegis_tpu.models.train")
                 continue
             node = tree
             parts = key.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = z[key].astype(np.float32)
+    if ver != FEATURE_VERSION:  # includes pre-metadata checkpoints (None)
+        raise ValueError(
+            f"checkpoint {path} has feature_version {ver}, this build "
+            f"expects {FEATURE_VERSION}; retrain with "
+            f"python -m aegis_tpu.models.train")
     return tree
 
 
@@ -416,6 +417,15 @@ def _neural_pitch(params, frames, smooth: int = 5):
     # frame or two; noise stays at vprob ~0, so the lower cut costs nothing
     # (measured: all KS onsets within the 50 ms F1 tolerance at 0.4)
     voiced = vprob > 0.4
+    f0 = smooth_f0_median(f0, voiced, smooth)
+    return {"f0": f0, "voiced_flag": voiced, "voiced_probs": vprob}
+
+
+def smooth_f0_median(f0, voiced, smooth: int = 5):
+    """NaN-aware running median over the cents track on voiced frames;
+    unvoiced frames come back NaN.  Oracle: ref/pitchnet_post_ref.py."""
+    import jax.numpy as jnp
+
     cents = jnp.where(voiced, 1200.0 * jnp.log2(f0 / FMIN_HZ), jnp.nan)
     if smooth > 1:
         half = smooth // 2
@@ -424,8 +434,7 @@ def _neural_pitch(params, frames, smooth: int = 5):
                            for j in range(smooth)], axis=-1)
         med = jnp.nanmedian(stack, axis=-1)
         cents = jnp.where(jnp.isnan(cents), cents, med)
-    f0 = FMIN_HZ * jnp.exp2(cents / 1200.0)
-    return {"f0": f0, "voiced_flag": voiced, "voiced_probs": vprob}
+    return FMIN_HZ * jnp.exp2(cents / 1200.0)
 
 
 @functools.partial(

@@ -190,20 +190,30 @@ class AegisServer:
             })
 
         @r.get("/api/health")
-        def health(**kw):
+        def health(query, **kw):
             """Deploy/monitoring probe: backend platform, device count,
-            live session count, available optional components."""
-            import jax
-
+            live session count, available optional components.  Reports the
+            backend ONLY if it is already initialized — a monitoring ping
+            must not trigger a multi-second remote TPU client bring-up on
+            the request thread; pass probe_device=1 to force init."""
             from aegis_tpu.models.pitchnet import have_default_weights
             from aegis_tpu.synth.stems import find_demucs
 
+            platform, n_devices = "uninitialized", 0
             try:
-                devices = jax.devices()
-                platform = devices[0].platform
-                n_devices = len(devices)
-            except Exception:  # backend init failure still reports healthy HTTP
-                platform, n_devices = "uninitialized", 0
+                import jax
+                from jax._src import xla_bridge
+
+                initialized = bool(getattr(xla_bridge, "_backends", None))
+            except Exception:
+                initialized = False
+            if initialized or coerce(query, "probe_device", False):
+                try:
+                    devices = jax.devices()
+                    platform = devices[0].platform
+                    n_devices = len(devices)
+                except Exception:  # init failure still reports healthy HTTP
+                    pass
             return json_response({
                 "status": "ok",
                 "platform": platform,

@@ -232,3 +232,57 @@ def test_committed_checkpoint_has_metadata():
     meta = pn.load_meta()
     assert meta.get("feature_version") == pn.FEATURE_VERSION
     assert meta["hidden"] == list(pn.HIDDEN)
+
+
+# ------------------------------------ deterministic post-processing parity
+
+
+def test_smooth_f0_median_parity():
+    from aegis_tpu.ref.pitchnet_post_ref import smooth_f0_median_ref
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        T = 64
+        voiced = rng.random(T) < 0.7
+        cents = rng.uniform(0, 4000, T)
+        # inject octave-flip outliers the median should remove
+        cents[rng.random(T) < 0.1] += 1200.0
+        f0 = pn.FMIN_HZ * 2 ** (cents / 1200.0)
+        f0 = np.where(voiced, f0, np.nan)
+        dev = np.asarray(pn.smooth_f0_median(jnp.asarray(f0),
+                                             jnp.asarray(voiced)))
+        ref = smooth_f0_median_ref(np.nan_to_num(f0, nan=1.0), voiced)
+        m = voiced
+        np.testing.assert_allclose(dev[m], ref[m], rtol=1e-5)
+        assert np.isnan(dev[~m]).all()
+
+
+def test_onset_backfill_parity():
+    from aegis_tpu.ref.pitchnet_post_ref import onset_backfill_ref
+
+    rng = np.random.default_rng(7)
+    for fps in (43.07, 86.13):
+        for trial in range(5):
+            T = 96
+            voiced = np.zeros(T, bool)
+            # a few voiced runs with silent gaps before them
+            for s in rng.integers(10, T - 10, 4):
+                voiced[s:s + rng.integers(3, 12)] = True
+            f0 = np.where(voiced, rng.uniform(80, 800, T), np.nan)
+            vprob = np.where(voiced, rng.uniform(0.5, 1.0, T), 0.05)
+            env = rng.random(T).astype(np.float32) * 0.15
+            env[rng.integers(0, T, 6)] = rng.uniform(0.5, 1.0, 6)
+            pitch = {"f0": jnp.asarray(f0),
+                     "voiced_flag": jnp.asarray(voiced),
+                     "voiced_probs": jnp.asarray(vprob)}
+            dev = pn._onset_backfill(pitch, jnp.asarray(env), fps)
+            ref = onset_backfill_ref(
+                {"f0": f0, "voiced_flag": voiced, "voiced_probs": vprob},
+                env, fps)
+            np.testing.assert_array_equal(np.asarray(dev["voiced_flag"]),
+                                          ref["voiced_flag"])
+            m = ref["voiced_flag"]
+            np.testing.assert_allclose(np.asarray(dev["f0"])[m],
+                                       ref["f0"][m], rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(dev["voiced_probs"]),
+                                       ref["voiced_probs"], rtol=1e-6)

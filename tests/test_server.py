@@ -413,6 +413,10 @@ def test_health(server_url):
     assert status == 200
     j = json.loads(data)
     assert j["status"] == "ok"
-    assert j["platform"] == "cpu" and j["n_devices"] == 8  # test mesh
     assert isinstance(j["sessions"], int)
     assert isinstance(j["neural_backend"], bool)
+    # probe_device=1 forces backend reporting (the default never initializes
+    # the backend on the request thread)
+    status, _, data = _req(f"{server_url}/api/health?probe_device=1")
+    j = json.loads(data)
+    assert j["platform"] == "cpu" and j["n_devices"] == 8  # test mesh
