@@ -117,13 +117,19 @@ class AegisEngine:
         see models/pitchnet.py).  The neural path is always the fused
         single program; turbo tiling/streaming applies to pYIN only."""
         if pitch_backend == "neural":
-            from aegis_tpu.models.pitchnet import run_analyze_neural
+            from aegis_tpu.models.pitchnet import run_analyze_neural, \
+                run_analyze_neural_streamed
 
+            if turbo == "stream":
+                return run_analyze_neural_streamed(
+                    y, self.sr, self.hop_length, self._neural_params(),
+                    rake_sensitivity, n_fft=self.audio.n_fft,
+                    n_mels=self.audio.n_mels, fetch_mel=fetch_mel)
             if turbo:
                 log.warning(
-                    f"neural backend runs the fused single program; "
-                    f"turbo={turbo!r} ignored (use pyin for sharded/"
-                    f"bounded-memory analysis of very long tracks)")
+                    f"neural backend has no sharded-tiles mode; "
+                    f"turbo={turbo!r} runs the fused single program "
+                    f"(turbo_mode='stream' for bounded memory)")
             return run_analyze_neural(y, self.sr, self.hop_length,
                                       self._neural_params(),
                                       rake_sensitivity,

@@ -393,21 +393,28 @@ def _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length, n_fft,
     mel_db = dsp.power_to_db(mel)
     rake = masks.detect_rake(mel_db, hop_length, sample_rate,
                              rake_sensitivity)
+    from aegis_tpu.core.cqt import onset_from_db
+
     return {
         "mel_db": mel_db,
         "rake_mask": rake,
         "rms": dsp.rms(y, WIN, hop_length),
-        "onset_env": onset_strength_t(mel),
+        # onset flux from the SAME dB array (power_to_db ref=max makes
+        # onset_strength_t(mel) identical; reusing mel_db keeps the
+        # streamed mode's explicit-reference slabs bit-identical)
+        "onset_env": onset_from_db(mel_db),
     }
 
 
-def _neural_pitch(params, frames, smooth: int = 5):
+def _neural_pitch(params, frames, smooth: int = 5, valid=None):
     """Per-frame net outputs -> pitch rows, with a `smooth`-frame NaN-aware
     median over the cents track.  The net decodes every frame independently
     (no Viterbi), so isolated octave flips on rich attack spectra survive;
     a short temporal median removes them the way the HMM's transition prior
     does for pYIN (measured on the KS gating clip: event F1 0.0 -> see
-    tests)."""
+    tests).  `valid` (bool (T,)) forces frames outside it unvoiced BEFORE
+    smoothing — the streamed mode marks its synthetic before-track halo
+    frames invalid so they can't leak into medians or backfill."""
     import jax.numpy as jnp
 
     logits, vlogit = apply_model(params, featurize(frames))
@@ -417,6 +424,9 @@ def _neural_pitch(params, frames, smooth: int = 5):
     # frame or two; noise stays at vprob ~0, so the lower cut costs nothing
     # (measured: all KS onsets within the 50 ms F1 tolerance at 0.4)
     voiced = vprob > 0.4
+    if valid is not None:
+        voiced = voiced & valid
+        vprob = jnp.where(valid, vprob, 0.0)
     f0 = smooth_f0_median(f0, voiced, smooth)
     return {"f0": f0, "voiced_flag": voiced, "voiced_probs": vprob}
 
@@ -429,7 +439,10 @@ def smooth_f0_median(f0, voiced, smooth: int = 5):
     cents = jnp.where(voiced, 1200.0 * jnp.log2(f0 / FMIN_HZ), jnp.nan)
     if smooth > 1:
         half = smooth // 2
-        cp = jnp.pad(cents, half, mode="edge")
+        # NaN padding (not edge): out-of-track frames contribute nothing,
+        # which keeps the streamed slab mode bit-identical to the fused
+        # program at track boundaries
+        cp = jnp.pad(cents, half, constant_values=jnp.nan)
         stack = jnp.stack([cp[j:j + cents.shape[0]]
                            for j in range(smooth)], axis=-1)
         med = jnp.nanmedian(stack, axis=-1)
@@ -508,6 +521,177 @@ def analyze_neural_financial_packed(y16, scale, rake_sensitivity, params,
                         n_fft=n_fft, n_mels=n_mels)
     return _pack(financial_tail(out, audio, use_guitar_filters),
                  _FIN_ROWS, include_mel)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sample_rate", "hop_length", "n_fft",
+                              "n_mels"))
+def _neural_mel_peak(y16, scale, sample_rate: int, hop_length: int,
+                     n_fft: int, n_mels: int):
+    """Pass-1 of the streamed mode: a slab's mel-power peak (the cheap ~15%
+    of the program), for the track-global dB reference."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core import dsp
+
+    y = y16.astype(jnp.float32) * scale
+    return jnp.max(dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length,
+                                        n_mels))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sample_rate", "hop_length", "n_fft",
+                              "n_mels", "include_mel", "hop22"))
+def _neural_slab_program(y16, scale, y22_16, scale22, rake_sensitivity,
+                         params, ref_power, n_invalid_left,
+                         sample_rate: int,
+                         hop_length: int, n_fft: int, n_mels: int,
+                         include_mel: bool = False, hop22: int = 0):
+    """Pass-2 slab rows with an explicit track-global mel-power dB
+    reference (identical rake/mel thresholds in every slab).  hop22=0 means
+    the native single-input layout (y22_16/scale22 ignored)."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core import dsp, masks
+    from aegis_tpu.core.analyze import _V1_ROWS, _pack
+    from aegis_tpu.core.cqt import onset_from_db
+
+    y = y16.astype(jnp.float32) * scale
+    # the leading halo of slab 0 carries REFLECTED audio for the mel path
+    # (fused framing reflects at the track start), but rms and the pitch
+    # framing use constant-zero padding — zero the pre-track samples for
+    # those paths so every convention matches the fused program exactly
+    s_idx = jnp.arange(y.shape[0])
+    y_zero = jnp.where(s_idx >= n_invalid_left * hop_length, y, 0.0)
+    mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
+    amin = 1e-10
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_power))
+    mel_db = jnp.maximum(log_spec, -80.0)  # ref==global max -> floor -80
+    out = {
+        "mel_db": mel_db,
+        "rake_mask": masks.detect_rake(mel_db, hop_length, sample_rate,
+                                       rake_sensitivity),
+        "rms": dsp.rms(y_zero, WIN, hop_length),
+        "onset_env": onset_from_db(mel_db),
+    }
+    if hop22:
+        y22 = y22_16.astype(jnp.float32) * scale22
+        s22 = jnp.arange(y22.shape[0])
+        y22 = jnp.where(s22 >= n_invalid_left * hop22, y22, 0.0)
+        frames = dsp.frame_signal(y22, WIN, hop22, "constant")
+        frames = frames[:out["rms"].shape[0]]
+    else:
+        frames = dsp.frame_signal(y_zero, WIN, hop_length, "constant")
+    # frames before the track start (first slab's synthetic left halo) are
+    # invalid: force them unvoiced and zero their onset flux so medians /
+    # backfill see exactly what the fused program sees at frame 0
+    idx = jnp.arange(out["rms"].shape[0])
+    valid = idx >= n_invalid_left
+    out["onset_env"] = jnp.where(idx >= n_invalid_left + 1,
+                                 out["onset_env"], 0.0)
+    out.update(_onset_backfill(
+        _neural_pitch(params, frames, valid=valid),
+        out["onset_env"], sample_rate / hop_length))
+    return _pack(out, _V1_ROWS, include_mel)
+
+
+def run_analyze_neural_streamed(
+    y: np.ndarray,
+    sr: int,
+    hop_length: int,
+    params,
+    rake_sensitivity: float = 0.6,
+    n_fft: int = 2048,
+    n_mels: int = 128,
+    fetch_mel: bool = False,
+    slab_frames: int = 4096,
+    halo_frames: int = 16,
+) -> Dict[str, np.ndarray]:
+    """Bounded-memory streamed neural analyze for multi-minute tracks.
+
+    Every stage of the neural pipeline is frame-local (window 2048, rake
+    run-length <= 3 frames, cents median +-2, onset backfill <= ~7 frames),
+    so slabs with a `halo_frames` overlap reproduce the fused program
+    EXACTLY except for the dB reference — which pass 1 recovers as the
+    track-global mel peak (upload-once: the int16 slabs stay device-
+    resident between the passes).  The whole track is quantized with ONE
+    per-track scale, so slab rows are bit-identical to the fused program's.
+    Non-native rates resample once host-side (uniform hops only)."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.analyze import _V1_ROWS, _unpack, quantize_pcm16
+
+    true_frames = 1 + len(y) // hop_length
+    if sr == SR_NATIVE:
+        hop22 = 0
+        y22_16 = None
+    else:
+        num = hop_length * SR_NATIVE
+        if num % sr != 0:
+            raise ValueError(
+                f"streamed neural analysis needs an integral 22.05 kHz hop "
+                f"(sr={sr}, hop={hop_length}); resample the audio first")
+        hop22 = num // sr
+        from aegis_tpu.io.audio import resample
+
+        y22 = resample(np.asarray(y, np.float32), sr, SR_NATIVE)
+        need22 = true_frames * hop22 + WIN
+        y22 = np.pad(y22, (0, max(need22 - len(y22), 0)))
+
+    S, H = slab_frames, halo_frames
+    n_slabs = -(-true_frames // S)
+    ext_len = (S + 2 * H) * hop_length  # samples per extended slab
+    y16_full, scale = quantize_pcm16(np.asarray(y, np.float32))
+    if hop22:
+        y22_16_full = np.round(
+            np.asarray(y22) * (32767.0 / max(np.abs(y22).max(), 1e-9))
+        ).astype(np.int16)
+        scale22 = float(np.abs(y22).max() / 32767.0) if np.abs(y22).max() > 0 \
+            else 0.0
+        ext22_len = (S + 2 * H) * hop22
+
+    def slab16(full, a, length):
+        lo, hi = max(a, 0), min(a + length, len(full))
+        out = np.zeros(length, np.int16)
+        if hi > lo:
+            out[lo - a: hi - a] = full[lo:hi]
+        if a < 0:
+            # reflect the track start into the leading halo — the fused
+            # program's mel framing uses reflect padding at frame 0, so
+            # slab 0 must see the same pre-track samples (np.pad 'reflect'
+            # convention: x[1..p] reversed)
+            p = min(-a, len(full) - 1)
+            out[-a - p: -a] = full[1:1 + p][::-1]
+        return jnp.asarray(out)
+
+    # pass 1: upload every slab once, device-resident; track-global mel peak
+    slabs = []
+    peaks = []
+    for k in range(n_slabs):
+        a = (k * S - H) * hop_length
+        s16 = slab16(y16_full, a, ext_len)
+        s22 = (slab16(y22_16_full, (k * S - H) * hop22, ext22_len)
+               if hop22 else None)
+        slabs.append((s16, s22))
+        peaks.append(_neural_mel_peak(s16, jnp.float32(scale), sr,
+                                      hop_length, n_fft, n_mels))
+    ref = jnp.max(jnp.stack(peaks))
+
+    # pass 2: per-slab rows with the global reference; keep interiors
+    parts = []
+    for k, (s16, s22) in enumerate(slabs):
+        packed = _neural_slab_program(
+            s16, jnp.float32(scale),
+            s22 if s22 is not None else s16,
+            jnp.float32(scale22 if hop22 else 0.0),
+            jnp.float32(rake_sensitivity), params, ref,
+            jnp.int32(H if k == 0 else 0),
+            sr, hop_length, n_fft, n_mels, fetch_mel, hop22)
+        keep = np.asarray(packed)[H: H + S]
+        parts.append(keep)
+    buf = np.concatenate(parts)[:true_frames]
+    return _unpack(buf, _V1_ROWS, n_mels if fetch_mel else 0)
 
 
 def run_analyze_neural(

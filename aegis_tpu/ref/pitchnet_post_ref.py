@@ -19,7 +19,7 @@ def smooth_f0_median_ref(f0: np.ndarray, voiced: np.ndarray,
         np.maximum(f0, 1e-12) / FMIN_HZ), np.nan)
     if smooth > 1:
         half = smooth // 2
-        cp = np.pad(cents, half, mode="edge")
+        cp = np.pad(cents, half, constant_values=np.nan)
         out = cents.copy()
         for i in range(len(cents)):
             if np.isnan(cents[i]):

@@ -314,10 +314,12 @@ class AegisServer:
                 "num_events": len(events),
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
-                "analysis_mode": ("fused" if pitch_backend == "neural"
-                                  else {"off": "fused", "tiles": "tiles",
-                                        "stream": "stream",
-                                        "auto": "auto"}[turbo_mode]),
+                "analysis_mode": ({"off": "fused", "tiles": "fused",
+                                   "stream": "stream", "auto": "auto"}
+                                  if pitch_backend == "neural" else
+                                  {"off": "fused", "tiles": "tiles",
+                                   "stream": "stream",
+                                   "auto": "auto"})[turbo_mode],
                 "pitch_backend": pitch_backend,
                 "bpm": params.get("bpm"),
                 "message": f"Analysis complete: {len(events)} notes detected",

@@ -286,3 +286,49 @@ def test_onset_backfill_parity():
                                        ref["f0"][m], rtol=1e-6)
             np.testing.assert_allclose(np.asarray(dev["voiced_probs"]),
                                        ref["voiced_probs"], rtol=1e-6)
+
+
+@needs_weights
+def test_streamed_matches_fused():
+    """Streamed slabs must reproduce the fused program's rows exactly:
+    same int16 content (one per-track scale), same dB reference, every
+    stage frame-local within the halo."""
+    params = pn.load_params()
+    rng = np.random.default_rng(5)
+    sr = pn.SR_NATIVE
+    segs = []
+    for f in (110.0, 196.0, 330.0, 247.0):
+        t = np.arange(int(sr * 0.8)) / sr
+        segs.append(np.exp(-1.5 * t) * np.sin(2 * np.pi * f * t))
+    y = (0.7 * np.concatenate(segs)).astype(np.float32)
+    y += (0.01 * rng.standard_normal(len(y))).astype(np.float32)
+
+    fused = pn.run_analyze_neural(y, sr, 512, params, fetch_mel=False)
+    streamed = pn.run_analyze_neural_streamed(
+        y, sr, 512, params, fetch_mel=False,
+        slab_frames=32, halo_frames=16)  # force many slabs
+    for k in ("voiced_flag", "rake_mask"):
+        np.testing.assert_array_equal(streamed[k], fused[k], err_msg=k)
+    for k in ("f0", "voiced_probs", "rms", "onset_env"):
+        np.testing.assert_allclose(
+            np.nan_to_num(streamed[k]), np.nan_to_num(fused[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+@needs_weights
+def test_streamed_44k_and_engine_route():
+    from aegis_tpu.engine.engine import AegisEngine
+
+    sr = 44100
+    y = np.concatenate([_tone(sr, 196.0, 0.7), _tone(sr, 293.66, 0.7)])
+    eng = AegisEngine(sample_rate=sr)
+    raw = eng.audio_to_midi(y, None, pitch_backend="neural",
+                            turbo_mode="stream")
+    assert raw["f0"].shape == (1 + len(y) // 512,)
+    import io as _io
+
+    ev = eng.extract_events(raw, _io.BytesIO(), confidence_threshold=0.3)
+    assert {55, 62} <= {e["note"] for e in ev}
+
+    with pytest.raises(ValueError):  # exotic rate: no integral 22k hop
+        pn.run_analyze_neural_streamed(y[:4096], 48000, 512, params=None)
