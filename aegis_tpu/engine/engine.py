@@ -114,8 +114,9 @@ class AegisEngine:
         "stream" = bounded-memory slab streaming (multi-minute tracks).
         pitch_backend: "pyin" (default, the F1-gated parity path) or
         "neural" (PitchNet — fused mel/rake/RMS + learned f0, no Viterbi;
-        see models/pitchnet.py).  The neural path is always the fused
-        single program; turbo tiling/streaming applies to pYIN only."""
+        see models/pitchnet.py).  The neural path supports fused and
+        "stream" (bounded-memory slabs, bit-identical rows); sharded
+        "tiles" applies to pYIN only."""
         if pitch_backend == "neural":
             from aegis_tpu.models.pitchnet import run_analyze_neural, \
                 run_analyze_neural_streamed
