@@ -122,10 +122,18 @@ class AegisEngine:
                 run_analyze_neural_streamed
 
             if turbo == "stream":
-                return run_analyze_neural_streamed(
-                    y, self.sr, self.hop_length, self._neural_params(),
-                    rake_sensitivity, n_fft=self.audio.n_fft,
-                    n_mels=self.audio.n_mels, fetch_mel=fetch_mel)
+                if (self.hop_length * 22050) % self.sr == 0:
+                    return run_analyze_neural_streamed(
+                        y, self.sr, self.hop_length, self._neural_params(),
+                        rake_sensitivity, n_fft=self.audio.n_fft,
+                        n_mels=self.audio.n_mels, fetch_mel=fetch_mel)
+                # exotic rate (no integral 22.05 kHz hop): the streamed
+                # slabs can't frame it uniformly — fall back to the fused
+                # dual-rate centers-gather path instead of crashing
+                log.warning(
+                    f"neural streamed mode needs an integral 22.05 kHz "
+                    f"hop (sr={self.sr}); running the fused program")
+                turbo = False
             if turbo:
                 log.warning(
                     f"neural backend has no sharded-tiles mode; "

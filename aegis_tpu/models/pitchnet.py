@@ -305,7 +305,8 @@ def have_default_weights() -> bool:
 # ------------------------------------------------------- fused analyze path
 
 
-def _onset_backfill(pitch, onset_env, frames_per_second: float):
+def _onset_backfill(pitch, onset_env, frames_per_second: float,
+                    env_max=None):
     """Extend voicing backward toward the attack at spectral-flux onsets.
 
     A window-centered spectrum classifier hears a pluck a few frames after
@@ -341,8 +342,10 @@ def _onset_backfill(pitch, onset_env, frames_per_second: float):
 
     prev = jnp.concatenate([onset_env[:1], onset_env[:-1]])
     nxt = jnp.concatenate([onset_env[1:], onset_env[-1:]])
+    if env_max is None:  # fused: track max; streamed slabs pass the global
+        env_max = jnp.max(onset_env)
     peak = (onset_env >= prev) & (onset_env >= nxt) & (
-        onset_env > 0.2 * jnp.max(onset_env))
+        onset_env > 0.2 * env_max)
     anchor = peak & near_k  # an attack that leads into a voiced run
     seen = anchor
     for s in range(1, k + 1):
@@ -387,14 +390,12 @@ def _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length, n_fft,
     """mel/rake/RMS/onset at the caller's ORIGINAL rate and hop — identical
     semantics to core.analyze.analyze_program's non-pitch rows."""
     from aegis_tpu.core import dsp, masks
-    from aegis_tpu.core.cqt import onset_strength_t
+    from aegis_tpu.core.cqt import onset_from_db
 
     mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
     mel_db = dsp.power_to_db(mel)
     rake = masks.detect_rake(mel_db, hop_length, sample_rate,
                              rake_sensitivity)
-    from aegis_tpu.core.cqt import onset_from_db
-
     return {
         "mel_db": mel_db,
         "rake_mask": rake,
@@ -525,25 +526,56 @@ def analyze_neural_financial_packed(y16, scale, rake_sensitivity, params,
 
 @functools.partial(
     jax.jit, static_argnames=("sample_rate", "hop_length", "n_fft",
-                              "n_mels"))
+                              "n_mels", "keep_lo", "keep_hi"))
 def _neural_mel_peak(y16, scale, sample_rate: int, hop_length: int,
-                     n_fft: int, n_mels: int):
-    """Pass-1 of the streamed mode: a slab's mel-power peak (the cheap ~15%
-    of the program), for the track-global dB reference."""
+                     n_fft: int, n_mels: int, keep_lo: int = 0,
+                     keep_hi: int = -1):
+    """Pass-1a of the streamed mode: a slab's mel-power peak over its
+    INTERIOR frames [keep_lo, keep_hi) — the outermost ~2 frames of each
+    extended slab are palindromic reflect-padding windows whose power can
+    exceed any real frame's, which would inflate the global dB reference
+    above the fused program's."""
     import jax.numpy as jnp
 
     from aegis_tpu.core import dsp
 
     y = y16.astype(jnp.float32) * scale
-    return jnp.max(dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length,
-                                        n_mels))
+    mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
+    return jnp.max(mel[keep_lo:keep_hi])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sample_rate", "hop_length", "n_fft",
+                              "n_mels", "keep_lo", "keep_hi"))
+def _neural_onset_max(y16, scale, ref_power, n_invalid_left,
+                      sample_rate: int, hop_length: int, n_fft: int,
+                      n_mels: int, keep_lo: int = 0, keep_hi: int = -1):
+    """Pass-1b: a slab's onset-flux maximum over its interior frames, with
+    the GLOBAL dB reference (flux at silence->attack boundaries depends on
+    the floored predecessor frame, so a slab-local reference would differ).
+    Feeds the backfill's track-global 20% peak threshold."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core import dsp
+    from aegis_tpu.core.cqt import onset_from_db
+
+    y = y16.astype(jnp.float32) * scale
+    mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
+    amin = 1e-10
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_power))
+    mel_db = jnp.maximum(log_spec, -80.0)
+    env = onset_from_db(mel_db)
+    idx = jnp.arange(env.shape[0])
+    env = jnp.where(idx >= n_invalid_left + 1, env, 0.0)
+    return jnp.max(env[keep_lo:keep_hi])
 
 
 @functools.partial(
     jax.jit, static_argnames=("sample_rate", "hop_length", "n_fft",
                               "n_mels", "include_mel", "hop22"))
 def _neural_slab_program(y16, scale, y22_16, scale22, rake_sensitivity,
-                         params, ref_power, n_invalid_left,
+                         params, ref_power, onset_ref, n_invalid_left,
                          sample_rate: int,
                          hop_length: int, n_fft: int, n_mels: int,
                          include_mel: bool = False, hop22: int = 0):
@@ -592,7 +624,7 @@ def _neural_slab_program(y16, scale, y22_16, scale22, rake_sensitivity,
                                  out["onset_env"], 0.0)
     out.update(_onset_backfill(
         _neural_pitch(params, frames, valid=valid),
-        out["onset_env"], sample_rate / hop_length))
+        out["onset_env"], sample_rate / hop_length, env_max=onset_ref))
     return _pack(out, _V1_ROWS, include_mel)
 
 
@@ -625,7 +657,6 @@ def run_analyze_neural_streamed(
     true_frames = 1 + len(y) // hop_length
     if sr == SR_NATIVE:
         hop22 = 0
-        y22_16 = None
     else:
         num = hop_length * SR_NATIVE
         if num % sr != 0:
@@ -644,11 +675,7 @@ def run_analyze_neural_streamed(
     ext_len = (S + 2 * H) * hop_length  # samples per extended slab
     y16_full, scale = quantize_pcm16(np.asarray(y, np.float32))
     if hop22:
-        y22_16_full = np.round(
-            np.asarray(y22) * (32767.0 / max(np.abs(y22).max(), 1e-9))
-        ).astype(np.int16)
-        scale22 = float(np.abs(y22).max() / 32767.0) if np.abs(y22).max() > 0 \
-            else 0.0
+        y22_16_full, scale22 = quantize_pcm16(np.asarray(y22))
         ext22_len = (S + 2 * H) * hop22
 
     def slab16(full, a, length):
@@ -665,7 +692,10 @@ def run_analyze_neural_streamed(
             out[-a - p: -a] = full[1:1 + p][::-1]
         return jnp.asarray(out)
 
-    # pass 1: upload every slab once, device-resident; track-global mel peak
+    # pass 1a: upload every slab once (device-resident); track-global mel
+    # peak over INTERIOR frames only — the outermost reflect-padding frames
+    # of each extended slab are palindromic windows whose power can exceed
+    # any real frame's and would inflate the reference above the fused one
     slabs = []
     peaks = []
     for k in range(n_slabs):
@@ -675,21 +705,33 @@ def run_analyze_neural_streamed(
                if hop22 else None)
         slabs.append((s16, s22))
         peaks.append(_neural_mel_peak(s16, jnp.float32(scale), sr,
-                                      hop_length, n_fft, n_mels))
+                                      hop_length, n_fft, n_mels,
+                                      keep_lo=H, keep_hi=H + S))
     ref = jnp.max(jnp.stack(peaks))
 
-    # pass 2: per-slab rows with the global reference; keep interiors
-    parts = []
+    # pass 1b: track-global onset-flux max (with the global dB reference)
+    # — the backfill's 20% peak threshold must be global, not per-slab
+    omaxes = [
+        _neural_onset_max(s16, jnp.float32(scale), ref,
+                          jnp.int32(H if k == 0 else 0), sr, hop_length,
+                          n_fft, n_mels, keep_lo=H, keep_hi=H + S)
+        for k, (s16, _) in enumerate(slabs)
+    ]
+    onset_ref = jnp.max(jnp.stack(omaxes))
+
+    # pass 2: per-slab rows with the global references, dispatch-ahead
+    # (fetching slab k only after slab k+1 is dispatched keeps the tunnel's
+    # per-transfer latency overlapped with device compute)
+    handles = []
     for k, (s16, s22) in enumerate(slabs):
-        packed = _neural_slab_program(
+        handles.append(_neural_slab_program(
             s16, jnp.float32(scale),
             s22 if s22 is not None else s16,
             jnp.float32(scale22 if hop22 else 0.0),
-            jnp.float32(rake_sensitivity), params, ref,
+            jnp.float32(rake_sensitivity), params, ref, onset_ref,
             jnp.int32(H if k == 0 else 0),
-            sr, hop_length, n_fft, n_mels, fetch_mel, hop22)
-        keep = np.asarray(packed)[H: H + S]
-        parts.append(keep)
+            sr, hop_length, n_fft, n_mels, fetch_mel, hop22))
+    parts = [np.asarray(h)[H: H + S] for h in handles]
     buf = np.concatenate(parts)[:true_frames]
     return _unpack(buf, _V1_ROWS, n_mels if fetch_mel else 0)
 

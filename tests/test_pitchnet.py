@@ -297,11 +297,15 @@ def test_streamed_matches_fused():
     rng = np.random.default_rng(5)
     sr = pn.SR_NATIVE
     segs = []
-    for f in (110.0, 196.0, 330.0, 247.0):
+    # strongly varying segment amplitudes: a quiet late section exposed a
+    # bug where the backfill's onset-peak threshold and the dB reference
+    # were evaluated per slab instead of track-globally
+    for f, amp in ((110.0, 0.9), (196.0, 0.08), (330.0, 0.5),
+                   (247.0, 0.04)):
         t = np.arange(int(sr * 0.8)) / sr
-        segs.append(np.exp(-1.5 * t) * np.sin(2 * np.pi * f * t))
-    y = (0.7 * np.concatenate(segs)).astype(np.float32)
-    y += (0.01 * rng.standard_normal(len(y))).astype(np.float32)
+        segs.append(amp * np.exp(-1.5 * t) * np.sin(2 * np.pi * f * t))
+    y = np.concatenate(segs).astype(np.float32)
+    y += (0.003 * rng.standard_normal(len(y))).astype(np.float32)
 
     fused = pn.run_analyze_neural(y, sr, 512, params, fetch_mel=False)
     streamed = pn.run_analyze_neural_streamed(
