@@ -227,6 +227,26 @@ def main() -> None:
     print("# streamed 600s financial:", file=sys.stderr)
     stream_rtf = 600.0 / _median_time(stream_iter, 3)
 
+    # ---------------- streamed 10-minute track, neural backend --------------
+    neural_stream_rtf = 0.0
+    if have_default_weights():
+        from aegis_tpu.engine.engine import AegisEngine as _V1
+        from aegis_tpu.models.pitchnet import load_params, \
+            run_analyze_neural_streamed
+
+        _params = load_params()
+
+        def neural_stream_iter():
+            raw = run_analyze_neural_streamed(ylong, sr, 512, _params,
+                                              fetch_mel=False)
+            raw["f0"] = np.nan_to_num(raw["f0"])
+            _v1ex.extract_events(raw, None)
+
+        _v1ex = _V1(sample_rate=sr, backend="device")
+        neural_stream_iter()  # compile
+        print("# streamed 600s neural:", file=sys.stderr)
+        neural_stream_rtf = 600.0 / _median_time(neural_stream_iter, 3)
+
     # ---------------- technique verifier ------------------------------------
     # the KS test track has no bends — craft a vibrato+bend clip so the
     # verifier actually exercises its with/without synthesis comparison
@@ -266,6 +286,7 @@ def main() -> None:
         "technique_s": round(technique_s, 3),
         "effect_loop_s": round(effect_loop_s, 3),
         "stream_10min_rtf": round(stream_rtf, 1),
+        "neural_stream_10min_rtf": round(neural_stream_rtf, 1),
     }))
 
 
