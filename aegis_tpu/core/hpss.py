@@ -148,7 +148,13 @@ def hpss(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512,
          kernel_time: int = 17, kernel_freq: int = 17,
          power: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: bucket-pad (compile-cache friendly), int16 transport,
-    one packed (2, n) fetch.  Tracks longer than ~95 s run as overlapping
+    one packed (2, n) fetch.
+
+    Note: the bucket's zero tail sits inside the time-median window of the
+    last ~kernel_time//2 frames, so those final ~0.2 s differ slightly
+    from an exact-length run (hpss_program with length=len(y) is
+    oracle-exact; the parity test pins that).  Perceptually irrelevant for
+    a stem separator; use hpss_program directly for exact-length needs.  Tracks longer than ~95 s run as overlapping
     slabs with a halo of (kernel_time//2)*hop + 2*n_fft samples: a kept
     sample depends on frames within n_fft/hop of it, whose median context
     reaches kernel_time//2 frames further, whose analysis windows reach
