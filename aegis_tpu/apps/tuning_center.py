@@ -101,11 +101,14 @@ def main() -> None:
 
     fkey = hashlib.sha1(file_bytes).hexdigest()
     if st.session_state.get("dur_key") != fkey:
-        from aegis_tpu.io.audio import load_audio
+        from aegis_tpu.io.audio import load_audio, probe_duration
 
-        y_probe, sr_probe = load_audio(file_bytes, sr=None)
+        dur = probe_duration(file_bytes)  # header math / ffprobe, no decode
+        if dur is None:  # format without a cheap probe: decode once
+            y_probe, sr_probe = load_audio(file_bytes, sr=None)
+            dur = len(y_probe) / float(sr_probe)
         st.session_state["dur_key"] = fkey
-        st.session_state["duration"] = max(len(y_probe) / float(sr_probe), 0.1)
+        st.session_state["duration"] = max(dur, 0.1)
     duration = st.session_state["duration"]
 
     region = st.slider("Analysis region (s)", 0.0, float(round(duration, 1)),
@@ -125,7 +128,7 @@ def main() -> None:
         # device program (unlike the old return-the-input no-op)
         stem_key = phase1_cache_key(file_bytes, op="stem")
         if st.session_state.get("stem_key") != stem_key:
-            import tempfile, os
+            import tempfile
 
             with tempfile.NamedTemporaryFile(suffix=".wav",
                                              delete=False) as f:
@@ -184,7 +187,8 @@ def main() -> None:
         st.metric("Rake frames", f"{rake_ratio:.1%}")
         if bpm_est:
             st.metric("Tempo", f"{bpm_est:.1f} BPM")
-        st.download_button("⬇ MIDI", midi_bytes, "aegis.mid", "audio/midi")
+        mid_name = os.path.splitext(os.path.basename(file_label))[0] + ".mid"
+        st.download_button("⬇ MIDI", midi_bytes, mid_name, "audio/midi")
 
     if not zen:
         st.subheader("Tablature")

@@ -98,13 +98,10 @@ class AegisEngine:
     # -------------------------------------------------------------- phase one
 
     def _neural_params(self):
-        """PitchNet weights, loaded once and kept device-resident."""
-        if not hasattr(self, "_pitchnet_params"):
-            import jax
-            from aegis_tpu.models.pitchnet import load_params
+        """PitchNet weights (process-wide cache, device-resident)."""
+        from aegis_tpu.models.pitchnet import default_params_device
 
-            self._pitchnet_params = jax.device_put(load_params())
-        return self._pitchnet_params
+        return default_params_device()
 
     def _analyze(self, y: np.ndarray, rake_sensitivity: float,
                  turbo, fetch_mel: bool = True,

@@ -56,18 +56,14 @@ class AegisFinancialEngine:
         swaps pYIN for PitchNet in the fused program (fused mode only;
         see engine.AegisEngine._analyze)."""
         if pitch_backend == "neural":
-            from aegis_tpu.models.pitchnet import load_params, \
+            from aegis_tpu.models.pitchnet import default_params_device, \
                 run_analyze_neural
 
             if turbo:
                 log.warning(f"neural backend runs the fused single program;"
                             f" turbo={turbo!r} ignored")
-            if not hasattr(self, "_pitchnet_params"):
-                import jax
-
-                self._pitchnet_params = jax.device_put(load_params())
             return run_analyze_neural(
-                y, self.sr, self.hop_length, self._pitchnet_params,
+                y, self.sr, self.hop_length, default_params_device(),
                 rake_sensitivity, n_fft=self.audio.n_fft,
                 n_mels=self.audio.n_mels, fetch_mel=fetch_mel,
                 financial=True, use_guitar_filters=use_guitar_filters)

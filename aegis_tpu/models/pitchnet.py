@@ -302,6 +302,19 @@ def have_default_weights() -> bool:
     return os.path.exists(_DEFAULT_WEIGHTS)
 
 
+_DEVICE_PARAMS = None
+
+
+def default_params_device():
+    """The default checkpoint, loaded once per process and kept
+    device-resident — the one shared lazy loader behind every engine
+    facade's neural backend."""
+    global _DEVICE_PARAMS
+    if _DEVICE_PARAMS is None:
+        _DEVICE_PARAMS = jax.device_put(load_params())
+    return _DEVICE_PARAMS
+
+
 # ------------------------------------------------------- fused analyze path
 
 

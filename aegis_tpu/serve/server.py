@@ -102,11 +102,20 @@ class AegisServer:
 
     def _sess(self, sid: str) -> Dict:
         sess = self.sessions.get(sid)
+        if sess is None and self.sessions.restore_raw(sid):
+            # resume from the on-disk raw_data checkpoint after a restart:
+            # the Phase-2 endpoints (refilter, midi, events, tabs) work on
+            # the restored analysis; file-backed ones still need re-upload
+            sess = self.sessions.get(sid)
         if sess is None:
             raise HTTPError(404, "Session not found. Upload a file first.")
         return sess
 
-    def _load_original(self, sess: Dict, duration: float = 30.0) -> np.ndarray:
+    def _load_original(self, sess: Dict,
+                       duration: Optional[float] = None) -> np.ndarray:
+        if not sess.get("file_path"):
+            raise HTTPError(400, "Session has no uploaded audio file "
+                                 "(live-stream or restored session).")
         y, _ = load_audio(sess["file_path"], sr=self.engine.sr,
                           duration=duration)
         return y
@@ -289,6 +298,10 @@ class AegisServer:
                 if not have_default_weights():
                     raise HTTPError(400, "neural backend unavailable: "
                                          "no PitchNet checkpoint")
+            if not sess.get("file_path"):
+                raise HTTPError(400, "Session has no uploaded audio "
+                                     "(live-stream sessions use "
+                                     "/api/stream-feed)")
             try:
                 raw = self.engine.audio_to_midi(
                     sess["file_path"], None,
@@ -343,18 +356,25 @@ class AegisServer:
         @r.get("/api/midi/{sid}")
         def download_midi(sid, **kw):
             sess = self._sess(sid)
-            if sess.get("midi_data") is None:
+            if not sess.get("midi_data"):  # None or b"" (0-event finalize)
                 raise HTTPError(400, "No MIDI data. Run analysis first.")
+            # sanitize the client-supplied name: Content-Disposition is a
+            # latin-1 header (non-ASCII breaks the response mid-write) and
+            # CRLF in the value would allow header injection
+            safe = "".join(
+                c for c in str(sess.get("file_name", "track"))
+                if c.isascii() and (c.isalnum() or c in "._- "))[:64] \
+                or "track"
             return Response(
                 sess["midi_data"], "audio/midi",
                 headers={"Content-Disposition":
-                         f'attachment; filename="aegis_{sess["file_name"]}.mid"'},
+                         f'attachment; filename="aegis_{safe}.mid"'},
             )
 
         @r.post("/api/crossfade/{sid}")
         def crossfade(sid, query, **kw):
             sess = self._sess(sid)
-            if sess.get("midi_data") is None:
+            if not sess.get("midi_data"):
                 raise HTTPError(400, "No MIDI. Run analysis first.")
             fade = coerce(query, "crossfade", 0.5)
             wav = synthesize_midi(sess["midi_data"], sample_rate=self.engine.sr)
@@ -374,7 +394,7 @@ class AegisServer:
         @r.get("/api/midi-wav/{sid}")
         def midi_wav(sid, **kw):
             sess = self._sess(sid)
-            if sess.get("midi_data") is None:
+            if not sess.get("midi_data"):
                 raise HTTPError(400, "No MIDI.")
             wav = synthesize_midi(sess["midi_data"], sample_rate=self.engine.sr)
             if wav is None:
@@ -390,7 +410,7 @@ class AegisServer:
         @r.post("/api/adsr-synth/{sid}")
         def adsr_synth(sid, query, **kw):
             sess = self._sess(sid)
-            if sess.get("midi_data") is None:
+            if not sess.get("midi_data"):
                 raise HTTPError(400, "No MIDI.")
             overrides = {}
             if coerce(query, "envelope_match", False, bool):
@@ -411,7 +431,7 @@ class AegisServer:
         @r.post("/api/reverse-analysis/{sid}")
         def reverse(sid, **kw):
             sess = self._sess(sid)
-            if sess.get("midi_data") is None:
+            if not sess.get("midi_data"):
                 raise HTTPError(400, "No MIDI.")
             from aegis_tpu.verify.reverse import reverse_analysis
 
@@ -444,7 +464,7 @@ class AegisServer:
         @r.post("/api/effect-loop/{sid}")
         def effect_loop(sid, query, **kw):
             sess = self._sess(sid)
-            if sess.get("midi_data") is None:
+            if not sess.get("midi_data"):
                 raise HTTPError(400, "No MIDI.")
             from aegis_tpu.verify.effect_loop import learning_loop
 
@@ -600,6 +620,11 @@ class AegisServer:
                 # extractor emits them when min-duration is below one frame
                 if ev["end"] < ev["start"] or not 0 <= ev["note"] <= 127:
                     raise HTTPError(400, f"invalid event {ev}")
+                if ev["track"] not in ("main", "safe"):
+                    raise HTTPError(400, "track must be 'main' or 'safe'")
+                if not 1 <= ev["velocity"] <= 127:
+                    # 128 would wrap to velocity 0 = note_off in SMF
+                    raise HTTPError(400, "velocity must be in 1..127")
                 events.append(ev)
             events.sort(key=lambda e: (e["start"], e["note"]))
             params = sess.get("params", {})

@@ -420,3 +420,31 @@ def test_health(server_url):
     status, _, data = _req(f"{server_url}/api/health?probe_device=1")
     j = json.loads(data)
     assert j["platform"] == "cpu" and j["n_devices"] == 8  # test mesh
+
+
+def test_event_edit_validation_and_filename_sanitization(server_url):
+    """Round-2 review fixes: bad track/velocity -> 400; unicode/CRLF file
+    names can't break the Content-Disposition header."""
+    import urllib.error
+    import urllib.parse
+
+    buf = io.BytesIO()
+    write_wav(buf, two_tone(sr=SR), SR)
+    name = urllib.parse.quote("ギター\r\nSet-Cookie:x.wav")
+    status, _, data = _req(f"{server_url}/api/upload?name={name}", "POST",
+                           buf.getvalue())
+    sid = json.loads(data)["session_id"]
+    _req(f"{server_url}/api/analyze/{sid}?confidence_threshold=0.5", "POST")
+
+    # the download header survives the hostile name (sanitized)
+    status, _, data = _req(f"{server_url}/api/midi/{sid}")
+    assert status == 200 and data[:4] == b"MThd"
+
+    for bad in ([{"note": 60, "start": 0, "end": 4, "track": "Main"}],
+                [{"note": 60, "start": 0, "end": 4, "velocity": 128}]):
+        try:
+            _req(f"{server_url}/api/events/{sid}", "POST",
+                 json.dumps(bad).encode())
+            assert False, f"expected 400 for {bad}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
