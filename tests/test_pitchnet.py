@@ -336,3 +336,30 @@ def test_streamed_44k_and_engine_route():
 
     with pytest.raises(ValueError):  # exotic rate: no integral 22k hop
         pn.run_analyze_neural_streamed(y[:4096], 48000, 512, params=None)
+
+
+@needs_weights
+def test_neural_robust_to_effects():
+    """Neural-vs-pYIN event agreement survives the framework's own effect
+    chain (measured F1 1.0 on every preset on-chip; the two hardest
+    presets gate here)."""
+    from aegis_tpu.engine.engine import AegisEngine
+    from aegis_tpu.synth.effects import apply_effect_chain
+    from aegis_tpu.synth.presets import EFFECT_PRESETS
+    from aegis_tpu.tools.signal_gen import generate_test_track
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    sr = 22050
+    y = generate_test_track(sr=sr)[0]
+    eng = AegisEngine(sample_rate=sr, backend="device")
+    for preset in ("heavy_distortion", "ambient"):
+        yfx = np.asarray(apply_effect_chain(y, EFFECT_PRESETS[preset], sr),
+                         np.float32)
+        ep = eng.extract_events(eng.audio_to_midi(yfx, None), None,
+                                confidence_threshold=0.3)
+        en = eng.extract_events(
+            eng.audio_to_midi(yfx, None, pitch_backend="neural"), None,
+            confidence_threshold=0.3)
+        f1 = note_event_f1(events_to_seconds(ep, sr, 512),
+                           events_to_seconds(en, sr, 512))["f1"]
+        assert f1 >= 0.9, (preset, f1, ep, en)
