@@ -464,26 +464,13 @@ def smooth_f0_median(f0, voiced, smooth: int = 5):
     return FMIN_HZ * jnp.exp2(cents / 1200.0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sample_rate", "hop_length", "n_fft", "n_mels",
-                     "include_mel", "uniform_hop22"))
-def analyze_neural_program_dual(y16, scale, y22_16, scale22, centers,
-                                rake_sensitivity, params,
-                                sample_rate: int, hop_length: int,
-                                n_fft: int, n_mels: int,
-                                include_mel: bool = True,
-                                uniform_hop22: int = 0):
-    """Two-rate variant for sample rates other than 22.05 kHz: the mel /
-    rake / RMS / onset rows run on the ORIGINAL-rate signal with the
-    original hop (exact frame grid, same semantics as the pYIN path), while
-    the pitch head runs on the 22.05 kHz resample — framed uniformly when
-    hop*22050/sr is integral (uniform_hop22 > 0, e.g. 44100/512 -> 256), or
-    gathered at per-frame rounded centers otherwise (exact alignment at any
-    rate; a (T, WIN) gather is slower but correct)."""
+def _neural_dual_rows(y16, scale, y22_16, scale22, centers,
+                      rake_sensitivity, params, sample_rate, hop_length,
+                      n_fft, n_mels, uniform_hop22):
+    """Shared body of the two-rate programs: original-rate base rows +
+    22.05 kHz pitch head (uniform framing or rounded-center gather)."""
     import jax.numpy as jnp
 
-    from aegis_tpu.core.analyze import _V1_ROWS, _pack
     from aegis_tpu.core import dsp
 
     y = y16.astype(jnp.float32) * scale
@@ -503,7 +490,58 @@ def analyze_neural_program_dual(y16, scale, y22_16, scale22, centers,
     out.update(_onset_backfill(_neural_pitch(params, frames),
                                out["onset_env"],
                                sample_rate / hop_length))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "hop_length", "n_fft", "n_mels",
+                     "include_mel", "uniform_hop22"))
+def analyze_neural_program_dual(y16, scale, y22_16, scale22, centers,
+                                rake_sensitivity, params,
+                                sample_rate: int, hop_length: int,
+                                n_fft: int, n_mels: int,
+                                include_mel: bool = True,
+                                uniform_hop22: int = 0):
+    """Two-rate variant for sample rates other than 22.05 kHz: the mel /
+    rake / RMS / onset rows run on the ORIGINAL-rate signal with the
+    original hop (exact frame grid, same semantics as the pYIN path), while
+    the pitch head runs on the 22.05 kHz resample — framed uniformly when
+    hop*22050/sr is integral (uniform_hop22 > 0, e.g. 44100/512 -> 256), or
+    gathered at per-frame rounded centers otherwise (exact alignment at any
+    rate; a (T, WIN) gather is slower but correct)."""
+    from aegis_tpu.core.analyze import _V1_ROWS, _pack
+
+    out = _neural_dual_rows(y16, scale, y22_16, scale22, centers,
+                            rake_sensitivity, params, sample_rate,
+                            hop_length, n_fft, n_mels, uniform_hop22)
     return _pack(out, _V1_ROWS, include_mel)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "hop_length", "n_fft", "n_mels",
+                     "include_mel", "use_guitar_filters", "uniform_hop22"))
+def analyze_neural_financial_dual(y16, scale, y22_16, scale22, centers,
+                                  rake_sensitivity, params,
+                                  sample_rate: int, hop_length: int,
+                                  n_fft: int, n_mels: int,
+                                  include_mel: bool = True,
+                                  use_guitar_filters: bool = True,
+                                  uniform_hop22: int = 0):
+    """Two-rate financial variant: dual base rows + the shared
+    guitar-filter/trend tail, packed as _FIN_ROWS — pitch_backend="neural"
+    on the financial engine at any sample rate."""
+    from aegis_tpu.config import AudioConfig
+    from aegis_tpu.core.analyze import _FIN_ROWS, _pack, financial_tail
+
+    out = _neural_dual_rows(y16, scale, y22_16, scale22, centers,
+                            rake_sensitivity, params, sample_rate,
+                            hop_length, n_fft, n_mels, uniform_hop22)
+    audio = AudioConfig(sample_rate=sample_rate, hop_length=hop_length,
+                        n_fft=n_fft, n_mels=n_mels)
+    return _pack(financial_tail(out, audio, use_guitar_filters),
+                 _FIN_ROWS, include_mel)
 
 
 @functools.partial(
@@ -766,9 +804,8 @@ def run_analyze_neural(
     caller's exact (sr, hop) frame grid; only the pitch head sees a
     22.05 kHz resample, aligned per frame (uniform stride when divisible,
     rounded centers otherwise) — no cumulative timing drift at any rate.
-    financial=True appends the guitar-filter/trend tail (_FIN_ROWS);
-    supported at the native 22.05 kHz rate (the financial engine's
-    default)."""
+    financial=True appends the guitar-filter/trend tail (_FIN_ROWS) at any
+    rate."""
     from aegis_tpu.core.analyze import _FIN_ROWS, _V1_ROWS, _unpack, \
         pad_to_bucket, quantize_pcm16
 
@@ -778,21 +815,17 @@ def run_analyze_neural(
     y_pad = pad_to_bucket(np.asarray(y, np.float32))
     y16, s = quantize_pcm16(y_pad)
     rs = jnp.float32(rake_sensitivity)
+    rows = _FIN_ROWS if financial else _V1_ROWS
 
-    if financial and sr != SR_NATIVE:
-        raise ValueError(
-            "neural financial analysis runs at the native 22.05 kHz rate "
-            f"(engine default); got sr={sr}")
-    if financial:
-        packed = analyze_neural_financial_packed(
-            jnp.asarray(y16), jnp.float32(s), rs, params, sr, hop_length,
-            n_fft, n_mels, fetch_mel, use_guitar_filters)
-        rows = _FIN_ROWS
-    elif sr == SR_NATIVE:
-        packed = analyze_neural_program_packed(
-            jnp.asarray(y16), jnp.float32(s), rs, params, sr, hop_length,
-            n_fft, n_mels, fetch_mel)
-        rows = _V1_ROWS
+    if sr == SR_NATIVE:
+        if financial:
+            packed = analyze_neural_financial_packed(
+                jnp.asarray(y16), jnp.float32(s), rs, params, sr,
+                hop_length, n_fft, n_mels, fetch_mel, use_guitar_filters)
+        else:
+            packed = analyze_neural_program_packed(
+                jnp.asarray(y16), jnp.float32(s), rs, params, sr,
+                hop_length, n_fft, n_mels, fetch_mel)
     else:
         from aegis_tpu.io.audio import resample
 
@@ -812,10 +845,13 @@ def run_analyze_neural(
             # itself (start = c - WIN//2 unpadded, +WIN//2 pad offset)
             c = np.round(np.arange(T_pad) * num / sr).astype(np.int32)
             centers = jnp.asarray(c)
-        packed = analyze_neural_program_dual(
-            jnp.asarray(y16), jnp.float32(s), jnp.asarray(y22_16),
-            jnp.float32(s22), centers, rs, params, sr, hop_length,
-            n_fft, n_mels, fetch_mel, hop22)
-        rows = _V1_ROWS
+        args = (jnp.asarray(y16), jnp.float32(s), jnp.asarray(y22_16),
+                jnp.float32(s22), centers, rs, params, sr, hop_length,
+                n_fft, n_mels, fetch_mel)
+        if financial:
+            packed = analyze_neural_financial_dual(
+                *args, use_guitar_filters, hop22)
+        else:
+            packed = analyze_neural_program_dual(*args, hop22)
     buf = np.asarray(packed)[:true_frames]
     return _unpack(buf, rows, n_mels if fetch_mel else 0)

@@ -154,11 +154,12 @@ def test_neural_financial_pipeline():
     ev, info = eng.extract_events(a, confidence_threshold=0.3)
     assert {55, 62} <= {e["note"] for e in ev}
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):  # financial neural is 22050-native
-        AegisFinancialEngine(sample_rate=44100, backend="device")._analyze(
-            np.zeros(4096, np.float32), 0.6, True, pitch_backend="neural")
+    # non-native rate runs through the dual-rate financial program
+    eng44 = AegisFinancialEngine(sample_rate=44100, backend="device")
+    a44 = eng44.analyze(two_tone(sr=44100), pitch_backend="neural")
+    assert a44["trend"].shape == a44["f0"].shape
+    ev44, _ = eng44.extract_events(a44, confidence_threshold=0.3)
+    assert {55, 62} <= {e["note"] for e in ev44}
 
 
 @needs_weights
