@@ -128,6 +128,14 @@ def make_clips(
                  + chirp * (t / t[-1])
                  + step * (t >= t_step)).astype(np.float32)
         f0 = base * np.exp2(cents / 1200.0)  # (b, L)
+        # vibrato/chirp stack on top of the clipped step, so keep the final
+        # pitch inside the label grid (PitchNet's 192 25-cent bins span
+        # ~77.8-1226 Hz); clip BEFORE phase integration so audio == label
+        from aegis_tpu.models.pitchnet import CENTS_PER_BIN, FMIN_HZ, N_BINS
+
+        f0 = np.clip(f0, FMIN_HZ * 2.0 ** (CENTS_PER_BIN / 1200.0),
+                     FMIN_HZ * 2.0 ** ((N_BINS - 2) * CENTS_PER_BIN
+                                       / 1200.0)).astype(np.float32)
         phase = (2 * np.pi / sr) * np.cumsum(f0, axis=1)
 
         alpha = rng.uniform(0.5, 1.8, (b, 1))
@@ -194,6 +202,20 @@ def make_clips(
                          * rng.uniform(1e-5, 1e-4, ((kind == 2).sum(), 1))
                          .astype(np.float32))
         y[nv:] = un
+
+    # ---- random silent lead-ins on voiced clips ---------------------------
+    # every clip used to start AT the pluck, so no training window ever had
+    # the inference-time onset shape (left half silence, right half attack);
+    # shifting by up to one window puts those exact windows in distribution
+    for i in range(nv):
+        lead = int(rng.integers(0, 2048))
+        if lead:
+            y[i, lead:] = y[i, :-lead]
+            y[i, :lead] = 0.0
+            f0_full[i, lead:] = f0_full[i, :-lead]
+            f0_full[i, :lead] = 0.0
+            voiced_full[i, lead:] = voiced_full[i, :-lead]
+            voiced_full[i, :lead] = False
 
     # ---- int16 transport quantization (per clip, like quantize_pcm16) ---
     # Near-silent clips are NOT peak-normalized: at inference quantize_pcm16

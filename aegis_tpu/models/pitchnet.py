@@ -253,8 +253,13 @@ def save_params(params, path: str, metrics: Optional[Dict] = None) -> None:
             "hidden": list(HIDDEN), "metrics": metrics or {}}
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8).copy()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not path.endswith(".npz"):
+        path += ".npz"  # savez appends it silently; keep names honest
+    d = os.path.dirname(path)
+    if d:  # bare filenames: makedirs("") raises
+        os.makedirs(d, exist_ok=True)
     np.savez_compressed(path, **flat)
+    return path
 
 
 def load_meta(path: Optional[str] = None) -> Dict:
@@ -280,10 +285,12 @@ def load_params(path: Optional[str] = None) -> Dict:
     with np.load(path) as z:
         tree: Dict = {}
         ver = None
+        hidden = None
         for key in z.files:
             if key == "__meta__":
                 meta = json.loads(bytes(z[key]).decode())
                 ver = meta.get("feature_version")
+                hidden = meta.get("hidden")
                 continue
             node = tree
             parts = key.split("/")
@@ -295,6 +302,11 @@ def load_params(path: Optional[str] = None) -> Dict:
             f"checkpoint {path} has feature_version {ver}, this build "
             f"expects {FEATURE_VERSION}; retrain with "
             f"python -m aegis_tpu.models.train")
+    if hidden is not None and tuple(hidden) != HIDDEN:
+        # a clear error now beats a flax kernel-shape mismatch later
+        raise ValueError(
+            f"checkpoint {path} was trained with hidden={tuple(hidden)}, "
+            f"this build uses {HIDDEN}")
     return tree
 
 
@@ -371,6 +383,23 @@ def _onset_backfill(pitch, onset_env, frames_per_second: float,
     }
 
 
+def _neural_native_rows(y16, scale, rake_sensitivity, params, sample_rate,
+                        hop_length, n_fft, n_mels):
+    """Shared body of the native-rate (22.05 kHz single-input) programs."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core import dsp
+
+    y = y16.astype(jnp.float32) * scale
+    out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
+                            n_fft, n_mels)
+    frames = dsp.frame_signal(y, WIN, hop_length, "constant")  # (T, WIN)
+    out.update(_onset_backfill(_neural_pitch(params, frames),
+                               out["onset_env"],
+                               sample_rate / hop_length))
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sample_rate", "hop_length", "n_fft", "n_mels",
@@ -383,18 +412,10 @@ def analyze_neural_program_packed(y16, scale, rake_sensitivity, params,
     RMS, onset envelope and neural f0/voicing in ONE fused program with the
     same packed (T, n_mels + 6) output layout as core.analyze._V1_ROWS.
     Native-rate (22.05 kHz) single-input variant."""
-    import jax.numpy as jnp
-
     from aegis_tpu.core.analyze import _V1_ROWS, _pack
-    from aegis_tpu.core import dsp
 
-    y = y16.astype(jnp.float32) * scale
-    out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
-                            n_fft, n_mels)
-    frames = dsp.frame_signal(y, WIN, hop_length, "constant")  # (T, WIN)
-    out.update(_onset_backfill(_neural_pitch(params, frames),
-                               out["onset_env"],
-                               sample_rate / hop_length))
+    out = _neural_native_rows(y16, scale, rake_sensitivity, params,
+                              sample_rate, hop_length, n_fft, n_mels)
     return _pack(out, _V1_ROWS, include_mel)
 
 
@@ -556,19 +577,11 @@ def analyze_neural_financial_packed(y16, scale, rake_sensitivity, params,
     """The v2 financial Perception Phase with PitchNet in place of pYIN:
     neural base rows + the shared guitar-filter/trend tail
     (core.analyze.financial_tail), packed as _FIN_ROWS."""
-    import jax.numpy as jnp
-
     from aegis_tpu.config import AudioConfig
-    from aegis_tpu.core import dsp
     from aegis_tpu.core.analyze import _FIN_ROWS, _pack, financial_tail
 
-    y = y16.astype(jnp.float32) * scale
-    out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
-                            n_fft, n_mels)
-    frames = dsp.frame_signal(y, WIN, hop_length, "constant")
-    out.update(_onset_backfill(_neural_pitch(params, frames),
-                               out["onset_env"],
-                               sample_rate / hop_length))
+    out = _neural_native_rows(y16, scale, rake_sensitivity, params,
+                              sample_rate, hop_length, n_fft, n_mels)
     audio = AudioConfig(sample_rate=sample_rate, hop_length=hop_length,
                         n_fft=n_fft, n_mels=n_mels)
     return _pack(financial_tail(out, audio, use_guitar_filters),
@@ -612,14 +625,23 @@ def _neural_onset_max(y16, scale, ref_power, n_invalid_left,
 
     y = y16.astype(jnp.float32) * scale
     mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
-    amin = 1e-10
-    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel))
-    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_power))
-    mel_db = jnp.maximum(log_spec, -80.0)
+    mel_db = _mel_db_with_ref(mel, ref_power)
     env = onset_from_db(mel_db)
     idx = jnp.arange(env.shape[0])
     env = jnp.where(idx >= n_invalid_left + 1, env, 0.0)
     return jnp.max(env[keep_lo:keep_hi])
+
+
+def _mel_db_with_ref(mel, ref_power):
+    """power_to_db with an EXPLICIT reference: with ref == the track-global
+    mel max, max(log_spec) == 0, so the fused path's max-80 floor is the
+    constant -80 here — identical output, slab-safe."""
+    import jax.numpy as jnp
+
+    amin = 1e-10
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_power))
+    return jnp.maximum(log_spec, -80.0)
 
 
 @functools.partial(
@@ -647,10 +669,7 @@ def _neural_slab_program(y16, scale, y22_16, scale22, rake_sensitivity,
     s_idx = jnp.arange(y.shape[0])
     y_zero = jnp.where(s_idx >= n_invalid_left * hop_length, y, 0.0)
     mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
-    amin = 1e-10
-    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel))
-    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref_power))
-    mel_db = jnp.maximum(log_spec, -80.0)  # ref==global max -> floor -80
+    mel_db = _mel_db_with_ref(mel, ref_power)
     out = {
         "mel_db": mel_db,
         "rake_mask": masks.detect_rake(mel_db, hop_length, sample_rate,
@@ -694,17 +713,23 @@ def run_analyze_neural_streamed(
     """Bounded-memory streamed neural analyze for multi-minute tracks.
 
     Every stage of the neural pipeline is frame-local (window 2048, rake
-    run-length <= 3 frames, cents median +-2, onset backfill <= ~7 frames),
-    so slabs with a `halo_frames` overlap reproduce the fused program
-    EXACTLY except for the dB reference — which pass 1 recovers as the
-    track-global mel peak (upload-once: the int16 slabs stay device-
+    run-length <= 3 frames, cents median +-2, onset backfill bounded by
+    the frame rate), so slabs with enough halo overlap reproduce the fused
+    program EXACTLY except for the dB reference — which pass 1 recovers as
+    the track-global mel peak (upload-once: the int16 slabs stay device-
     resident between the passes).  The whole track is quantized with ONE
     per-track scale, so slab rows are bit-identical to the fused program's.
+    `halo_frames` is a floor: the halo grows with the frame rate so the
+    onset backfill's ~0.08 s + 0.04 s dependency chain always fits.
     Non-native rates resample once host-side (uniform hops only)."""
     import jax.numpy as jnp
 
-    from aegis_tpu.core.analyze import _V1_ROWS, _unpack, quantize_pcm16
+    from aegis_tpu.core.analyze import _V1_ROWS, _unpack, bucket_length, \
+        quantize_pcm16
 
+    fps = sr / hop_length
+    halo_frames = max(halo_frames,
+                      int(round(0.08 * fps)) + int(round(0.04 * fps)) + 4)
     true_frames = 1 + len(y) // hop_length
     if sr == SR_NATIVE:
         hop22 = 0
@@ -729,7 +754,12 @@ def run_analyze_neural_streamed(
         y22_16_full, scale22 = quantize_pcm16(np.asarray(y22))
         ext22_len = (S + 2 * H) * hop22
 
-    def slab16(full, a, length):
+    # the fused path's mel framing reflects past the signal's FAR end only
+    # when bucket padding added nothing (len(y) exactly on a bucket edge);
+    # otherwise the reflected region is the bucket's zeros
+    reflect_end = bucket_length(len(y)) == len(y)
+
+    def slab16(full, a, length, mirror_end=False):
         lo, hi = max(a, 0), min(a + length, len(full))
         out = np.zeros(length, np.int16)
         if hi > lo:
@@ -741,6 +771,10 @@ def run_analyze_neural_streamed(
             # convention: x[1..p] reversed)
             p = min(-a, len(full) - 1)
             out[-a - p: -a] = full[1:1 + p][::-1]
+        if mirror_end and a + length > len(full):
+            p = min(a + length - len(full), len(full) - 1)
+            tail = full[len(full) - 1 - p: len(full) - 1][::-1]
+            out[len(full) - a: len(full) - a + p] = tail
         return jnp.asarray(out)
 
     # pass 1a: upload every slab once (device-resident); track-global mel
@@ -751,7 +785,7 @@ def run_analyze_neural_streamed(
     peaks = []
     for k in range(n_slabs):
         a = (k * S - H) * hop_length
-        s16 = slab16(y16_full, a, ext_len)
+        s16 = slab16(y16_full, a, ext_len, mirror_end=reflect_end)
         s22 = (slab16(y22_16_full, (k * S - H) * hop22, ext22_len)
                if hop22 else None)
         slabs.append((s16, s22))

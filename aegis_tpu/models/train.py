@@ -46,7 +46,9 @@ def evaluate(params, n_clips: int = 192, clip_len: int = 16384,
     logits, vlogit = pn.apply_model(params, pn.featurize(jnp.asarray(wins)))
     f0_hat, vprob = pn.decode_f0(logits, vlogit)
     f0_hat = np.asarray(f0_hat)
-    v_hat = np.asarray(vprob) > 0.5
+    # 0.4 = the production decode threshold (_neural_pitch): the gate must
+    # measure the deployed operating point, not a different one
+    v_hat = np.asarray(vprob) > 0.4
 
     voicing_acc = float((v_hat == v_true).mean())
     m = v_true & (f0_true > 0)
@@ -68,6 +70,12 @@ def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
     from aegis_tpu.models import pitchnet as pn
     from aegis_tpu.models.data import make_clips
 
+    from aegis_tpu.models.pitchnet import WIN
+
+    if clip_len < 2 * WIN:
+        # the crop sampler needs room for a full window plus the attack
+        # region; a smaller clip would feed randint a non-positive range
+        raise ValueError(f"clip_len must be >= {2 * WIN} (got {clip_len})")
     t0 = time.time()
     d = make_clips(clips, clip_len, seed=seed)
     print(f"# data: {clips} clips x {clip_len} samples "
@@ -101,8 +109,8 @@ def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
     metrics = {"loss": float(loss), "steps": steps, "train_s": round(train_s, 1),
                **evaluate(params)}
     if out:
-        pn.save_params(jax.device_get(params), out, metrics=metrics)
-        print(f"# saved {out}", file=sys.stderr)
+        saved = pn.save_params(jax.device_get(params), out, metrics=metrics)
+        print(f"# saved {saved}", file=sys.stderr)
     return params, metrics
 
 

@@ -75,7 +75,7 @@ def test_train_step_learns():
             jnp.asarray(d["f0_hz"]), jnp.asarray(d["voiced"]))
     key = jax.random.PRNGKey(2)
     first = None
-    for i in range(60):
+    for i in range(120):
         params, opt_state, loss = step(params, opt_state, key, np.int32(i),
                                        *args)
         if first is None:
