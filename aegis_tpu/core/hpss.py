@@ -65,14 +65,23 @@ def stft_complex(y: jnp.ndarray, n_fft: int, hop_length: int
 
 
 def istft(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop_length: int,
-          length: int) -> jnp.ndarray:
+          length: int, valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Inverse STFT with Hann synthesis window and window-sum-square
-    normalization, scatter-free overlap-add (requires hop | n_fft)."""
+    normalization, scatter-free overlap-add (requires hop | n_fft).
+
+    ``valid`` (optional (T,) f32 0/1 mask) restricts the overlap-add — both
+    the signal accumulation AND the window-sum normalization — to the first
+    ``sum(valid)`` frames, making a bucket-padded run bit-consistent with an
+    exact-length run of the true frame count (the window sum is then
+    data-dependent, so it is accumulated on device with the same shifted
+    adds instead of precomputed on host)."""
     assert n_fft % hop_length == 0, "istft fast path needs hop | n_fft"
     icos, isin = _idft_matrices(n_fft)
     win = hann_window(n_fft)
     frames = (real @ jnp.asarray(icos) - imag @ jnp.asarray(isin))
     frames = frames * jnp.asarray(win)[None, :]
+    if valid is not None:
+        frames = frames * valid[:, None]
 
     T = frames.shape[0]
     k = n_fft // hop_length
@@ -83,13 +92,23 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop_length: int,
         seg = frames[:, j * hop_length:(j + 1) * hop_length].reshape(-1)
         out = out.at[j * hop_length: j * hop_length + T * hop_length].add(seg)
 
-    # window-sum-square normalization (precomputed on host: same shifted
-    # accumulation of win^2 — data-independent)
-    wss = np.zeros(out_len, np.float32)
     w2 = (win * win).astype(np.float32)
-    for t in range(T):
-        wss[t * hop_length: t * hop_length + n_fft] += w2
-    out = out / jnp.asarray(np.maximum(wss, 1e-8))
+    if valid is None:
+        # window-sum-square normalization (precomputed on host: same
+        # shifted accumulation of win^2 — data-independent)
+        wss_np = np.zeros(out_len, np.float32)
+        for t in range(T):
+            wss_np[t * hop_length: t * hop_length + n_fft] += w2
+        wss = jnp.asarray(np.maximum(wss_np, 1e-8))
+    else:
+        w2f = valid[:, None] * jnp.asarray(w2)[None, :]  # (T, n_fft)
+        wss = jnp.zeros(out_len, jnp.float32)
+        for j in range(k):
+            seg = w2f[:, j * hop_length:(j + 1) * hop_length].reshape(-1)
+            wss = wss.at[j * hop_length:
+                         j * hop_length + T * hop_length].add(seg)
+        wss = jnp.maximum(wss, 1e-8)
+    out = out / wss
     return out[pad: pad + length]
 
 
@@ -114,14 +133,31 @@ def _median_along(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
                                              "length"))
 def hpss_program(y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 512,
                  kernel_time: int = 17, kernel_freq: int = 17,
-                 power: float = 2.0, length: int | None = None
+                 power: float = 2.0, length: int | None = None,
+                 n_frames: jnp.ndarray | None = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused program: STFT -> dual median filters -> soft masks ->
-    two iSTFTs.  Returns (harmonic, percussive) waveforms of `length`."""
+    two iSTFTs.  Returns (harmonic, percussive) waveforms of `length`.
+
+    ``n_frames`` (optional traced int) marks how many leading STFT frames
+    are real audio: frames past it are replaced by edge replication inside
+    the time median and excluded from the overlap-add, so a bucket-padded
+    call produces EXACTLY the output of an exact-length run on the first
+    ``n_frames`` frames (one compiled program per bucket, any true length)."""
     y = y.astype(jnp.float32)
     n = length if length is not None else y.shape[0]
     real, imag = stft_complex(y, n_fft, hop_length)
     S = jnp.sqrt(real * real + imag * imag)  # (T, F) magnitude
+
+    valid = None
+    if n_frames is not None:
+        T = S.shape[0]
+        t_idx = jnp.arange(T)
+        # replicate the last real frame over the padded tail: the time
+        # median then sees the oracle's edge-padding semantics at the true
+        # end of track instead of the bucket's zero frames
+        S = jnp.take(S, jnp.minimum(t_idx, n_frames - 1), axis=0)
+        valid = (t_idx < n_frames).astype(jnp.float32)
 
     H = _median_along(S, kernel_time, axis=0)   # harmonic: smooth in time
     P = _median_along(S, kernel_freq, axis=1)   # percussive: smooth in freq
@@ -132,8 +168,8 @@ def hpss_program(y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 512,
     mh = Hp / denom
     mp = Pp / denom
 
-    y_h = istft(real * mh, imag * mh, n_fft, hop_length, n)
-    y_p = istft(real * mp, imag * mp, n_fft, hop_length, n)
+    y_h = istft(real * mh, imag * mh, n_fft, hop_length, n, valid)
+    y_p = istft(real * mp, imag * mp, n_fft, hop_length, n, valid)
     # ONE stacked output = one device->host transfer (CLAUDE.md: each
     # transfer costs ~25-30 ms through the tunnel)
     return jnp.stack([y_h, y_p])
@@ -150,11 +186,11 @@ def hpss(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512,
     """Host wrapper: bucket-pad (compile-cache friendly), int16 transport,
     one packed (2, n) fetch.
 
-    Note: the bucket's zero tail sits inside the time-median window of the
-    last ~kernel_time//2 frames, so those final ~0.2 s differ slightly
-    from an exact-length run (hpss_program with length=len(y) is
-    oracle-exact; the parity test pins that).  Perceptually irrelevant for
-    a stem separator; use hpss_program directly for exact-length needs.  Tracks longer than ~95 s run as overlapping
+    The true frame count rides into the program as a traced ``n_frames``,
+    so the bucket's zero tail never reaches the time median or the
+    overlap-add: the result equals an exact-length hpss_program run (which
+    the oracle parity test pins) for ANY length, while every track in a
+    bucket shares one compiled program.  Tracks longer than ~95 s run as overlapping
     slabs with a halo of (kernel_time//2)*hop + 2*n_fft samples: a kept
     sample depends on frames within n_fft/hop of it, whose median context
     reaches kernel_time//2 frames further, whose analysis windows reach
@@ -171,7 +207,8 @@ def hpss(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512,
         y16, s = quantize_pcm16(seg_pad)
         y_dev = jnp.asarray(y16).astype(jnp.float32) * jnp.float32(s)
         hp = hpss_program(y_dev, n_fft, hop_length, kernel_time,
-                          kernel_freq, power, length=len(seg_pad))
+                          kernel_freq, power, length=len(seg_pad),
+                          n_frames=jnp.int32(1 + len(seg) // hop_length))
         return np.asarray(hp)[:, :len(seg)]
 
     if n <= _SLAB_SAMPLES:

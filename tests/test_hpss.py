@@ -39,6 +39,29 @@ def test_hpss_program_matches_oracle():
     assert np.abs(out[1] - yp_r).max() < 1e-4
 
 
+def test_hpss_wrapper_exact_at_any_length():
+    """The bucket-padded wrapper equals an exact-length program run at EVERY
+    sample — including the last ~kernel_time//2 frames, whose time-median
+    context is edge-replicated via the traced n_frames mask rather than
+    polluted by the bucket's zero tail."""
+    from aegis_tpu.core.analyze import quantize_pcm16
+
+    y, _, _ = _mix(1.37, seed=3)  # length far off any bucket edge
+    yh, yp = hpss(y)
+    y16, s = quantize_pcm16(y)  # the wrapper's int16 transport, replayed
+    yq = y16.astype(np.float32) * s
+    exact = np.asarray(hpss_program(jnp.asarray(yq), length=len(y)))
+    # not bit-identical: the masked on-device window-sum accumulates in a
+    # different f32 order than the host-precomputed one (~1e-5 on TPU)
+    assert np.abs(yh - exact[0]).max() < 5e-5
+    assert np.abs(yp - exact[1]).max() < 5e-5
+    # and the tail agrees with the float64 oracle to transport precision
+    yh_r, yp_r = hpss_ref(yq)
+    tail = slice(len(y) - 10 * 512, len(y))
+    assert np.abs(yh[tail] - yh_r[tail]).max() < 1e-4
+    assert np.abs(yp[tail] - yp_r[tail]).max() < 1e-4
+
+
 def test_hpss_slab_mode_matches_unsliced():
     """Force the slab path on a short mix and check it equals the one-shot
     program (the halo argument: exact, not approximate)."""
