@@ -8,6 +8,7 @@ every pipeline is one command on a single entry point:
   financial   WAV/MP3 -> MIDI via the v2 financial engine (5-phase)
   poly        WAV/MP3 -> MIDI via the polyphonic CQT engine
   stems       separate stems (Demucs if present, on-device HPSS otherwise)
+  warmup      precompile device programs into the persistent XLA cache
   tabs        MIDI-adjacent: transcribe then print ASCII tablature
   serve       start the REST API + SPA  (same as -m aegis_tpu.serve.server)
   train       train the PitchNet checkpoint (same as -m aegis_tpu.models.train)
@@ -122,6 +123,64 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_warmup(args) -> int:
+    """Precompile the device programs a deployment will hit.
+
+    The fused programs are bucketed by padded track length (one compiled
+    program per ~3% length bucket, core.analyze.bucket_length); a cold
+    remote compile of the biggest program (financial + neural backend) can
+    take many minutes through the tunnel, hidden afterwards by the
+    persistent XLA cache (~/.cache/aegis_tpu/xla).  This command pays that
+    cost deliberately at install time instead of on the first user request:
+    it synthesizes a silent clip per requested duration and runs each
+    requested pipeline's Perception Phase once.  Streamed modes use fixed
+    slab shapes, so one short stream warm covers every track length.
+    """
+    import time
+
+    import numpy as np
+
+    sec_list = [float(s) for s in args.seconds.split(",")]
+    pipes = args.pipelines.split(",")
+    known = {"v1", "neural", "financial", "neural-financial", "poly",
+             "stream", "neural-stream"}
+    bad = set(pipes) - known
+    if bad:
+        print(f"error: unknown pipeline(s) {sorted(bad)}; "
+              f"choose from {sorted(known)}", file=sys.stderr)
+        return 1
+
+    def run(pipe: str, y: np.ndarray) -> None:
+        if pipe == "poly":
+            from aegis_tpu.engine.poly import AegisPolyEngine
+
+            AegisPolyEngine(sample_rate=args.sr).analyze(y)
+            return
+        kw = {}
+        if pipe in ("neural", "neural-financial", "neural-stream"):
+            kw["pitch_backend"] = "neural"
+        if pipe.endswith("stream"):
+            kw["turbo_mode"] = "stream"
+        if pipe in ("financial", "neural-financial"):
+            from aegis_tpu.engine.financial import AegisFinancialEngine
+
+            AegisFinancialEngine(sample_rate=args.sr).audio_to_midi_financial(
+                y, None, **kw)
+        else:
+            from aegis_tpu.engine.engine import AegisEngine
+
+            AegisEngine(sample_rate=args.sr).audio_to_midi(y, None, **kw)
+
+    for sec in sec_list:
+        y = np.zeros(int(sec * args.sr), np.float32)
+        for pipe in pipes:
+            t0 = time.time()
+            run(pipe, y)
+            print(f"warm {pipe:>17s} @ {sec:g}s/{args.sr}Hz: "
+                  f"{time.time() - t0:.1f}s")
+    return 0
+
+
 def cmd_stems(args) -> int:
     from aegis_tpu.synth.stems import separate_stems
 
@@ -173,6 +232,17 @@ def main(argv=None) -> int:
     p.add_argument("--sr", type=int, default=22050)
     p.add_argument("--confidence", type=float, default=None)
     p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("warmup", description=cmd_warmup.__doc__)
+    p.add_argument("--sr", type=int, default=22050)
+    p.add_argument("--seconds", default="60",
+                   help="comma-separated durations to warm (buckets are "
+                        "~3%% wide, so warm the lengths you expect)")
+    p.add_argument("--pipelines",
+                   default="v1,financial",
+                   help="comma-separated: v1,neural,financial,"
+                        "neural-financial,poly,stream,neural-stream")
+    p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("stems")
     p.add_argument("input")

@@ -50,6 +50,18 @@ def test_stems_hpss(wav_path, tmp_path, monkeypatch):
     assert main(["stems", wav_path, str(tmp_path), "--method", "hpss"]) == 0
 
 
+def test_warmup(capsys):
+    assert main(["warmup", "--seconds", "0.5", "--sr", "22050",
+                 "--pipelines", "v1,poly"]) == 0
+    out = capsys.readouterr().out
+    assert "warm" in out and "v1" in out and "poly" in out
+
+
+def test_warmup_rejects_unknown_pipeline(capsys):
+    assert main(["warmup", "--pipelines", "v1,nonsense"]) == 1
+    assert "nonsense" in capsys.readouterr().err
+
+
 def test_default_output_path(wav_path, capsys):
     rc = main(["transcribe", wav_path, "--sr", "22050"])
     assert rc == 0
