@@ -17,6 +17,17 @@ single-gesture clips with exact per-sample f0 ground truth:
 Clips are returned int16-quantized per clip — identical to the engines'
 device transport convention (core/analyze.py::quantize_pcm16) so training
 and inference see the same quantization noise.
+
+A fraction of the voiced clips pass through the framework's own effect
+chain family (synth/effects.py: tanh distortion, diffuse-IR reverb, LFO
+chorus — the presets the robustness gate replays), so effect robustness is
+in the training distribution by construction instead of by luck.  Each clip
+also carries a per-label-block loss weight ``label_w``: 0 around every
+voiced->unvoiced transition (the decay boundary is genuinely ambiguous at
+window scale — supervising it is label noise) and 0 for everything after
+the voiced end of a reverberant clip (the tail keeps ringing past the
+pre-effect label).  Onset (unvoiced->voiced) edges stay fully supervised —
+onset timing is what the event F1 tolerance actually measures.
 """
 
 from __future__ import annotations
@@ -26,6 +37,50 @@ from typing import Dict
 import numpy as np
 
 LABEL_HOP = 128  # f0/voicing ground truth every 128 samples
+
+# half a PitchNet window (2048 samples) in label blocks: a window whose
+# center is within this of a decay boundary genuinely contains both tone
+# and silence — its voicing label is ambiguous, so its loss weight is 0
+DECAY_AMBIG_BLOCKS = 8
+
+
+def _fx_augment(sig: np.ndarray, rng, sr: int):
+    """Apply a random pitch-preserving effect chain from the family the
+    robustness gate replays (synth/effects.py semantics, NumPy): tanh
+    distortion, diffuse-IR reverb, LFO chorus.  Returns (wet, rings) where
+    ``rings`` marks reverb tails that outlive the pre-effect voicing label.
+    Delay is excluded: its echoes re-onset the old pitch, which has no
+    honest frame label."""
+    from scipy.signal import fftconvolve
+
+    from aegis_tpu.synth.effects import _reverb_ir
+
+    rings = False
+    kind = int(rng.integers(0, 4))  # 0 dist, 1 reverb, 2 chorus, 3 dist+rev
+    if kind in (0, 3):
+        drive = float(rng.uniform(0.2, 0.9))
+        sig = np.tanh(sig * (1.0 + 19.0 * drive))
+        sig = sig / max(float(np.abs(sig).max()), 1e-6)
+    if kind in (1, 3):
+        room = float(rng.uniform(0.2, 0.7))
+        ir = _reverb_ir(room, sr)
+        wet = fftconvolve(sig, ir)[:len(sig)].astype(np.float32)
+        wet_ratio = room * 0.6
+        sig = (1.0 - wet_ratio * 0.5) * sig + wet_ratio * wet
+        rings = True
+    if kind == 2:
+        depth = float(rng.uniform(0.001, 0.004))
+        rate = float(rng.uniform(0.8, 3.0))
+        n = len(sig)
+        t = np.arange(n, dtype=np.float64)
+        idx = np.clip(t - (int(0.007 * sr)
+                           + depth * sr * np.sin(2 * np.pi * rate * t / sr)),
+                      0, n - 1)
+        lo = np.floor(idx).astype(np.int64)
+        hi = np.minimum(lo + 1, n - 1)
+        fr = (idx - lo).astype(np.float32)
+        sig = 0.7 * sig + 0.3 * (sig[lo] * (1 - fr) + sig[hi] * fr)
+    return sig.astype(np.float32), rings
 
 
 def make_clips(
@@ -37,10 +92,12 @@ def make_clips(
     fmin: float = 80.0,
     fmax: float = 1000.0,
     ks_frac: float = 0.35,
+    fx_frac: float = 0.3,
 ) -> Dict[str, np.ndarray]:
     """Returns {tracks (n, L) int16, scale (n,) f32,
     f0_hz (n, L//LABEL_HOP) f32 (0 where unvoiced),
-    voiced (n, L//LABEL_HOP) bool}.
+    voiced (n, L//LABEL_HOP) bool,
+    label_w (n, L//LABEL_HOP) f32 per-block loss weight}.
 
     ks_frac of the voiced clips are Karplus-Strong plucked strings (the
     waveform family the product's test tracks and real guitar attacks live
@@ -217,6 +274,19 @@ def make_clips(
             voiced_full[i, lead:] = voiced_full[i, :-lead]
             voiced_full[i, :lead] = False
 
+    # ---- effect-chain augmentation on a fraction of voiced clips ----------
+    # separate generator so the main stream's consumption (and therefore
+    # every clip/label) is identical for any fx_frac — augmentation only
+    # rewrites the selected waveforms
+    rng_fx = np.random.default_rng(rng.integers(1 << 63))
+    rings = np.zeros(n, bool)
+    if fx_frac > 0.0 and nv:
+        fx_idx = rng_fx.permutation(nv)[: int(round(nv * fx_frac))]
+        for i in fx_idx:
+            y[i], rings[i] = _fx_augment(y[i], rng_fx, sr)
+            peak_i = float(np.abs(y[i]).max()) + 1e-9
+            y[i] *= float(rng_fx.uniform(0.15, 1.0)) / peak_i
+
     # ---- int16 transport quantization (per clip, like quantize_pcm16) ---
     # Near-silent clips are NOT peak-normalized: at inference quantize_pcm16
     # scales by the whole track's peak, so quiet passages genuinely occupy
@@ -232,6 +302,27 @@ def make_clips(
     v_lab = voiced_full[:, ::LABEL_HOP].copy()
     f0_lab[~v_lab] = 0.0
 
+    # ---- per-block loss weights -------------------------------------------
+    # zero around every voiced->unvoiced (decay) boundary: a window centered
+    # there contains both tone and silence, so its voicing label is noise;
+    # rising (onset) edges stay at weight 1 — onset timing is the product
+    # metric.  Reverberant clips additionally zero everything after their
+    # voiced end: the tail keeps ringing past the pre-effect label.
+    label_w = np.ones_like(f0_lab, np.float32)
+    fall = np.zeros_like(v_lab)
+    fall[:, 1:] = v_lab[:, :-1] & ~v_lab[:, 1:]
+    from scipy.ndimage import binary_dilation
+
+    ambig = binary_dilation(
+        fall, structure=np.ones((1, 2 * DECAY_AMBIG_BLOCKS + 1), bool))
+    label_w[ambig] = 0.0
+    if rings.any():
+        past_end = ~np.maximum.accumulate(v_lab[rings][:, ::-1],
+                                          axis=1)[:, ::-1]
+        w_r = label_w[rings]
+        w_r[past_end & ~v_lab[rings]] = 0.0
+        label_w[rings] = w_r
+
     # shuffle so device batches mix voiced/unvoiced
     perm = rng.permutation(n)
     return {
@@ -239,4 +330,5 @@ def make_clips(
         "scale": scale[perm],
         "f0_hz": f0_lab[perm],
         "voiced": v_lab[perm],
+        "label_w": label_w[perm],
     }

@@ -130,7 +130,10 @@ def pitch_target(f0_hz, voiced):
     return jnp.where(voiced[:, None], g, uni)
 
 
-def loss_fn(params, windows, f0_hz, voiced, hidden: Tuple[int, ...] = HIDDEN):
+def loss_fn(params, windows, f0_hz, voiced, hidden: Tuple[int, ...] = HIDDEN,
+            label_w=None):
+    """``label_w`` (B,) f32 in [0, 1] down-weights ambiguous frames (decay
+    boundaries, reverb tails — models/data.py builds it); None = all 1."""
     import jax.numpy as jnp
     import optax
 
@@ -138,14 +141,19 @@ def loss_fn(params, windows, f0_hz, voiced, hidden: Tuple[int, ...] = HIDDEN):
     target = pitch_target(f0_hz, voiced)
     ce = optax.softmax_cross_entropy(logits, target)  # (B,)
     vmask = voiced.astype(jnp.float32)
-    pitch_loss = (ce * vmask).sum() / (vmask.sum() + 1e-6)
-    voiced_loss = optax.sigmoid_binary_cross_entropy(vlogit, vmask).mean()
+    w = jnp.ones_like(vmask) if label_w is None else label_w
+    pw = vmask * w
+    pitch_loss = (ce * pw).sum() / (pw.sum() + 1e-6)
+    vce = optax.sigmoid_binary_cross_entropy(vlogit, vmask)
+    voiced_loss = (vce * w).sum() / (w.sum() + 1e-6)
     return pitch_loss + voiced_loss
 
 
-def sample_windows(rng, tracks16, scale, f0_hz, voiced, batch: int):
+def sample_windows(rng, tracks16, scale, f0_hz, voiced, batch: int,
+                   label_w=None):
     """Device-side batch sampler: random (clip, offset) crops gathered from
-    the resident int16 clip bank; labels read at the window center."""
+    the resident int16 clip bank; labels (and per-block loss weights, when
+    given) read at the window center."""
     import jax
     import jax.numpy as jnp
 
@@ -170,7 +178,8 @@ def sample_windows(rng, tracks16, scale, f0_hz, voiced, batch: int):
 
     wins = jax.vmap(crop)(ci, off) * scale[ci][:, None]
     lab = jnp.clip((off + WIN // 2) // LABEL_HOP, 0, f0_hz.shape[1] - 1)
-    return wins, f0_hz[ci, lab], voiced[ci, lab]
+    w = None if label_w is None else label_w[ci, lab]
+    return wins, f0_hz[ci, lab], voiced[ci, lab], w
 
 
 def make_train_step(mesh=None, batch: int = 256,
@@ -185,10 +194,10 @@ def make_train_step(mesh=None, batch: int = 256,
     import optax
 
     def step(params, opt_state, base_rng, step_idx, tracks16, scale,
-             f0_hz, voiced):
+             f0_hz, voiced, label_w=None):
         rng = jax.random.fold_in(base_rng, step_idx)
-        wins, f0b, vb = sample_windows(rng, tracks16, scale, f0_hz, voiced,
-                                       batch)
+        wins, f0b, vb, wb = sample_windows(rng, tracks16, scale, f0_hz,
+                                           voiced, batch, label_w)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -199,8 +208,11 @@ def make_train_step(mesh=None, batch: int = 256,
             f0b = jax.lax.with_sharding_constraint(
                 f0b, NamedSharding(mesh, dp))
             vb = jax.lax.with_sharding_constraint(vb, NamedSharding(mesh, dp))
+            if wb is not None:
+                wb = jax.lax.with_sharding_constraint(
+                    wb, NamedSharding(mesh, dp))
         loss, grads = jax.value_and_grad(loss_fn)(params, wins, f0b, vb,
-                                                  hidden)
+                                                  hidden, wb)
         updates, opt_state = _optimizer(lr).update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

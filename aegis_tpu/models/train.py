@@ -33,15 +33,20 @@ def evaluate(params, n_clips: int = 192, clip_len: int = 16384,
     d = make_clips(n_clips, clip_len, seed=seed)
     y = d["tracks"].astype(np.float32) * d["scale"][:, None]
     offs = np.linspace(0, clip_len - pn.WIN, windows_per_clip).astype(int)
-    wins, f0_true, v_true = [], [], []
+    wins, f0_true, v_true, w_true = [], [], [], []
     for o in offs:
         wins.append(y[:, o:o + pn.WIN])
         li = min((o + pn.WIN // 2) // LABEL_HOP, d["f0_hz"].shape[1] - 1)
         f0_true.append(d["f0_hz"][:, li])
         v_true.append(d["voiced"][:, li])
+        w_true.append(d["label_w"][:, li])
     wins = np.concatenate(wins)
     f0_true = np.concatenate(f0_true)
     v_true = np.concatenate(v_true)
+    # ambiguous frames (decay boundaries, reverb tails) carry no training
+    # signal — scoring them would measure label noise, not the model
+    keep = np.concatenate(w_true) > 0.0
+    wins, f0_true, v_true = wins[keep], f0_true[keep], v_true[keep]
 
     logits, vlogit = pn.apply_model(params, pn.featurize(jnp.asarray(wins)))
     f0_hat, vprob = pn.decode_f0(logits, vlogit)
@@ -85,6 +90,7 @@ def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
     scale = jnp.asarray(d["scale"])
     f0_hz = jnp.asarray(d["f0_hz"])
     voiced = jnp.asarray(d["voiced"])
+    label_w = jnp.asarray(d["label_w"])
 
     import optax
 
@@ -100,7 +106,7 @@ def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
     for i in range(steps):
         params, opt_state, loss = step_fn(params, opt_state, base_rng,
                                           np.int32(i), tracks, scale,
-                                          f0_hz, voiced)
+                                          f0_hz, voiced, label_w)
         if i % log_every == 0 or i == steps - 1:
             print(f"# step {i:5d}  loss {float(loss):.4f}  "
                   f"({time.time() - t0:.1f}s)", file=sys.stderr)

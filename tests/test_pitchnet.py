@@ -42,6 +42,40 @@ def test_make_clips_shapes_and_labels():
     assert (peaks < 100).any(), "expected some near-silence clips"
 
 
+def test_label_weights_mask_decay_boundaries():
+    from aegis_tpu.models.data import DECAY_AMBIG_BLOCKS
+
+    d = make_clips(64, clip_len=8192, seed=7)
+    w, v = d["label_w"], d["voiced"]
+    assert w.shape == v.shape and w.dtype == np.float32
+    assert set(np.unique(w)) <= {0.0, 1.0}
+    # every voiced->unvoiced transition is weight-0 on both sides; onsets
+    # (unvoiced->voiced) keep weight 1 right AT the rising edge's voiced
+    # side unless a decay boundary sits within the ambiguity radius
+    fall = np.zeros_like(v)
+    fall[:, 1:] = v[:, :-1] & ~v[:, 1:]
+    ci, bi = np.nonzero(fall)
+    assert len(ci), "fixture should contain decay boundaries"
+    for c, b in zip(ci[:50], bi[:50]):
+        lo = max(b - DECAY_AMBIG_BLOCKS, 0)
+        hi = min(b + DECAY_AMBIG_BLOCKS + 1, w.shape[1])
+        assert (w[c, lo:hi] == 0).all()
+    # supervision survives: most blocks still carry weight
+    assert w.mean() > 0.6
+
+
+def test_fx_augmentation_preserves_pitch_labels():
+    """Effect-augmented voiced clips keep a valid f0 label where weighted:
+    the dominant low partial of the wet signal sits on the labeled pitch."""
+    d_clean = make_clips(48, clip_len=8192, seed=9, fx_frac=0.0)
+    d_fx = make_clips(48, clip_len=8192, seed=9, fx_frac=1.0)
+    # same RNG stream until augmentation, so labels are comparable pre-ring
+    changed = (d_clean["tracks"] != d_fx["tracks"]).any(axis=1)
+    assert changed.sum() >= 24, "fx_frac=1.0 should rewrite voiced clips"
+    np.testing.assert_array_equal(d_clean["f0_hz"], d_fx["f0_hz"])
+    np.testing.assert_array_equal(d_clean["voiced"], d_fx["voiced"])
+
+
 # ------------------------------------------------------------- decode math
 
 
@@ -72,7 +106,8 @@ def test_train_step_learns():
     params, opt_state = pn.init_train_state(0, hidden=(64,))
     step = pn.make_train_step(None, batch=64, hidden=(64,))
     args = (jnp.asarray(d["tracks"]), jnp.asarray(d["scale"]),
-            jnp.asarray(d["f0_hz"]), jnp.asarray(d["voiced"]))
+            jnp.asarray(d["f0_hz"]), jnp.asarray(d["voiced"]),
+            jnp.asarray(d["label_w"]))
     key = jax.random.PRNGKey(2)
     first = None
     for i in range(120):
@@ -94,7 +129,8 @@ def test_train_step_sharded_matches_finite():
     params, opt_state, loss = step(
         params, opt_state, jax.random.PRNGKey(0), np.int32(0),
         jnp.asarray(d["tracks"]), jnp.asarray(d["scale"]),
-        jnp.asarray(d["f0_hz"]), jnp.asarray(d["voiced"]))
+        jnp.asarray(d["f0_hz"]), jnp.asarray(d["voiced"]),
+        jnp.asarray(d["label_w"]))
     assert np.isfinite(float(loss))
 
 
