@@ -38,10 +38,24 @@ import numpy as np
 
 LABEL_HOP = 128  # f0/voicing ground truth every 128 samples
 
-# half a PitchNet window (2048 samples) in label blocks: a window whose
-# center is within this of a decay boundary genuinely contains both tone
-# and silence — its voicing label is ambiguous, so its loss weight is 0
-DECAY_AMBIG_BLOCKS = 8
+# Decay-boundary ambiguity radius in label blocks.  A window centered
+# within ~half a window (16 blocks) of a voiced->unvoiced transition
+# genuinely contains both tone and silence; masking that whole span,
+# however, leaves the voicing head so unconstrained near note edges that
+# onsets trigger late (measured: a radius of 8 delayed a soft post-rake
+# attack by ~70 ms, past the event-F1 tolerance).  4 blocks masks only the
+# truly contradictory center region and keeps the edges supervised.
+DECAY_AMBIG_BLOCKS = 4
+
+# One-sided pre-onset mask radius: half a PitchNet window (1024 samples)
+# in label blocks.  A window whose center sits up to this far BEFORE an
+# attack already contains the attack in its right half; punishing a voiced
+# call there teaches the net to fire late (center-past-attack semantics),
+# which measured ~70-90 ms of onset lag vs pYIN — the event-F1 killer.
+# Removing supervision on ONLY the unvoiced side of each rising edge lets
+# the head fire as early as the evidence allows (the old eager behavior)
+# while the voiced side still demands detection by window center.
+ONSET_AMBIG_BLOCKS = 8
 
 
 def _fx_augment(sig: np.ndarray, rng, sr: int):
@@ -260,10 +274,14 @@ def make_clips(
                          .astype(np.float32))
         y[nv:] = un
 
-    # ---- random silent lead-ins on voiced clips ---------------------------
+    # ---- random lead-ins on voiced clips ----------------------------------
     # every clip used to start AT the pluck, so no training window ever had
     # the inference-time onset shape (left half silence, right half attack);
-    # shifting by up to one window puts those exact windows in distribution
+    # shifting by up to one window puts those exact windows in distribution.
+    # A third of the lead-ins are decaying broadband "rake" bursts instead
+    # of silence: the product's canonical gesture is rake -> note attack
+    # (tools/signal_gen.py), and a net that never saw noise-then-pluck
+    # windows triggered voicing ~70 ms late on exactly those onsets.
     for i in range(nv):
         lead = int(rng.integers(0, 2048))
         if lead:
@@ -273,6 +291,12 @@ def make_clips(
             f0_full[i, :lead] = 0.0
             voiced_full[i, lead:] = voiced_full[i, :-lead]
             voiced_full[i, :lead] = False
+            if lead > 64 and rng.random() < 0.33:
+                burst = rng.standard_normal(lead).astype(np.float32)
+                burst *= np.exp(-np.arange(lead, dtype=np.float32)
+                                / (float(rng.uniform(0.01, 0.03)) * sr))
+                peak_i = float(np.abs(y[i]).max())
+                y[i, :lead] += burst * float(rng.uniform(0.2, 0.9)) * peak_i
 
     # ---- effect-chain augmentation on a fraction of voiced clips ----------
     # separate generator so the main stream's consumption (and therefore
@@ -316,6 +340,12 @@ def make_clips(
     ambig = binary_dilation(
         fall, structure=np.ones((1, 2 * DECAY_AMBIG_BLOCKS + 1), bool))
     label_w[ambig] = 0.0
+    # one-sided pre-onset mask: unvoiced blocks whose window already
+    # contains the upcoming attack are unsupervised (see ONSET_AMBIG_BLOCKS)
+    near_onset = np.zeros_like(v_lab)
+    for s in range(1, ONSET_AMBIG_BLOCKS + 1):
+        near_onset[:, :-s] |= v_lab[:, s:]
+    label_w[~v_lab & near_onset] = 0.0
     if rings.any():
         past_end = ~np.maximum.accumulate(v_lab[rings][:, ::-1],
                                           axis=1)[:, ::-1]

@@ -350,14 +350,24 @@ def _onset_backfill(pitch, onset_env, frames_per_second: float,
     its attack (half the window is still silence); the onset envelope —
     computed in the same fused program — marks the physical attack.  pYIN
     itself locks 2-4 frames after the attack (the pluck is unpitched
-    noise), so the fill is capped at ~40 ms before the first voiced frame,
-    gated on a strong local onset peak within ~80 ms that leads into the
-    voiced run; filled frames inherit the run's first f0/vprob.  This is
-    what closed the last >50 ms onset gap vs pYIN at 44.1 kHz."""
+    noise), so the fill is capped at ~95 ms (half a 2048 window at 22.05 k,
+    the classifier's worst-case lag: a rake-then-attack mix can hold the
+    voicing head off until the window center clears the noise) before the
+    first voiced frame, gated on a strong local onset peak within ~140 ms
+    that leads into the voiced run; filled frames inherit the run's first
+    f0/vprob.  The fill cannot fire early: a peak anchors only if a voiced
+    run follows within the window, frames further than max_fill before the
+    run stay untouched, and filling starts a pitch-lock delay (~45 ms)
+    AFTER the anchor peak — pYIN itself locks that long after the physical
+    attack (the pluck is unpitched noise), so snapping all the way to the
+    peak overshot pYIN by up to 70 ms at 22.05 kHz hop 512, where the
+    50 ms event tolerance is barely two frames.  This is what closes the
+    50 ms+ onset gaps vs pYIN at 44.1 kHz and under heavy distortion."""
     import jax.numpy as jnp
 
-    k = max(int(round(0.08 * frames_per_second)), 1)       # peak window
-    max_fill = max(int(round(0.04 * frames_per_second)), 1)
+    k = max(int(round(0.14 * frames_per_second)), 1)       # peak window
+    max_fill = max(int(round(0.095 * frames_per_second)), 1)
+    lock = max(int(round(0.045 * frames_per_second)), 0)   # pyin lock delay
 
     voiced, f0, vprob = pitch["voiced_flag"], pitch["f0"], pitch["voiced_probs"]
 
@@ -384,8 +394,8 @@ def _onset_backfill(pitch, onset_env, frames_per_second: float,
     peak = (onset_env >= prev) & (onset_env >= nxt) & (
         onset_env > 0.2 * env_max)
     anchor = peak & near_k  # an attack that leads into a voiced run
-    seen = anchor
-    for s in range(1, k + 1):
+    seen = anchor if lock == 0 else jnp.zeros_like(anchor)
+    for s in range(max(lock, 1), k + 1):
         seen = seen | jnp.concatenate([jnp.zeros(s, bool), anchor[:-s]])
     add = ~voiced & near_fill & seen
     return {

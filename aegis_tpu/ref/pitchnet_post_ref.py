@@ -32,8 +32,9 @@ def smooth_f0_median_ref(f0: np.ndarray, voiced: np.ndarray,
 
 def onset_backfill_ref(pitch: Dict[str, np.ndarray], onset_env: np.ndarray,
                        frames_per_second: float) -> Dict[str, np.ndarray]:
-    k = max(int(round(0.08 * frames_per_second)), 1)
-    max_fill = max(int(round(0.04 * frames_per_second)), 1)
+    k = max(int(round(0.14 * frames_per_second)), 1)
+    max_fill = max(int(round(0.095 * frames_per_second)), 1)
+    lock = max(int(round(0.045 * frames_per_second)), 0)  # pyin lock delay
     voiced = pitch["voiced_flag"].astype(bool)
     f0 = pitch["f0"].astype(np.float64)
     vprob = pitch["voiced_probs"].astype(np.float64)
@@ -59,10 +60,11 @@ def onset_backfill_ref(pitch: Dict[str, np.ndarray], onset_env: np.ndarray,
         r = next_voiced_within(i, max_fill)
         if r is None:
             continue
-        # an anchoring peak at or within k frames before i that itself
-        # leads into a voiced run within k frames
+        # an anchoring peak between `lock` (pyin's pitch-lock delay — fills
+        # may not reach closer to the attack than pyin itself locks) and k
+        # frames before i that leads into a voiced run within k frames
         anchored = False
-        for s in range(0, k + 1):
+        for s in range(lock, k + 1):
             j = i - s
             if j < 0:
                 break

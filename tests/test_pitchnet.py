@@ -376,6 +376,30 @@ def test_streamed_44k_and_engine_route():
 
 
 @needs_weights
+def test_neural_44k_canonical_events_match_pyin():
+    """validate_device's non-gating neural_f1 on the 44.1 kHz canonical
+    clip (silence-E2-rake-A2-rake-D3), pinned as a pytest gate: a
+    retrained checkpoint once shipped a ~70 ms post-rake onset lag that
+    only this clip catches (rake-then-attack windows were out of the
+    training distribution)."""
+    from aegis_tpu.engine.engine import AegisEngine
+    from aegis_tpu.tools.signal_gen import generate_test_track
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    sr = 44100
+    y, _ = generate_test_track(sr=sr)
+    eng = AegisEngine(sample_rate=sr)
+    ep = eng.extract_events(eng.audio_to_midi(y, None), None,
+                            confidence_threshold=0.3)
+    en = eng.extract_events(
+        eng.audio_to_midi(y, None, pitch_backend="neural"), None,
+        confidence_threshold=0.3)
+    f1 = note_event_f1(events_to_seconds(ep, sr, 512),
+                       events_to_seconds(en, sr, 512))["f1"]
+    assert f1 == 1.0, (f1, ep, en)
+
+
+@needs_weights
 def test_neural_robust_to_effects():
     """Neural-vs-pYIN event agreement survives the framework's own effect
     chain (measured F1 1.0 on every preset on-chip; the two hardest
