@@ -124,26 +124,48 @@ def two_tone(sr: int = 22050, f1: float = 196.0, f2: float = 293.66,
 
 
 def generate_bench_track(duration: float = 60.0, sr: int = 22050,
-                         seed: int = 42) -> np.ndarray:
+                         seed: int = 42,
+                         return_truth: bool = False) -> np.ndarray:
     """The headline-benchmark melody: Karplus-Strong plucks over a pentatonic
     walk with periodic rake bursts — representative of the real workload.
     Shared by bench.py and tools.validate_device so the F1 gate runs on the
-    exact track the throughput number is measured on."""
+    exact track the throughput number is measured on.
+
+    With ``return_truth`` returns ``(audio, truth)`` where truth lists the
+    sampled {note, start, end} in seconds — the ground truth the generator
+    always knew but previously discarded.  Timeline bookkeeping: each pluck
+    starts where the previous piece (pluck or rake) ended, so truth onsets
+    account for the 20 ms rake insertions, and notes past the duration cut
+    are dropped."""
     rng = np.random.default_rng(seed)
     notes = [40, 43, 45, 47, 50, 52, 55, 57, 60]
     pieces = []
+    truth = []
+    pos = 0  # samples appended so far == next piece's start
     t = 0.0
     i = 0
     while t < duration:
         note = notes[int(rng.integers(0, len(notes)))]
         freq = 440.0 * 2 ** ((note - 69) / 12)
         dur = float(rng.uniform(0.2, 0.6))
-        pieces.append(karplus_strong(freq, dur, sr, rng=rng))
+        pluck = karplus_strong(freq, dur, sr, rng=rng)
+        truth.append({"note": note, "start": pos / sr,
+                      "end": (pos + len(pluck)) / sr})
+        pieces.append(pluck)
+        pos += len(pluck)
         if i % 7 == 6:
-            pieces.append(rake_burst(0.02, sr, rng=rng))
+            rake = rake_burst(0.02, sr, rng=rng)
+            pieces.append(rake)
+            pos += len(rake)
         t += dur
         i += 1
-    y = np.concatenate(pieces)[: int(duration * sr)]
-    if len(y) < duration * sr:
-        y = np.pad(y, (0, int(duration * sr) - len(y)))
-    return (y / np.max(np.abs(y)) * 0.9).astype(np.float32)
+    n_out = int(duration * sr)
+    y = np.concatenate(pieces)[:n_out]
+    if len(y) < n_out:
+        y = np.pad(y, (0, n_out - len(y)))
+    y = (y / np.max(np.abs(y)) * 0.9).astype(np.float32)
+    if not return_truth:
+        return y
+    truth = [dict(e, end=min(e["end"], duration)) for e in truth
+             if e["start"] < duration]
+    return y, truth

@@ -26,6 +26,14 @@ the neural backend where pyin itself errs: on the scale track pyin locks
 ~91 ms late on the post-rake note, capping agreement at 0.875, while the
 neural onsets are all within ~31 ms of truth (neural_truth_f1 = 1.0,
 beating pyin_truth_f1 = 0.875 — gated in tests/test_pitchnet.py).
+On the 60 s bench track the truth F1 of BOTH backends is bounded ~0.9 by
+event-extraction semantics, not pitch tracking: the sustain merge fuses
+repeated same-pitch plucks (152 truth notes -> 138 events) and the 50 ms
+tolerance clips pyin's pitch-lock delay on soft attacks.  Measured on
+XLA-CPU 2026-08-17: pyin 0.903, neural 0.924 — the learned backend is
+closer to ground truth than the spec pipeline on every truth-bearing
+clip.  The GATE remains device-vs-oracle parity (v1/financial), which is
+exact.
 
 Usage:  python -m aegis_tpu.tools.validate_device [--quick]
 """
@@ -56,8 +64,8 @@ def validate(threshold: float = 0.99, include_bench: bool = True,
         ("synthetic_track_44k", 44100, kst_44k[0], kst_44k[1]),
     ]
     if include_bench:
-        clips.append(("bench_track_60s", 22050, generate_bench_track(60.0),
-                      None))
+        bench_y, bench_truth = generate_bench_track(60.0, return_truth=True)
+        clips.append(("bench_track_60s", 22050, bench_y, bench_truth))
     hop = 512
 
     def f1(est_events, ref_events, sr):

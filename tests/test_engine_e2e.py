@@ -160,3 +160,31 @@ def test_validate_device_gate():
 
     res = validate(include_bench=False, quiet=True)
     assert res["pass"], res
+
+
+def test_bench_track_truth():
+    """generate_bench_track's return_truth timeline must be consistent with
+    the audio it labels: monotonic non-overlapping notes from the pentatonic
+    set, rake offsets accounted for, and the audio bit-identical to the
+    truth-less call (bench.py and validate_device must measure the exact
+    same track)."""
+    from aegis_tpu.tools.signal_gen import generate_bench_track
+
+    y_plain = generate_bench_track(10.0)
+    y, truth = generate_bench_track(10.0, return_truth=True)
+    assert np.array_equal(y_plain, y)
+    assert len(truth) >= 10
+    allowed = {40, 43, 45, 47, 50, 52, 55, 57, 60}
+    prev_end = 0.0
+    for e in truth:
+        assert e["note"] in allowed
+        assert 0.0 <= e["start"] < 10.0
+        assert e["start"] >= prev_end - 1e-9  # rakes only push notes later
+        assert e["end"] <= 10.0 + 1e-9
+        assert e["end"] > e["start"]
+        prev_end = e["end"]
+    # each labeled onset has real energy right after it (the pluck is there)
+    sr = 22050
+    for e in truth[:20]:
+        s = int(e["start"] * sr)
+        assert np.abs(y[s:s + 512]).max() > 0.01, e
