@@ -30,10 +30,11 @@ On the 60 s bench track the truth F1 of BOTH backends is bounded ~0.9 by
 event-extraction semantics, not pitch tracking: the sustain merge fuses
 repeated same-pitch plucks (152 truth notes -> 138 events) and the 50 ms
 tolerance clips pyin's pitch-lock delay on soft attacks.  Measured on
-XLA-CPU 2026-08-17: pyin 0.903, neural 0.924 — the learned backend is
-closer to ground truth than the spec pipeline on every truth-bearing
-clip.  The GATE remains device-vs-oracle parity (v1/financial), which is
-exact.
+XLA-CPU AND the real chip 2026-08-17 (identical to 4 digits): pyin
+0.9034, neural 0.9241 — the learned backend is closer to ground truth
+than the spec pipeline on every truth-bearing clip (full table in
+VALIDATION.md).  The GATE remains device-vs-oracle parity
+(v1/financial), which is exact.
 
 Usage:  python -m aegis_tpu.tools.validate_device [--quick]
 """
