@@ -53,7 +53,14 @@ def _extract_kwargs(args) -> dict:
     if args.sustain_ms is not None:
         kw["sustain_ms"] = args.sustain_ms
     if args.bpm is not None:
-        kw["bpm"] = args.bpm if args.bpm == "auto" else float(args.bpm)
+        from aegis_tpu.core.tempo import parse_bpm
+
+        try:
+            kw["bpm"] = parse_bpm(args.bpm)
+        except ValueError:
+            print(f"error: --bpm must be a positive number or 'auto', "
+                  f"got {args.bpm!r}", file=sys.stderr)
+            raise SystemExit(2)
     return kw
 
 
@@ -279,6 +286,10 @@ def main(argv=None) -> int:
         return 0
     if rest:
         ap.error(f"unrecognized arguments: {' '.join(rest)}")
+    if getattr(args, "end", None) is not None and args.end <= getattr(
+            args, "start", 0.0):
+        ap.error(f"--end ({args.end}) must be greater than --start "
+                 f"({getattr(args, 'start', 0.0)})")
     return args.fn(args)
 
 

@@ -75,7 +75,13 @@ def main() -> None:
     file_bytes = None
     file_label = "aegis"
     if app_mode == "📂 Archive explorer":
-        archive = _archive_files()
+        # Streamlit reruns the whole script on EVERY widget interaction;
+        # re-os.walk()ing a large collection per slider tick makes the UI
+        # drag.  Cache the listing per session; the refresh button rescans.
+        if ("archive_files" not in st.session_state
+                or st.sidebar.button("🔄 Rescan archives")):
+            st.session_state["archive_files"] = _archive_files()
+        archive = st.session_state["archive_files"]
         if not archive:
             st.sidebar.warning("No files found in archives "
                                "(set AEGIS_ARCHIVE_DIR).")

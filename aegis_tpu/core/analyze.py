@@ -38,9 +38,12 @@ def bucket_length(n: int) -> int:
     Pure power-of-two buckets padded a 60 s track by 58% — and on a
     tunneled backend the int16 upload of that padding alone cost more than
     the device program (measured: 85 ms of a 150 ms analyze).  Sub-octave
-    steps of 2^(k-5) bound padding at ~3.2% while keeping the number of
-    distinct compiled programs small (one per length actually used, warmed
-    by the persistent compile cache)."""
+    steps of 2^(k-6) bound padding at ~3.2% above 2^17 samples (~6 s);
+    below that the 2^12 grid floor (which caps the count of distinct
+    compiled programs for short clips) raises the worst case to 6.25%,
+    ~4k samples — under 0.2 s of extra int16 upload either way.  One
+    compiled program per length actually used, warmed by the persistent
+    compile cache."""
     if n <= MIN_BUCKET:
         return MIN_BUCKET
     g = 1 << max((n - 1).bit_length() - 6, 12)

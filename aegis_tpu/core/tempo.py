@@ -20,9 +20,27 @@ Method (librosa.beat.tempo-style global estimate):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
+
+
+def parse_bpm(value) -> Union[float, str, None]:
+    """Validate a user-supplied bpm (CLI flag / query param / kwarg).
+
+    Returns None (absent), the literal string "auto", or a positive finite
+    float.  Raises ValueError otherwise — one shared gate for every
+    surface, because 60e6 / bpm in the MIDI tick math turns 0 into a
+    ZeroDivisionError and nan into int(round(nan)) deep inside the encoder
+    (these used to surface as HTTP 500s / CLI tracebacks)."""
+    if value is None or value == "":
+        return None
+    if value == "auto":
+        return "auto"
+    bpm = float(value)  # ValueError on non-numeric strings
+    if not np.isfinite(bpm) or bpm <= 0:
+        raise ValueError(f"bpm must be a positive finite number, got {bpm}")
+    return bpm
 
 
 def estimate_bpm(analysis: dict, sr: int, hop_length: int) -> Optional[float]:

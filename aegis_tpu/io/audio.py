@@ -113,6 +113,12 @@ def load_audio(
     if offset:
         x = x[int(round(offset * native_sr)) :]
     if duration is not None:
+        if duration < 0:
+            # a negative duration would be a Python negative-index slice —
+            # silently analyzing the WRONG region (e.g. end_time <
+            # start_time at the engine facade used to drop the tail and
+            # return seconds 4..9 for the request "region 4..3 s")
+            raise ValueError(f"duration must be non-negative, got {duration}")
         x = x[: int(round(duration * native_sr))]
     if sr is None:  # sr=None: native rate, no resampling (librosa.load parity)
         return x, native_sr

@@ -31,6 +31,17 @@ from aegis_tpu.midi.smf import (
 )
 
 
+def _tempo_us(bpm) -> int:
+    """set_tempo microseconds per beat; rejects bpm values the tick math
+    cannot survive (0 -> ZeroDivisionError, nan -> int(nan))."""
+    import math
+
+    bpm = float(bpm)
+    if not math.isfinite(bpm) or bpm <= 0:
+        raise ValueError(f"bpm must be a positive finite number, got {bpm}")
+    return max(1, int(round(60e6 / bpm)))
+
+
 def events_to_midi(
     events: List[dict],
     sr: int,
@@ -52,8 +63,7 @@ def events_to_midi(
     Returns the SMF bytes when ``output`` is None, otherwise writes to the
     path / stream.
     """
-    tempo_us = DEFAULT_TEMPO_US if bpm is None else max(
-        1, int(round(60e6 / float(bpm))))
+    tempo_us = DEFAULT_TEMPO_US if bpm is None else _tempo_us(bpm)
     mid = MidiFile(ticks_per_beat=DEFAULT_TICKS_PER_BEAT)
     track_main, track_safe = MidiTrack(), MidiTrack()
     mid.tracks.extend([track_main, track_safe])
@@ -149,8 +159,7 @@ def events_to_midi_financial(
     matching the reference; ``bpm`` writes a set_tempo meta and keys the tick
     math to it — wall-clock times unchanged, musical grid aligned), plain
     note_on/note_off pairs (no pitchwheel)."""
-    tempo_us = DEFAULT_TEMPO_US if bpm is None else max(
-        1, int(round(60e6 / float(bpm))))
+    tempo_us = DEFAULT_TEMPO_US if bpm is None else _tempo_us(bpm)
     mid = MidiFile(ticks_per_beat=DEFAULT_TICKS_PER_BEAT)
     track_main, track_safe = MidiTrack(), MidiTrack()
     mid.tracks.extend([track_main, track_safe])

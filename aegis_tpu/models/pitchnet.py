@@ -45,7 +45,12 @@ _DEFAULT_WEIGHTS = os.path.join(os.path.dirname(__file__), "weights",
 
 
 def _model(hidden: Tuple[int, ...] = HIDDEN):
-    import flax.linen as nn
+    try:
+        import flax.linen as nn
+    except ImportError as e:  # flax is the "neural" optional extra
+        raise RuntimeError(
+            "pitch_backend='neural' requires flax "
+            "(pip install aegis-tpu[neural])") from e
 
     class PitchNet(nn.Module):
         @nn.compact

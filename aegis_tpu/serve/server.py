@@ -54,6 +54,17 @@ log = get_logger("Server")
 STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 
 
+def _parse_bpm_400(value):
+    """Shared bpm query validation (core.tempo.parse_bpm) as a 400, not a
+    500: 0 and nan pass float() but crash the MIDI tick math downstream."""
+    from aegis_tpu.core.tempo import parse_bpm
+
+    try:
+        return parse_bpm(value)
+    except ValueError:
+        raise HTTPError(400, "bpm must be a positive number or 'auto'")
+
+
 def _events_json(events):
     return [
         {
@@ -120,6 +131,27 @@ class AegisServer:
                           duration=duration)
         return y
 
+    def _decode_region(self, sess: Dict, start: float,
+                       end: Optional[float],
+                       sr: Optional[int] = None) -> np.ndarray:
+        """Decode the session upload's [start, end] region at the engine
+        rate.  Range errors and undecodable uploads are CLIENT errors (400);
+        anything past this point is the server's problem (500)."""
+        if end is not None and end <= start:
+            raise HTTPError(400, f"end_time ({end}) must be greater than "
+                                 f"start_time ({start})")
+        if not sess.get("file_path"):
+            raise HTTPError(400, "Session has no uploaded audio "
+                                 "(live-stream sessions use "
+                                 "/api/stream-feed)")
+        try:
+            y, _ = load_audio(sess["file_path"], sr=sr or self.engine.sr,
+                              offset=start,
+                              duration=(end - start) if end else None)
+        except ValueError as e:
+            raise HTTPError(400, f"could not decode audio: {e}")
+        return y
+
     def _extract(self, sess: Dict, query: Dict[str, str]):
         params = {
             "confidence_threshold": coerce(query, "confidence_threshold", 0.70),
@@ -128,15 +160,9 @@ class AegisServer:
             "midi_program": coerce(query, "midi_program", 27),
             "noise_gate_db": coerce(query, "noise_gate_db", -40.0),
         }
-        bpm_q = query.get("bpm")
-        if bpm_q:
-            if bpm_q == "auto":
-                params["bpm"] = "auto"
-            else:
-                try:
-                    params["bpm"] = float(bpm_q)
-                except ValueError:
-                    raise HTTPError(400, "bpm must be a number or 'auto'")
+        bpm_q = _parse_bpm_400(query.get("bpm"))
+        if bpm_q is not None:
+            params["bpm"] = bpm_q
         if params.get("bpm") == "auto":
             # resolve ONCE: the number feeds the encode below, the response,
             # and later re-encodes (fret-filter / edit-sync) via
@@ -147,7 +173,7 @@ class AegisServer:
         return events, buf.getvalue(), params
 
     def _extract_poly(self, sess: Dict, query: Dict[str, str]):
-        bpm = query.get("bpm")
+        bpm = _parse_bpm_400(query.get("bpm"))
         if bpm == "auto":
             # resolve ONCE here: the number goes to the encoder AND the
             # response, so the SPA tempo label works in poly mode too
@@ -156,11 +182,6 @@ class AegisServer:
             bpm = estimate_tempo(sess["poly_analysis"]["onset_env"],
                                  self.poly_engine.sr,
                                  self.poly_engine.hop_length)
-        elif bpm:
-            try:
-                bpm = float(bpm)
-            except ValueError:
-                raise HTTPError(400, "bpm must be a number or 'auto'")
         buf = io.BytesIO()
         events = self.poly_engine.extract_events(
             sess["poly_analysis"], buf,
@@ -298,23 +319,20 @@ class AegisServer:
                 if not have_default_weights():
                     raise HTTPError(400, "neural backend unavailable: "
                                          "no PitchNet checkpoint")
-            if not sess.get("file_path"):
-                raise HTTPError(400, "Session has no uploaded audio "
-                                     "(live-stream sessions use "
-                                     "/api/stream-feed)")
-            try:
-                raw = self.engine.audio_to_midi(
-                    sess["file_path"], None,
-                    start_time=coerce(query, "start_time", 0.0),
-                    end_time=coerce(query, "end_time", None, float),
-                    turbo_mode=turbo_mode,
-                    stream_threshold_s=coerce(query, "stream_threshold_s",
-                                              240.0),
-                    rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
-                    pitch_backend=pitch_backend,
-                )
-            except ValueError as e:  # undecodable upload is a CLIENT error
-                raise HTTPError(400, f"could not decode audio: {e}")
+            y = self._decode_region(sess,
+                                    coerce(query, "start_time", 0.0),
+                                    coerce(query, "end_time", None, float))
+            # analysis runs OUTSIDE the decode catch: an internal error
+            # (e.g. an incompatible PitchNet checkpoint raising ValueError)
+            # must surface as a 500, not be mislabeled a client decode error
+            raw = self.engine.audio_to_midi(
+                y, None,
+                turbo_mode=turbo_mode,
+                stream_threshold_s=coerce(query, "stream_threshold_s",
+                                          240.0),
+                rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
+                pitch_backend=pitch_backend,
+            )
             if raw is None:
                 raise HTTPError(400, "Analysis failed - empty audio?")
             sess["raw_data"] = raw
@@ -551,14 +569,11 @@ class AegisServer:
         def analyze_poly(sid, query, **kw):
             """Polyphonic (chord) transcription via CQT salience peeling."""
             sess = self._sess(sid)
-            try:
-                analysis = self.poly_engine.analyze(
-                    sess["file_path"],
-                    start_time=coerce(query, "start_time", 0.0),
-                    end_time=coerce(query, "end_time", None, float),
-                )
-            except ValueError as e:
-                raise HTTPError(400, f"could not decode audio: {e}")
+            y = self._decode_region(sess,
+                                    coerce(query, "start_time", 0.0),
+                                    coerce(query, "end_time", None, float),
+                                    sr=self.poly_engine.sr)
+            analysis = self.poly_engine.analyze(y)
             if analysis is None:
                 raise HTTPError(400, "Analysis failed - empty audio?")
             analysis.pop("y", None)

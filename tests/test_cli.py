@@ -86,3 +86,16 @@ def test_batch(tmp_path, capsys):
     import glob
 
     assert len(glob.glob(str(tmp_path / "*.mid"))) == 2
+
+
+def test_invalid_bpm_and_range_rejected(wav_path, tmp_path, capsys):
+    """Review findings: --bpm 0 used to crash deep in the MIDI tick math;
+    --end < --start silently transcribed the wrong region."""
+    out = str(tmp_path / "x.mid")
+    for bad in ("0", "nan", "-10", "abc"):
+        with pytest.raises(SystemExit) as exc:
+            main(["transcribe", wav_path, out, "--bpm", bad])
+        assert exc.value.code == 2
+    with pytest.raises(SystemExit) as exc:
+        main(["transcribe", wav_path, out, "--start", "1.0", "--end", "0.5"])
+    assert exc.value.code == 2

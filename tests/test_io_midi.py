@@ -143,3 +143,52 @@ def test_smf_wav_decode_fuzz():
                 fn(data)
             except ValueError:
                 pass
+
+
+def test_load_audio_negative_duration_raises():
+    """end_time < start_time used to become a negative-index slice that
+    silently analyzed the wrong region (review finding)."""
+    import io as _io
+
+    import pytest
+
+    from aegis_tpu.io.audio import load_audio
+    from aegis_tpu.io.wav import write_wav
+
+    buf = _io.BytesIO()
+    write_wav(buf, np.zeros(22050, np.float32), 22050)
+    with pytest.raises(ValueError, match="non-negative"):
+        load_audio(buf.getvalue(), sr=22050, offset=2.0, duration=-1.0)
+    # duration=0 stays a legal empty request
+    y, _ = load_audio(buf.getvalue(), sr=22050, duration=0.0)
+    assert len(y) == 0
+
+
+def test_parse_bpm():
+    import pytest
+
+    from aegis_tpu.core.tempo import parse_bpm
+
+    assert parse_bpm(None) is None
+    assert parse_bpm("") is None
+    assert parse_bpm("auto") == "auto"
+    assert parse_bpm("120") == 120.0
+    assert parse_bpm(90.5) == 90.5
+    for bad in ("0", 0, "nan", "inf", "-3", "x"):
+        with pytest.raises(ValueError):
+            parse_bpm(bad)
+
+
+def test_events_to_midi_rejects_bad_bpm():
+    import pytest
+
+    from aegis_tpu.midi.encode import events_to_midi, events_to_midi_financial
+
+    ev = [{"note": 60, "start": 0, "end": 10, "confidence": 0.9,
+           "velocity": 80, "track": "main", "technique": None,
+           "slope": 0.0, "rms_energy": -20.0}]
+    for enc in (events_to_midi, events_to_midi_financial):
+        assert enc(ev, 22050, 512, bpm=120.0)  # valid
+        for bad in (0.0, float("nan"), -60.0):
+            with pytest.raises(ValueError, match="bpm"):
+                enc(ev, 22050, 512, bpm=bad)

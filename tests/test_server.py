@@ -448,3 +448,37 @@ def test_event_edit_validation_and_filename_sanitization(server_url):
             assert False, f"expected 400 for {bad}"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_param_validation_400s(server_url):
+    """Review findings: bpm=0/nan passed float() but crashed the MIDI tick
+    math as a 500; end_time <= start_time silently analyzed the WRONG
+    region (negative-duration Python slice).  All must be 400s now."""
+    buf = io.BytesIO()
+    write_wav(buf, two_tone(sr=SR), SR)
+    status, _, data = _req(f"{server_url}/api/upload?name=val.wav",
+                           "POST", buf.getvalue())
+    sid = json.loads(data)["session_id"]
+    status, _, _ = _req(f"{server_url}/api/analyze/{sid}", "POST")
+    assert status == 200
+
+    for bad in ("0", "nan", "-120", "inf", "abc"):
+        try:
+            _req(f"{server_url}/api/refilter/{sid}?bpm={bad}", "POST")
+            assert False, f"expected 400 for bpm={bad}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (bad, e.code)
+            assert b"bpm" in e.read()
+
+    # valid bpm still works after the validation tightening
+    status, _, data = _req(f"{server_url}/api/refilter/{sid}?bpm=90", "POST")
+    assert status == 200 and json.loads(data)["bpm"] == 90.0
+
+    # inverted / empty analysis region is a client error, not wrong output
+    for rng in ("start_time=1.0&end_time=0.5", "start_time=1&end_time=1"):
+        try:
+            _req(f"{server_url}/api/analyze/{sid}?{rng}", "POST")
+            assert False, f"expected 400 for {rng}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"start_time" in e.read()
