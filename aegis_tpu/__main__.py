@@ -34,6 +34,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="a number, or 'auto' to estimate the tempo")
     p.add_argument("--turbo", default="auto",
                    choices=["off", "tiles", "stream", "auto"])
+    p.add_argument("--no-onsets", action="store_true",
+                   help="disable onset-envelope event refinement "
+                        "(re-attack splitting + attack-time snap); "
+                        "matches the reference's merge/lag semantics")
 
 
 def _out_path(args) -> str:
@@ -46,6 +50,8 @@ def _out_path(args) -> str:
 
 def _extract_kwargs(args) -> dict:
     kw = {}
+    if getattr(args, "no_onsets", False):
+        kw["use_onsets"] = False
     if args.confidence is not None:
         kw["confidence_threshold"] = args.confidence
     if args.min_duration_ms is not None:

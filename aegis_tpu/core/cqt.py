@@ -121,12 +121,25 @@ def pick_onsets(envelope: np.ndarray, sr: int, hop_length: int,
 
 
 def split_events_at_onsets(events: list, onsets: np.ndarray,
-                           min_frames: int = 2) -> list:
+                           min_frames: int = 2,
+                           tail_frames: int | None = None) -> list:
     """Split note events whose span contains an interior onset — re-attacks
     of the same pitch that pitch-only segmentation merges (driver config 2:
-    onset detection + RMS dynamic-velocity mapping)."""
+    onset detection + RMS dynamic-velocity mapping).
+
+    ``tail_frames`` (default: min_frames) is the minimum length of the
+    piece AFTER a cut.  Pass the pitch tracker's lock-lag there (~100 ms
+    for pYIN) to reject cuts near the event END: an onset that close to
+    the end is the NEXT note's attack bleeding into this event's
+    overhanging voicing tail, not a re-attack — splitting there mints a
+    phantom stub of the old pitch covering the new note's attack frames
+    (measured on the scale track: a 3-frame note-62 stub at the note-64
+    boundary) and the stub then blocks snap_starts_to_onsets from
+    claiming the onset for the real next note."""
     if len(onsets) == 0:
         return events
+    if tail_frames is None:
+        tail_frames = min_frames
     out = []
     for e in events:
         # keep each cut at least min_frames from BOTH the event bounds and
@@ -137,7 +150,7 @@ def split_events_at_onsets(events: list, onsets: np.ndarray,
             # strict lower bound: a segment [prev, o-1] has duration
             # (end - start) == o - prev - 1, so o == prev + min_frames would
             # emit a segment one frame below the caller's minimum
-            if prev + min_frames < o <= e["end"] - min_frames:
+            if prev + min_frames < o <= e["end"] - tail_frames:
                 cuts.append(o)
                 prev = o
         if not cuts:

@@ -71,6 +71,11 @@ def detect_articulations_v1(
 # Vectorized segmentation
 # --------------------------------------------------------------------------
 
+# pYIN's worst measured pitch-lock lag after a physical attack (91 ms on
+# the scale track's post-rake note); sets the onset-split tail guard
+PYIN_LAG_MS = 100.0
+
+
 def velocity_from_db(rms_db: np.ndarray) -> np.ndarray:
     """dB -> MIDI velocity, clip((dB+80)*1.5, 0..127) — the reference curve
     (midi_logic.py:71).  Single definition shared by every engine."""
@@ -140,6 +145,65 @@ def _sustain_merge(events: List[dict], sustain_frames: int) -> List[dict]:
     return merged
 
 
+def snap_starts_to_onsets(events: List[dict], onsets: np.ndarray,
+                          rms_db: np.ndarray, back_frames: int) -> List[dict]:
+    """Move each event's start back to the physical attack time.
+
+    pYIN needs several pitch periods to lock after an attack (the pluck
+    transient is unpitched), so its first voiced frame lags the physical
+    pluck — measured 91 ms on the scale track's post-rake note, outside
+    the 50 ms onset tolerance of standard transcription scoring.  Worse,
+    the PREVIOUS note's voicing tail often overhangs the true boundary,
+    so the lag cannot be fixed by moving the start to the raw onset peak
+    alone.
+
+    Rule: anchor on the latest picked onset within ``back_frames`` of the
+    segment start, then snap the start to the steepest RMS RISE between
+    that onset and the current start — the rise is the attack itself.
+    Candidate rules rejected by measurement (all four truth clips):
+      * the onset peak itself — overshoots when the peak belongs to an
+        earlier transient (a rake burst decaying into the pluck: 100 ms
+        early on the Karplus-Strong track, a miss at 50 ms tolerance);
+      * the RMS trough (librosa onset_backtrack-style) — the burst can
+        run straight into the pluck with no dip, so the "trough" is the
+        flat plateau's FIRST frame, same miss.
+    On a flat segment (argmax of an all-zero diff = 0) this degrades to
+    onset+1, correct for butted notes at equal level.  If the previous
+    event's voicing tail overhangs the new start it is truncated — the
+    attack belongs to the new note (pYIN holds the old pitch ~20 ms past
+    a boundary, so the overhang is systematic).  Attack dynamics
+    (velocity / rms_energy) are deliberately NOT re-read at the snapped
+    frame: the pre-attack frames are the quietest instant, not the
+    note's loudness.
+
+    The reference has no equivalent (its events inherit pyin's late lock);
+    this is a documented deliberate divergence (VALIDATION.md).
+    """
+    if len(onsets) == 0 or back_frames <= 0:
+        return events
+    onsets = np.asarray(onsets, np.int64)
+    rms_db = np.asarray(rms_db, np.float64)
+    out = [dict(e) for e in events]
+    for i, e in enumerate(out):
+        lo = e["start"] - back_frames
+        if i:  # never swallow the previous note's own attack
+            lo = max(lo, out[i - 1]["start"] + 1)
+        cand = onsets[(onsets >= max(lo, 0)) & (onsets <= e["start"])]
+        if not len(cand):
+            continue
+        o = int(cand[-1])
+        seg = rms_db[o : e["start"] + 1]
+        if len(seg) < 2:
+            continue
+        new_start = o + int(np.argmax(np.diff(seg))) + 1
+        if new_start >= e["start"]:
+            continue
+        if i and out[i - 1]["end"] >= new_start:
+            out[i - 1]["end"] = new_start - 1
+        e["start"] = new_start
+    return out
+
+
 def _hammer_pull_pairs(events: List[dict], ms_per_frame: float) -> None:
     """Tag hammer-on / pull-off on near-adjacent pairs with a weak attack
     (reference midi_logic.py:127-146; see module docstring for the fixed
@@ -179,13 +243,16 @@ def extract_events_v1(
     min_note_duration_ms: float = 50.0,
     smooth: bool = True,
     onset_env: Optional[np.ndarray] = None,
+    onset_snap_ms: float = 140.0,
 ) -> List[dict]:
     """v1 note-event extraction.  f0 convention here: 0 on unvoiced frames
     (the engine nan_to_nums pYIN output, reference aegis_engine.py:69).
 
     onset_env (optional): device onset-strength envelope; when given,
-    same-pitch re-attacks are split at picked onsets (driver config 2) and
-    each split re-reads its velocity from RMS at the new attack frame."""
+    same-pitch re-attacks are split at picked onsets (driver config 2),
+    each split re-reads its velocity from RMS at the new attack frame, and
+    event starts snap back to the attack transient (snap_starts_to_onsets;
+    window onset_snap_ms, 0 disables) to undo pYIN's pitch-lock delay."""
     T = min(len(rake_mask), len(f0), len(rms), len(voiced_flag), len(active_probs))
     rake_mask, f0, voiced_flag, active_probs, rms = (
         a[:T] for a in (rake_mask, f0, voiced_flag, active_probs, rms)
@@ -235,11 +302,21 @@ def extract_events_v1(
         from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
 
         onsets = pick_onsets(onset_env[:T], sr, hop_length)
-        events = split_events_at_onsets(events, onsets,
-                                        min_frames=max(min_frames, 2))
+        # tail guard = pYIN's lock lag (measured up to ~91 ms): an onset
+        # closer than this to the event end is the NEXT note's attack
+        # under this event's overhanging voicing tail, handled by the
+        # snap below, not a same-pitch re-attack
+        lag_frames = int((PYIN_LAG_MS / 1000.0) * sr / hop_length)
+        events = split_events_at_onsets(
+            events, onsets, min_frames=max(min_frames, 2),
+            tail_frames=max(min_frames, lag_frames))
         for e in events:  # re-read attack dynamics at the split point
             e["velocity"] = int(velocity[min(e["start"], T - 1)])
             e["rms_energy"] = float(rms_db[min(e["start"], T - 1)])
+        if onset_snap_ms > 0:
+            events = snap_starts_to_onsets(
+                events, onsets, rms_db,
+                int((onset_snap_ms / 1000.0) * sr / hop_length))
 
     _hammer_pull_pairs(events, ms_per_frame)
     return events

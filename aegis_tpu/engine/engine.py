@@ -239,8 +239,11 @@ class AegisEngine:
             noise_gate_db=kwargs.get("noise_gate_db", -40),
             sustain_ms=kwargs.get("sustain_ms", 50),
             min_note_duration_ms=kwargs.get("min_note_duration_ms", 50),
+            # onset refinement (re-attack splitting + attack-time snap) is
+            # the library default, matching the serve layer; use_onsets=False
+            # restores the reference's exact merge/lag semantics
             onset_env=raw_data.get("onset_env")
-            if kwargs.get("use_onsets", False) else None,
+            if kwargs.get("use_onsets", True) else None,
         )
         if output_mid is not None:
             bpm = kwargs.get("bpm")

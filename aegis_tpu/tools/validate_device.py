@@ -21,18 +21,15 @@ financial after the per-track int16 scale fix (the round-1 borderline
 Non-gating extra fields: ``neural_f1`` (pitch_backend="neural" agreement
 with the pyin oracle) and, on clips whose generator supplies ground
 truth, ``pyin_truth_f1`` / ``neural_truth_f1`` (each backend vs the
-actual notes).  The truth numbers matter because pyin-agreement punishes
-the neural backend where pyin itself errs: on the scale track pyin locks
-~91 ms late on the post-rake note, capping agreement at 0.875, while the
-neural onsets are all within ~31 ms of truth (neural_truth_f1 = 1.0,
-beating pyin_truth_f1 = 0.875 — gated in tests/test_pitchnet.py).
-On the 60 s bench track the truth F1 of BOTH backends is bounded ~0.9 by
-event-extraction semantics, not pitch tracking: the sustain merge fuses
-repeated same-pitch plucks (152 truth notes -> 138 events) and the 50 ms
-tolerance clips pyin's pitch-lock delay on soft attacks.  Measured on
-XLA-CPU AND the real chip 2026-08-17 (identical to 4 digits): pyin
-0.9034, neural 0.9241 — the learned backend is closer to ground truth
-than the spec pipeline on every truth-bearing clip (full table in
+actual notes).  With the default onset refinement (re-attack splitting
+with the pYIN-lag tail guard + attack-rise start snapping,
+core/events.py) the pyin pipeline measures truth F1 = 1.0000 on ALL
+FOUR truth clips with exact event counts (152/152 on the 60 s bench
+track) — up from 0.9034/0.7500 under the reference's merge/lag
+semantics (use_onsets=False), which fused repeated same-pitch plucks
+(152 -> 138 events) and inherited pyin's up-to-91 ms post-rake pitch
+lock.  Measured on XLA-CPU and the real chip 2026-08-17 (identical
+numbers; full table and the per-rule measurement story in
 VALIDATION.md).  The GATE remains device-vs-oracle parity
 (v1/financial), which is exact.
 

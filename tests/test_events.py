@@ -99,3 +99,68 @@ def test_articulation_vibrato_and_bend():
     # stable note: nothing
     tech, _ = detect_articulations_v1(np.full(20, midi_to_hz(60)), 0, 19)
     assert tech is None
+
+
+def test_snap_starts_to_onsets():
+    from aegis_tpu.core.events import snap_starts_to_onsets
+
+    T = 130
+    rms = np.full(T, -20.0)
+    rms[15:20] = [-38, -40, -35, -25, -21]  # attack = steepest rise 17->18
+    evts = [
+        {"note": 60, "start": 20, "end": 40},
+        {"note": 62, "start": 50, "end": 70},
+        {"note": 64, "start": 100, "end": 120},
+    ]
+    onsets = np.array([15, 44, 95])
+    out = snap_starts_to_onsets(evts, onsets, rms, back_frames=6)
+    # event 0: onset 15 in [14, 20] -> snapped to the steepest RMS rise
+    # (diff max at 17->18, i.e. frame 18)
+    assert out[0]["start"] == 18 and out[0]["end"] == 40
+    # event 1: onset 44 in [44, 50]; flat rms -> degenerate rise at
+    # onset+1; previous end 40 < 45, untouched
+    assert out[1]["start"] == 45 and out[0]["end"] == 40
+    # event 2: onset 95 in [94, 100], flat rms
+    assert out[2]["start"] == 96
+    # inputs untouched (copies returned)
+    assert evts[0]["start"] == 20
+
+    # an onset beyond the back window does not snap
+    out = snap_starts_to_onsets(evts, np.array([10]), rms, back_frames=6)
+    assert out[0]["start"] == 20
+    # an overhanging previous tail is TRUNCATED: the attack belongs to
+    # the new note
+    out = snap_starts_to_onsets(
+        [{"note": 60, "start": 0, "end": 48},
+         {"note": 62, "start": 50, "end": 70}],
+        np.array([45]), np.full(80, -20.0), back_frames=20)
+    assert out[1]["start"] == 46 and out[0]["end"] == 45
+    # but never past the previous note's own attack (start+1 floor)
+    out = snap_starts_to_onsets(
+        [{"note": 60, "start": 40, "end": 48},
+         {"note": 62, "start": 50, "end": 70}],
+        np.array([38]), np.full(80, -20.0), back_frames=20)
+    assert out[1]["start"] == 50  # onset 38 < prev start+1 -> rejected
+    # empty onsets / zero window are no-ops
+    assert snap_starts_to_onsets(evts, np.array([]), rms, 6)[0]["start"] == 20
+    assert snap_starts_to_onsets(evts, onsets, rms, 0)[0]["start"] == 20
+
+
+def test_extract_v1_onset_snap_restores_late_lock():
+    """A pluck whose pitch tracker locks late: the onset envelope peak and
+    the RMS rise sit at the physical attack; the extracted start must snap
+    back to the rise."""
+    notes = [-1] * 10 + [60] * 30
+    rake, f0, voiced, probs, rms = _frames_for(notes)
+    rms = rms.copy()
+    rms[7:10] = 0.1  # energy arrives at frame 7; pyin locks at 10
+    onset_env = np.zeros(len(notes))
+    onset_env[6] = 1.0  # attack transient before pyin locks
+    ev = extract_events_v1(rake, f0, voiced, probs, rms, SR, HOP,
+                           confidence_threshold=0.5, onset_env=onset_env)
+    assert len(ev) == 1 and ev[0]["start"] == 7 and ev[0]["end"] == 39
+    # with snapping disabled the start stays at the voiced frame
+    ev = extract_events_v1(rake, f0, voiced, probs, rms, SR, HOP,
+                           confidence_threshold=0.5, onset_env=onset_env,
+                           onset_snap_ms=0.0)
+    assert ev[0]["start"] == 10

@@ -172,8 +172,11 @@ def test_v1_engine_onset_split():
     eng = AegisEngine(sample_rate=SR, backend="device")
     raw = eng.audio_to_midi(y, None)
     assert "onset_env" in raw
+    # use_onsets=False: the reference's merge semantics (the library
+    # default is the onset-refined path)
     merged = [e for e in eng.extract_events(raw, None, sustain_ms=200,
-                                            confidence_threshold=0.3)
+                                            confidence_threshold=0.3,
+                                            use_onsets=False)
               if e["note"] == 55]
     split = [e for e in eng.extract_events(raw, None, sustain_ms=200,
                                            confidence_threshold=0.3,
