@@ -299,26 +299,46 @@ def extract_events_v1(
         events = _sustain_merge(events, sustain_frames)
 
     if onset_env is not None:
-        from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
-
-        onsets = pick_onsets(onset_env[:T], sr, hop_length)
-        # tail guard = pYIN's lock lag (measured up to ~91 ms): an onset
-        # closer than this to the event end is the NEXT note's attack
-        # under this event's overhanging voicing tail, handled by the
-        # snap below, not a same-pitch re-attack
-        lag_frames = int((PYIN_LAG_MS / 1000.0) * sr / hop_length)
-        events = split_events_at_onsets(
-            events, onsets, min_frames=max(min_frames, 2),
-            tail_frames=max(min_frames, lag_frames))
-        for e in events:  # re-read attack dynamics at the split point
-            e["velocity"] = int(velocity[min(e["start"], T - 1)])
-            e["rms_energy"] = float(rms_db[min(e["start"], T - 1)])
-        if onset_snap_ms > 0:
-            events = snap_starts_to_onsets(
-                events, onsets, rms_db,
-                int((onset_snap_ms / 1000.0) * sr / hop_length))
+        events = apply_onset_refinement(events, onset_env[:T], velocity,
+                                        rms_db, sr, hop_length, min_frames,
+                                        onset_snap_ms)
 
     _hammer_pull_pairs(events, ms_per_frame)
+    return events
+
+
+def apply_onset_refinement(
+    events: List[dict],
+    onset_env: np.ndarray,
+    velocity: np.ndarray,
+    rms_db: np.ndarray,
+    sr: int,
+    hop_length: int,
+    min_frames: int,
+    onset_snap_ms: float = 140.0,
+) -> List[dict]:
+    """The two onset-envelope passes shared by the v1 and financial
+    extractors: re-attack splitting with the pYIN-lag tail guard, then
+    attack-rise start snapping (see snap_starts_to_onsets)."""
+    from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
+
+    T = len(onset_env)
+    onsets = pick_onsets(onset_env, sr, hop_length)
+    # tail guard = pYIN's lock lag (measured up to ~91 ms): an onset
+    # closer than this to the event end is the NEXT note's attack under
+    # this event's overhanging voicing tail, handled by the snap below,
+    # not a same-pitch re-attack
+    lag_frames = int((PYIN_LAG_MS / 1000.0) * sr / hop_length)
+    events = split_events_at_onsets(
+        events, onsets, min_frames=max(min_frames, 2),
+        tail_frames=max(min_frames, lag_frames))
+    for e in events:  # re-read attack dynamics at the split point
+        e["velocity"] = int(velocity[min(e["start"], T - 1)])
+        e["rms_energy"] = float(rms_db[min(e["start"], T - 1)])
+    if onset_snap_ms > 0:
+        events = snap_starts_to_onsets(
+            events, onsets, rms_db,
+            int((onset_snap_ms / 1000.0) * sr / hop_length))
     return events
 
 
@@ -374,12 +394,32 @@ def extract_events_financial(
     use_harmonic_filter: bool = True,
     harmonic_tolerance: int = 1,
     rsi_threshold: float = 70.0,
+    onset_env: Optional[np.ndarray] = None,
+    onset_snap_ms: float = 140.0,
+    pitch_source: str = "pyin",
 ) -> Tuple[List[dict], dict]:
     """v2 event extraction from device-side financial analysis outputs.
 
     Returns (events, info) where info carries {threshold, key_info}.
     Mirrors reference midi_logic_financial.py:117-386 (vectorized; see module
-    docstring for deliberate fixes).
+    docstring for deliberate fixes).  onset_env enables the same onset
+    refinement as the v1 path (apply_onset_refinement), applied after the
+    sustain merge so the RSI ghost and harmonic filters see the refined
+    events.
+
+    pitch_source selects the series note pitches quantize from:
+      * "pyin" (default) — the median-smoothed pYIN f0, exactly as the v1
+        extractor.  The consensus trend still drives articulations,
+        slides, combined confidence and the adaptive threshold — the
+        financial stack's actual value.
+      * "trend" — the consensus-filtered trend, the reference's v2
+        semantics (midi_logic_financial.py:152-177).  Measured (truth
+        clips, 22.05 kHz): the trend smooths ACROSS note boundaries,
+        minting one-semitone transition notes (61 between a 60 and a 62,
+        sustained for ~200 ms) and delaying pitch locks past 100 ms —
+        ground-truth F1 0.11 (scale) / 0.33 (Karplus-Strong) vs 1.00 for
+        "pyin" with identical device analysis.  Kept as an opt-in spec
+        mirror; VALIDATION.md documents the divergence.
     """
     T = min(len(rake_mask), len(f0), len(rms), len(voiced_flag), len(active_probs))
     arrays = [rake_mask, f0, voiced_flag, active_probs, rms, trend, artic_codes,
@@ -396,7 +436,12 @@ def extract_events_financial(
     min_frames = int((min_note_duration_ms / 1000.0) * sr / hop_length)
     sustain_frames = int((sustain_ms / 1000.0) * sr / hop_length)
 
-    freq = np.asarray(trend, dtype=np.float64)
+    if pitch_source == "pyin":
+        freq = np.asarray(
+            medfilt(np.nan_to_num(f0), kernel_size=3) if T >= 3
+            else np.nan_to_num(f0), dtype=np.float64)
+    else:
+        freq = np.asarray(trend, dtype=np.float64)
     finite = np.isfinite(freq)
     active = (
         voiced_flag.astype(bool)
@@ -426,6 +471,11 @@ def extract_events_financial(
 
     events = [e for e in events if (e["end"] - e["start"]) >= min_frames]
     events = _sustain_merge(events, sustain_frames)
+
+    if onset_env is not None:
+        events = apply_onset_refinement(events, onset_env[:T], velocity,
+                                        rms_db, sr, hop_length, min_frames,
+                                        onset_snap_ms)
 
     if len(events) > 10:
         events = filter_ghost_notes_rsi(events, sr, hop_length, rsi_threshold)

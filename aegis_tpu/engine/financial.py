@@ -164,6 +164,13 @@ class AegisFinancialEngine:
             min_note_duration_ms=kwargs.get("min_note_duration_ms", 50),
             use_harmonic_filter=kwargs.get("use_harmonic_filter", True),
             harmonic_tolerance=kwargs.get("harmonic_tolerance", 1),
+            # onset refinement: the library default, as on the v1 engine;
+            # use_onsets=False restores the reference's merge/lag semantics
+            onset_env=analysis.get("onset_env")
+            if kwargs.get("use_onsets", True) else None,
+            # "pyin" quantizes notes from the median-smoothed f0 (truth
+            # F1 1.0); "trend" is the reference's over-smoothed semantics
+            pitch_source=kwargs.get("pitch_source", "pyin"),
         )
         if bpm:
             info["bpm"] = float(bpm)

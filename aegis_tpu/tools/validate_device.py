@@ -115,6 +115,9 @@ def validate(threshold: float = 0.99, include_bench: bool = True,
             ed_s = events_to_seconds(ed, sr, hop)
             results[name]["pyin_truth_f1"] = round(
                 note_event_f1(truth, ed_s)["f1"], 4)
+            results[name]["fin_truth_f1"] = round(
+                note_event_f1(truth, events_to_seconds(edf, sr, hop))["f1"],
+                4)
             if en is not None:
                 en_s = events_to_seconds(en, sr, hop)
                 results[name]["neural_truth_f1"] = round(
@@ -125,6 +128,7 @@ def validate(threshold: float = 0.99, include_bench: bool = True,
             extra = ""
             if "pyin_truth_f1" in results[name]:
                 extra = (f" truth: pyin={results[name]['pyin_truth_f1']:.4f}"
+                         f" fin={results[name]['fin_truth_f1']:.4f}"
                          f" neural="
                          f"{results[name].get('neural_truth_f1', float('nan')):.4f}")
             print(f"# {name}@{sr}: v1={f1_v1:.4f} fin={f1_fin:.4f} "

@@ -188,3 +188,41 @@ def test_bench_track_truth():
     for e in truth[:20]:
         s = int(e["start"] * sr)
         assert np.abs(y[s:s + 512]).max() > 0.01, e
+
+
+def test_default_pipeline_truth_f1():
+    """The onset-refined default pipeline hits ground truth exactly on the
+    truth clips (measured 1.0000 on all four incl. the 60 s bench track on
+    the real chip; the two short clips gate here).  use_onsets=False
+    (the reference's merge/lag semantics) measures 0.75 on the scale
+    track — this test pins the improvement."""
+    from aegis_tpu.tools.signal_gen import generate_bench_track
+
+    hop = 512
+    kst_y, kst_truth = generate_test_track(sr=22050)
+    sc = generate_scale_benchmark(sr=22050)
+    bench_y, bench_truth = generate_bench_track(10.0, return_truth=True)
+    # a note whose onset falls within ~150 ms of the hard clip end has
+    # only unpitched pluck-transient frames before the audio stops — no
+    # tracker can report it; the generator can emit one at any duration
+    bench_truth = [t for t in bench_truth if t["start"] < 10.0 - 0.15]
+    for y, truth, sr in ((kst_y, kst_truth, 22050),
+                         (sc[0], sc[2], 22050),
+                         (bench_y, bench_truth, 22050)):
+        eng = AegisEngine(sample_rate=sr, backend="device")
+        raw = eng.audio_to_midi(y, None)
+        ev = eng.extract_events(raw, None, confidence_threshold=0.3)
+        f1 = note_event_f1(truth, events_to_seconds(ev, sr, hop))["f1"]
+        assert f1 >= 0.99, (len(y) / sr, f1)
+
+    # the financial engine's default (pitch_source="pyin") matches truth
+    # too; pitch_source="trend" (the reference's over-smoothed series)
+    # measured 0.11 on this clip — pinned as strictly worse
+    feng = AegisFinancialEngine(sample_rate=22050, backend="device")
+    a = feng.analyze(sc[0], fetch_mel=False)
+    fev, _ = feng.extract_events(a)
+    f1 = note_event_f1(sc[2], events_to_seconds(fev, 22050, hop))["f1"]
+    assert f1 >= 0.99, f1
+    tev, _ = feng.extract_events(a, pitch_source="trend")
+    f1_trend = note_event_f1(sc[2], events_to_seconds(tev, 22050, hop))["f1"]
+    assert f1_trend < f1
