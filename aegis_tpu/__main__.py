@@ -95,7 +95,8 @@ def cmd_financial(args) -> int:
     result = eng.audio_to_midi_financial(
         args.input, out, start_time=args.start, end_time=args.end,
         rake_sensitivity=args.rake, turbo_mode=args.turbo,
-        pitch_backend=args.pitch_backend, **_extract_kwargs(args))
+        pitch_backend=args.pitch_backend, pitch_source=args.pitch_source,
+        **_extract_kwargs(args))
     if result is None:
         print("error: empty audio", file=sys.stderr)
         return 1
@@ -236,6 +237,14 @@ def main(argv=None) -> int:
             p.add_argument("--rake", type=float, default=0.6)
             p.add_argument("--pitch-backend", default="pyin",
                            choices=["pyin", "neural"])
+        if name == "financial":
+            p.add_argument("--pitch-source", default="pyin",
+                           choices=["pyin", "trend"],
+                           help="series that note pitches quantize from: "
+                                "the median-smoothed pYIN f0 (default) or "
+                                "the consensus trend (the reference's v2 "
+                                "semantics; smooths across note boundaries "
+                                "— see VALIDATION.md)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("batch")

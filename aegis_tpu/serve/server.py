@@ -159,6 +159,9 @@ class AegisServer:
             "sustain_ms": coerce(query, "sustain_ms", 200),
             "midi_program": coerce(query, "midi_program", 27),
             "noise_gate_db": coerce(query, "noise_gate_db", -40.0),
+            # library default True; False restores the reference's exact
+            # sustain-merge/lag semantics (core/events.py onset refinement)
+            "use_onsets": coerce(query, "use_onsets", True, bool),
         }
         bpm_q = _parse_bpm_400(query.get("bpm"))
         if bpm_q is not None:

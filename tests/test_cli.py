@@ -30,6 +30,10 @@ def test_transcribe(wav_path, tmp_path, capsys):
 def test_financial(wav_path, tmp_path):
     out = str(tmp_path / "f.mid")
     assert main(["financial", wav_path, out]) == 0
+    # the reference's v2 pitch semantics stay reachable as an opt-in
+    out2 = str(tmp_path / "f_trend.mid")
+    assert main(["financial", wav_path, out2,
+                 "--pitch-source", "trend", "--no-onsets"]) == 0
 
 
 def test_poly(wav_path, tmp_path):

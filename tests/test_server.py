@@ -72,6 +72,14 @@ def test_full_session_lifecycle(server_url):
     assert status == 200
     assert json.loads(data)["num_events"] >= 1
 
+    # use_onsets=false (the reference's merge/lag semantics) is a valid
+    # extraction param on the v1 path too, as on poly
+    status, _, data = _req(
+        f"{server_url}/api/refilter/{sid}?confidence_threshold=0.5"
+        f"&use_onsets=false", "POST")
+    assert status == 200
+    assert json.loads(data)["num_events"] >= 1
+
     # refilter with tempo-aware export: bpm riding in the response, a
     # set_tempo meta in the MIDI, malformed value rejected
     status, _, data = _req(
