@@ -5,21 +5,41 @@ harmonic-analysis salience peeling + tabs fingering") has no reference
 implementation — the reference engine is monophonic (SURVEY.md §0) — so this
 is a TPU-first design from scratch:
 
-  * Pseudo-CQT power (core.cqt) feeds an iterative **peeling** loop: per
-    frame, take the strongest bin, record (bin, salience), then subtract
-    that pitch's full harmonic comb before the next iteration so harmonics
-    aren't re-detected as voices.  The subtraction uses a precomputed
-    (n_bins, n_bins) harmonic-suppression matrix, turning each peel step
-    into a one-hot MXU matmul over all frames at once — max_voices
-    iterations total, fully batched over time (no per-frame Python).
-  * Voice acceptance is relative (>= rel_threshold * frame's first-voice
-    salience) plus an absolute floor (>= abs_threshold * global max), which
+  * Pseudo-CQT power (core.cqt) feeds an iterative **peeling** loop over
+    whole (T, n_bins) frames at once — max_voices iterations total, every
+    step an MXU matmul, no per-frame Python:
+      1. salience map = geometric mean of the bin magnitude and its
+         harmonic-comb average ``mag**alpha * (mag @ supp.T / Σ)**(1-alpha)``
+         — a bin is a plausible fundamental only when BOTH its own energy
+         and its upper partials are present (pure magnitude ranked strong
+         partials above weak chord voices; pure comb average ranked
+         sub-octaves whose comb contains several true notes first);
+      2. sub-harmonic preference: when the arg-max bin's −19 (octave+fifth,
+         i.e. a 3rd harmonic) or −12 (octave) neighbor is comparably
+         salient, the pick moves down — a partial can outrank its own
+         fundamental after random string rolloff, and the geometric mean
+         at the true fundamental stays high while a spurious sub-octave's
+         does not;
+      3. multiplicative masking: the picked pitch's harmonic comb
+         (one-hot @ subtraction-matrix) is *scaled out* of the magnitudes
+         (``mag *= 1 - clip(over_subtract·comb)``) with a flat ±1-bin rim,
+         so neither comb-shape mismatch nor spectral leakage into neighbor
+         bins survives as a phantom voice on the next iteration.
+  * Voice acceptance is relative (>= rel_threshold * frame's strongest
+    voice) plus an absolute floor (>= abs_threshold * global max), which
     keeps the voice count per frame data-dependent while every shape stays
     static.
   * Host side segments the resulting (T, 128) MIDI activation into
     overlapping note events (same event-dict currency as the monophonic
-    engines) and groups simultaneous notes into chords for the chord-aware
-    tab fingering in midi.tabs.
+    engines), refines them against the onset envelope / RMS attack
+    physics (refine_poly_events — the polyphonic sibling of the v1
+    engine's onset refinement), and groups simultaneous notes into chords
+    for the chord-aware tab fingering in midi.tabs.
+
+Every matmul in the peel runs at Precision.HIGHEST: voice picking is an
+argmax over near-tied saliences, and TPU bf16 default-precision drift
+flips picks (same failure class as the financial trend stack, see
+CLAUDE.md invariants).  The NumPy oracle is aegis_tpu/ref/poly_ref.py.
 """
 
 from __future__ import annotations
@@ -59,41 +79,104 @@ def harmonic_suppression_matrix(n_bins: int, bins_per_octave: int = 12,
     return H
 
 
-def peel_voices(cqt_power: jnp.ndarray, supp: jnp.ndarray,
-                max_voices: int = 6,
-                over_subtract: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Iterative harmonic peeling.  cqt_power: (T, n_bins) non-negative.
+def harmonic_subtraction_matrix(n_bins: int, bins_per_octave: int = 12,
+                                n_harmonics: int = 8,
+                                decay: float = 0.75,
+                                spread: int = 1) -> np.ndarray:
+    """The suppression comb with a FLAT (full-strength) rim: each harmonic's
+    weight is replicated to its ±spread neighbor bins instead of decaying
+    triangularly.  Used for the peel's multiplicative masking — a 50%
+    neighbor residue after a triangular subtraction is exactly the "rim
+    junk" (±1-semitone phantoms of loud notes) that capped acceptance
+    thresholds; full-strength rims remove it (measured: the acceptance
+    threshold could then drop 0.25 -> 0.12 and admit true weak chord
+    voices)."""
+    supp = harmonic_suppression_matrix(n_bins, bins_per_octave, n_harmonics,
+                                       decay, spread)
+    sub = supp.copy()
+    for d in (-1, 1):
+        shifted = np.zeros_like(supp)
+        if d < 0:
+            shifted[:, :d] = supp[:, -d:]
+        else:
+            shifted[:, d:] = supp[:, :-d]
+        sub = np.maximum(sub, shifted)
+    return sub
 
-    Returns (bins (T, V) int32, saliences (T, V) f32), strongest first.
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def peel_voices(cqt_power: jnp.ndarray, supp: jnp.ndarray,
+                sub: jnp.ndarray | None = None,
+                max_voices: int = 6,
+                over_subtract: float = 1.33,
+                alpha: float = 0.6,
+                gamma19: float = 0.5,
+                gamma12: float = 0.2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Iterative harmonic-salience peeling.  cqt_power: (T, n_bins) >= 0.
+
+    Per iteration (see module docstring): geometric-mean salience map,
+    arg-max pick, sub-harmonic preference (-19 then -12 semitone
+    candidates, taken when their salience >= gamma * pick's), flat-rim
+    multiplicative comb masking.  All ops are frame-local, so tiled /
+    sharded execution is exact.
+
+    Returns (bins (T, V) int32, saliences (T, V) f32) in pick order (NOT
+    sorted by salience: the sub-harmonic redirect can make a later pick
+    stronger than an earlier one — acceptance normalizes by the per-frame
+    max, not the first voice).
     """
     T, n_bins = cqt_power.shape
+    if sub is None:
+        sub = jnp.asarray(harmonic_subtraction_matrix(n_bins))
     mag = jnp.sqrt(jnp.maximum(cqt_power, 0.0))  # magnitude domain peels
+    rowsum = jnp.maximum(jnp.sum(supp, axis=1), 1e-10)
+    rows = jnp.arange(T)
     bins_out = []
     sal_out = []
     for _ in range(max_voices):
-        sal = jnp.max(mag, axis=1)
-        peak = jnp.argmax(mag, axis=1).astype(jnp.int32)
+        combavg = jnp.dot(mag, supp.T, precision=_HIGHEST,
+                          preferred_element_type=jnp.float32) / rowsum[None]
+        sal_map = (jnp.maximum(mag, 0.0) ** alpha
+                   * jnp.maximum(combavg, 0.0) ** (1.0 - alpha))
+        peak = jnp.argmax(sal_map, axis=1).astype(jnp.int32)
+        for off, gamma in ((19, gamma19), (12, gamma12)):
+            cand = jnp.clip(peak - off, 0, n_bins - 1)
+            take = (peak >= off) & (sal_map[rows, cand]
+                                    >= gamma * sal_map[rows, peak])
+            peak = jnp.where(take, cand, peak)
+        sal = sal_map[rows, peak]
         bins_out.append(peak)
         sal_out.append(sal)
         onehot = jax.nn.one_hot(peak, n_bins, dtype=mag.dtype)
-        comb = jnp.dot(onehot, supp, preferred_element_type=jnp.float32)
-        mag = jnp.maximum(mag - over_subtract * sal[:, None] * comb, 0.0)
+        comb = jnp.dot(onehot, sub, precision=_HIGHEST,
+                       preferred_element_type=jnp.float32)
+        mag = mag * (1.0 - jnp.clip(over_subtract * comb, 0.0, 1.0))
     return jnp.stack(bins_out, axis=1), jnp.stack(sal_out, axis=1)
 
 
 def roll_and_confidence(bins: jnp.ndarray, sals: jnp.ndarray,
                         bins_per_octave: int = 12,
-                        rel_threshold: float = 0.25,
+                        rel_threshold: float = 0.12,
                         abs_threshold: float = 0.02,
                         global_peak: jnp.ndarray | None = None,
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(T, V) voices -> ((T, 128) bool MIDI activation, (T, 128) confidence).
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(T, V) voices -> ((T, 128) bool MIDI activation, (T, 128) confidence,
+    (T, 128) absolute salience).
+
+    Confidence normalizes by the frame's STRONGEST voice (the peel's pick
+    order is not salience order); the absolute-salience plane feeds the
+    host's harmonic dedup, which needs unnormalized magnitudes to compare
+    concurrent events.  Given the salience plane, confidence is exactly
+    ``salience / max(salience, axis=1)`` — a host consumer of the packed
+    buffer reconstructs it for free instead of shipping both planes.
 
     ``global_peak`` lets a sharded caller supply the track-global salience
     maximum (a pmax over the mesh time axis); per-frame acceptance is
     otherwise purely local, so tiled execution is exact."""
     T, V = bins.shape
-    lead = jnp.maximum(sals[:, :1], 1e-10)
+    lead = jnp.maximum(jnp.max(sals, axis=1, keepdims=True), 1e-10)
     if global_peak is None:
         global_peak = jnp.max(sals)
     keep = (sals >= rel_threshold * lead) & (
@@ -105,12 +188,14 @@ def roll_and_confidence(bins: jnp.ndarray, sals: jnp.ndarray,
     roll = jnp.zeros((T, MIDI_BINS), bool).at[rows, midi].max(keep)
     conf = jnp.zeros((T, MIDI_BINS), jnp.float32).at[rows, midi].max(
         sals / lead)
-    return roll, conf
+    salience = jnp.zeros((T, MIDI_BINS), jnp.float32).at[rows, midi].max(
+        jnp.maximum(sals, 0.0))
+    return roll, conf, salience
 
 
 def voices_to_piano_roll(bins: jnp.ndarray, sals: jnp.ndarray,
                          bins_per_octave: int = 12,
-                         rel_threshold: float = 0.25,
+                         rel_threshold: float = 0.12,
                          abs_threshold: float = 0.02) -> jnp.ndarray:
     """(T, V) voices -> (T, 128) bool MIDI activation."""
     return roll_and_confidence(bins, sals, bins_per_octave, rel_threshold,
@@ -127,13 +212,14 @@ def analyze_poly_program(y: jnp.ndarray, sr: int, n_fft: int = 2048,
     y = y.astype(jnp.float32)
     cqt = pseudo_cqt_t(y, sr, n_fft, hop_length, n_bins, bins_per_octave)
     supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
-    bins, sals = peel_voices(cqt, supp, max_voices)
-    roll, conf = roll_and_confidence(bins, sals, bins_per_octave)
+    sub = jnp.asarray(harmonic_subtraction_matrix(n_bins, bins_per_octave))
+    bins, sals = peel_voices(cqt, supp, sub, max_voices)
+    roll, conf, salience = roll_and_confidence(bins, sals, bins_per_octave)
     rms_ = dsp.rms(y, n_fft, hop_length)
     mel = dsp.melspectrogram_t(y, sr, n_fft, hop_length, 128)
     onset_env = onset_strength_t(mel)
-    return {"roll": roll, "confidence": conf, "rms": rms_,
-            "onset_env": onset_env}
+    return {"roll": roll, "confidence": conf, "salience": salience,
+            "rms": rms_, "onset_env": onset_env}
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",
@@ -144,17 +230,20 @@ def analyze_poly_program_packed(y: jnp.ndarray, scale: jnp.ndarray,
                                 hop_length: int = 512, n_bins: int = 84,
                                 bins_per_octave: int = 12,
                                 max_voices: int = 6) -> jnp.ndarray:
-    """One packed (T, 2*MIDI_BINS + 2) buffer: [roll | confidence | rms |
+    """One packed (T, 2*MIDI_BINS + 2) buffer: [roll | salience | rms |
     onset_env] — a tunneled backend pays ~25 ms PER device->host transfer,
-    so fetching the four poly outputs separately cost more than the program
-    itself on short clips.  ``y`` may be int16 PCM (half the upload bytes);
-    ``scale`` dequantizes on device."""
+    so fetching the poly outputs separately cost more than the program
+    itself on short clips.  The confidence plane is NOT shipped: it equals
+    ``salience / max(salience, axis=1)`` exactly (roll_and_confidence
+    docstring), so the host reconstructs it instead of paying +50%
+    transfer.  ``y`` may be int16 PCM (half the upload bytes); ``scale``
+    dequantizes on device."""
     out = analyze_poly_program(y.astype(jnp.float32) * scale, sr, n_fft,
                                hop_length, n_bins, bins_per_octave,
                                max_voices)
     return jnp.concatenate(
         [out["roll"].astype(jnp.float32),
-         out["confidence"].astype(jnp.float32),
+         out["salience"].astype(jnp.float32),
          out["rms"].astype(jnp.float32)[:, None],
          out["onset_env"].astype(jnp.float32)[:, None]], axis=1)
 
@@ -202,6 +291,175 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
                 "rms_energy": float(rms_db[s]),
             })
     events.sort(key=lambda ev: (ev["start"], ev["note"]))
+    return events
+
+
+# --------------------------------------------------------------------------
+# Host: polyphonic event refinement (attack physics + harmonic dedup)
+#
+# The polyphonic sibling of the v1 engine's onset refinement
+# (core/events.py::split_events_at_onsets / snap_starts_to_onsets): the
+# same onset envelope + RMS planes the fused program already computes,
+# applied chord-aware.  Measured on Karplus-Strong chord-progression clips
+# with generator ground truth (20 random voicing/rolloff seeds): the
+# unrefined roll segmentation scores mean F1 0.34; the refined pipeline
+# 0.99 with precision 1.0 on every seed (tests/test_poly_truth.py).
+# --------------------------------------------------------------------------
+
+def silence_gate(roll: np.ndarray, rms_db: np.ndarray,
+                 silence_db: float = 45.0) -> np.ndarray:
+    """Zero roll rows whose frame RMS sits more than silence_db below the
+    track peak: a voice cannot sound through silence.  (Decay-gap ghosts
+    spanned -80 dB frames and still segmented into >min-duration events.)"""
+    live = np.asarray(rms_db) >= (float(np.max(rms_db)) - silence_db)
+    return roll & live[:, None]
+
+
+def attach_salience(events: List[dict], salience: np.ndarray) -> List[dict]:
+    """Record each event's mean absolute salience (confidence is normalized
+    per frame, so concurrent events can't be compared through it)."""
+    for e in events:
+        seg = salience[e["start"]:e["end"] + 1, e["note"]]
+        e["salience"] = float(seg.mean()) if seg.size else 0.0
+    return events
+
+
+def snap_starts_poly(events: List[dict], onsets: np.ndarray,
+                     rms_db: np.ndarray, back_frames: int) -> List[dict]:
+    """Chord-aware start snapping: pull each event's start back to the
+    steepest RMS rise after the latest onset within ``back_frames``.
+
+    Unlike the monophonic snap_starts_to_onsets this does NOT truncate the
+    previous event (concurrent voices legitimately overlap); the only
+    guard is same-pitch: a start never crosses the previous event of the
+    SAME note."""
+    onsets = np.asarray(onsets, np.int64)
+    out = [dict(e) for e in sorted(events,
+                                   key=lambda e: (e["note"], e["start"]))]
+    prev_end: dict = {}
+    for e in out:
+        lo = max(e["start"] - back_frames, prev_end.get(e["note"], -1) + 1, 0)
+        cand = onsets[(onsets >= lo) & (onsets <= e["start"])]
+        if len(cand):
+            o = int(cand[-1])
+            seg = rms_db[o:e["start"] + 1]
+            if len(seg) >= 2:
+                ns = o + int(np.argmax(np.diff(seg))) + 1
+                if ns < e["start"]:
+                    e["start"] = ns
+        prev_end[e["note"]] = e["end"]
+    out.sort(key=lambda e: (e["start"], e["note"]))
+    return out
+
+
+def decay_prune(events: List[dict], onsets: np.ndarray,
+                frac: float = 0.5, total_frames: int | None = None,
+                concurrent_tol: int = 4) -> List[dict]:
+    """Drop attack-transient splash: an event much shorter than its
+    inter-onset gap while a concurrent event clearly sustains the gap is
+    broadband attack energy that briefly won a CQT bin, not a note."""
+    on = np.asarray(sorted(onsets), np.int64)
+    out = []
+    for e in events:
+        i = int(np.searchsorted(on, e["start"], "right")) - 1
+        if i < 0:
+            out.append(e)
+            continue
+        gap_end = (int(on[i + 1]) if i + 1 < len(on)
+                   else (total_frames if total_frames is not None
+                         else e["end"] + 1))
+        gap = max(gap_end - int(on[i]), 1)
+        if (e["end"] - e["start"] + 1) >= frac * gap:
+            out.append(e)
+            continue
+        sustained = any(
+            (o is not e) and abs(o["start"] - e["start"]) <= concurrent_tol
+            and (o["end"] - o["start"] + 1) >= 0.7 * gap
+            for o in events)
+        if not sustained:
+            out.append(e)
+    return out
+
+
+def onset_birth_gate(events: List[dict], onsets: np.ndarray,
+                     tol_frames: int) -> List[dict]:
+    """A plucked note must be born at a picked onset (within tol)."""
+    on = np.asarray(sorted(onsets), np.int64)
+    if len(on) == 0:
+        return events
+    return [e for e in events
+            if int(np.min(np.abs(on - e["start"]))) <= tol_frames]
+
+
+def attack_rise_gate(events: List[dict], rms_db: np.ndarray,
+                     win_frames: int = 4,
+                     min_rise_db: float = 2.0) -> List[dict]:
+    """A pluck's start must sit at an RMS attack rise.  The window is
+    asymmetric — [start-win, start] — because the CQT lags the physical
+    attack (the event's first accepted frame lands a few frames AFTER the
+    rise), while a rise shortly after the start is the NEXT note's attack
+    (measured: a symmetric window let a decay-gap ghost borrow the next
+    chord's rise 4 frames ahead)."""
+    d = np.diff(np.asarray(rms_db, np.float64))
+    out = []
+    for e in events:
+        lo = max(e["start"] - win_frames, 0)
+        hi = min(e["start"] + 1, len(d))
+        if hi > lo and float(d[lo:hi].max()) >= min_rise_db:
+            out.append(e)
+    return out
+
+
+#: semitone intervals of harmonics 2..8 above a fundamental
+HARMONIC_INTERVALS = frozenset((12, 19, 24, 28, 31, 34))
+
+
+def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
+                   start_tol: int = 4) -> List[dict]:
+    """Drop an event whose pitch is a harmonic interval above a concurrent
+    event with much higher ABSOLUTE salience — a partial that survived the
+    peel.  Ratio-gated so true octave/fifth chord voices (which carry
+    their own comb and hence comparable salience) are kept.  Requires
+    attach_salience."""
+    out = []
+    for e in events:
+        dominated = any(
+            (o is not e)
+            and (e["note"] - o["note"]) in HARMONIC_INTERVALS
+            and o["start"] - start_tol <= e["start"] <= o["end"]
+            and e.get("salience", 0.0) < sal_ratio * o.get("salience", 0.0)
+            for o in events)
+        if not dominated:
+            out.append(e)
+    return out
+
+
+def refine_poly_events(events: List[dict], onsets: np.ndarray,
+                       rms_db: np.ndarray, salience: np.ndarray,
+                       sr: int, hop_length: int,
+                       total_frames: int | None = None,
+                       snap_back_ms: float = 200.0,
+                       birth_tol_ms: float = 80.0,
+                       rise_db: float = 2.0,
+                       sal_ratio: float = 0.55,
+                       decay_frac: float = 0.5) -> List[dict]:
+    """The composed polyphonic refinement: salience attach -> start snap ->
+    decay prune -> onset birth gate -> attack-rise gate -> harmonic dedup.
+
+    Snap runs FIRST so every gate judges the corrected start (a voice
+    masked during a chord attack is first accepted late; gating on the raw
+    start rejected it, measured on the 3rd voice of dense chords).
+    ``events`` must already be onset-split (split_events_at_onsets)."""
+    fps = sr / hop_length
+    events = attach_salience(events, np.asarray(salience))
+    events = snap_starts_poly(events, onsets, rms_db,
+                              back_frames=int(snap_back_ms / 1000.0 * fps))
+    events = decay_prune(events, onsets, frac=decay_frac,
+                         total_frames=total_frames)
+    events = onset_birth_gate(events, onsets,
+                              tol_frames=int(birth_tol_ms / 1000.0 * fps))
+    events = attack_rise_gate(events, rms_db, min_rise_db=rise_db)
+    events = harmonic_dedup(events, sal_ratio=sal_ratio)
     return events
 
 

@@ -513,12 +513,14 @@ def analyze_poly_sharded(
     scalars — the global salience peak (voice acceptance floor) and the
     mel-power dB reference (onset envelope) — each one ``pmax`` over the
     time axis riding ICI.  Returns ONE packed
-    (B, n_tiles, tile, 2*MIDI_BINS + 2) buffer: [roll | confidence | rms |
+    (B, n_tiles, tile, 2*MIDI_BINS + 2) buffer: [roll | salience | rms |
     onset_env].
     """
     from aegis_tpu.core.cqt import onset_from_db
     from aegis_tpu.core.filters import cqt_filterbank
-    from aegis_tpu.core.poly import (MIDI_BINS, harmonic_suppression_matrix,
+    from aegis_tpu.core.poly import (MIDI_BINS,
+                                     harmonic_subtraction_matrix,
+                                     harmonic_suppression_matrix,
                                      peel_voices, roll_and_confidence)
 
     span = _slab_span(tile, halo, hop, n_fft)
@@ -537,6 +539,7 @@ def analyze_poly_sharded(
     cqt_fb = jnp.asarray(cqt_filterbank(sr, n_fft, n_bins, bins_per_octave).T)
     mel_fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T)
     supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
+    subm = jnp.asarray(harmonic_subtraction_matrix(n_bins, bins_per_octave))
 
     def worker(y_loc, sc, edge):
         b, _ = y_loc.shape
@@ -575,7 +578,7 @@ def analyze_poly_sharded(
                             preferred_element_type=jnp.float32)
             frz = _frame_slab(slab_z, t2, hop, n_fft, 0)
             rms_ = jnp.sqrt(jnp.mean(frz * frz, axis=-1))
-            bins_v, sals_v = peel_voices(cqt_p, supp, max_voices)
+            bins_v, sals_v = peel_voices(cqt_p, supp, subm, max_voices)
             return bins_v, sals_v, mel_p, rms_
 
         bins_v, sals_v, mel_p, rms_ = jax.vmap(tilefn)(slabs(y_s), slabs(y_z))
@@ -600,14 +603,17 @@ def analyze_poly_sharded(
             mel_db.reshape(b * k_local, t2, n_mels))[:, sl]
 
         gp = jnp.repeat(sal_glob, k_local)
-        roll, conf = jax.vmap(
+        roll, _conf, salience = jax.vmap(
             lambda bn, sv, g: roll_and_confidence(
                 bn, sv, bins_per_octave, global_peak=g)
         )(bins_v.reshape(b * k_local, t2, -1)[:, sl],
           sals_v.reshape(b * k_local, t2, -1)[:, sl], gp)
 
+        # salience, not confidence, goes over the wire: confidence
+        # normalizes by the per-frame max, which the host reconstructs
+        # exactly (core.poly.roll_and_confidence docstring)
         packed = jnp.concatenate(
-            [roll.astype(jnp.float32), conf,
+            [roll.astype(jnp.float32), salience,
              rms_.reshape(b * k_local, t2)[:, sl, None],
              onset[..., None]], axis=-1)
         assert packed.shape[-1] == 2 * MIDI_BINS + 2
@@ -637,7 +643,8 @@ def run_analyze_poly_turbo(
 ) -> Dict[str, np.ndarray]:
     """Sharded polyphonic analyze: tile over the mesh time axis (and tracks
     over the data axis) and stitch tile interiors.  Output schema matches
-    AegisPolyEngine.analyze: {roll, confidence, rms, onset_env}, batched
+    AegisPolyEngine.analyze: {roll, confidence, salience, rms, onset_env},
+    batched
     along axis 0 when ``ys`` is 2-D."""
     from aegis_tpu.core.poly import MIDI_BINS
 
@@ -678,9 +685,12 @@ def run_analyze_poly_turbo(
     buf = np.array(packed)
     buf = buf.reshape(buf.shape[0], -1, buf.shape[-1])[:, :true_frames]
     m = MIDI_BINS
+    salience = buf[:, :, m: 2 * m]
     out = {
         "roll": buf[:, :, :m] > 0.5,
-        "confidence": buf[:, :, m: 2 * m],
+        "confidence": salience / np.maximum(
+            salience.max(axis=2, keepdims=True), 1e-10),
+        "salience": salience,
         "rms": buf[:, :, 2 * m].astype(np.float64),
         "onset_env": buf[:, :, 2 * m + 1],
     }

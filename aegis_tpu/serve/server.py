@@ -186,14 +186,22 @@ class AegisServer:
                                  self.poly_engine.sr,
                                  self.poly_engine.hop_length)
         buf = io.BytesIO()
+        # duration/merge/refinement knobs pass through ONLY when the client
+        # sent them: the engine's defaults differ by mode (onset-refined
+        # uses 100/120 ms; the plain segmentation 60/40 ms) and a hard
+        # server default would pin the wrong mode's numbers
+        tuning = {name: coerce(query, name, None, float)
+                  for name in ("min_note_duration_ms", "sustain_ms",
+                               "sal_ratio", "rise_db", "silence_db",
+                               "birth_tol_ms", "snap_back_ms", "decay_frac")
+                  if name in query}
         events = self.poly_engine.extract_events(
             sess["poly_analysis"], buf,
             confidence_threshold=coerce(query, "confidence_threshold", 0.5),
-            min_note_duration_ms=coerce(query, "min_note_duration_ms", 60),
-            sustain_ms=coerce(query, "sustain_ms", 40),
             use_onsets=coerce(query, "use_onsets", True, bool),
             midi_program=coerce(query, "midi_program", 25),
             bpm=bpm or None,
+            **tuning,
         )
         midi_data = buf.getvalue()
         # sessions.get returns the live dict; mutate in place (same pattern

@@ -169,3 +169,37 @@ def generate_bench_track(duration: float = 60.0, sr: int = 22050,
     truth = [dict(e, end=min(e["end"], duration)) for e in truth
              if e["start"] < duration]
     return y, truth
+
+
+_CHORD_PROG = [([48, 52, 55], 0.9), ([53, 57], 0.7), ([55, 59, 62], 0.8),
+               ([57], 0.6), ([57, 60, 64], 0.9)]
+
+
+def generate_chord_progression(seed: int = 7, sr: int = 22050,
+                               prog=None) -> Tuple[np.ndarray, List[dict]]:
+    """A plucked chord progression (Karplus-Strong voices summed per chord)
+    with exact note-event ground truth — the polyphonic engine's truth
+    clip family (driver bench config 4 has no reference implementation, so
+    generator truth is its accuracy anchor; tests/test_poly_truth.py).
+
+    Includes a repeated-pitch chord boundary (57 -> 57+60+64) that defeats
+    pitch-only segmentation, a two-voice and three three-voice chords, and
+    per-seed random string rolloff/detune from karplus_strong's rng."""
+    rng = np.random.default_rng(seed)
+    prog = prog or _CHORD_PROG
+    gap = np.zeros(int(0.15 * sr), np.float32)
+    pieces, truth, pos = [gap], [], len(gap)
+    for midis, dur in prog:
+        n = int(sr * dur)
+        y = np.zeros(n, np.float32)
+        for m in midis:
+            f = 440.0 * 2 ** ((m - 69) / 12)
+            y[:n] += karplus_strong(f, dur, sr, rng=rng)[:n]
+            truth.append({"note": m, "start": pos / sr,
+                          "end": (pos + n) / sr})
+        pieces.append(y)
+        pos += n
+        pieces.append(gap)
+        pos += len(gap)
+    y = np.concatenate(pieces)
+    return (y / np.max(np.abs(y)) * 0.85).astype(np.float32), truth

@@ -133,6 +133,25 @@ def validate(threshold: float = 0.99, include_bench: bool = True,
                          f"{results[name].get('neural_truth_f1', float('nan')):.4f}")
             print(f"# {name}@{sr}: v1={f1_v1:.4f} fin={f1_fin:.4f} "
                   f"neural={nf:.4f}{extra}", file=sys.stderr)
+
+    # polyphonic engine vs generator ground truth (GATING: the poly
+    # pipeline has no librosa analogue — the reference is monophonic — so
+    # chord-progression truth IS its correctness contract; the salience
+    # peel runs Precision.HIGHEST matmuls specifically so on-chip picks
+    # match the CPU-measured 1.0 seeds, tests/test_poly_truth.py)
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.tools.signal_gen import generate_chord_progression
+
+    poly_eng = AegisPolyEngine(sample_rate=22050)
+    for seed in (1, 3, 7):
+        y, truth = generate_chord_progression(seed)
+        events = poly_eng.extract_events(poly_eng.analyze(y))
+        pf1 = note_event_f1(truth, events_to_seconds(events, 22050, hop))["f1"]
+        results[f"chord_progression_s{seed}"] = {"poly_truth_f1": round(pf1, 4)}
+        ok = ok and pf1 >= threshold
+        if not quiet:
+            print(f"# chord_progression_s{seed}@22050: poly_truth={pf1:.4f}",
+                  file=sys.stderr)
     return {"pass": ok, "threshold": threshold, "clips": results}
 
 

@@ -1,0 +1,174 @@
+"""Polyphonic engine: device/oracle parity + generator ground-truth F1.
+
+The polyphonic pipeline is a beyond-reference component (the reference is
+monophonic), so its correctness anchors are (a) the NumPy oracle
+ref/poly_ref.py in exact parity with the device peel, and (b) event-level
+F1 against the Karplus-Strong chord-progression generator's known truth —
+the same two-sided strategy as the monophonic engines (VALIDATION.md).
+"""
+
+import numpy as np
+import pytest
+
+from aegis_tpu.tools.signal_gen import generate_chord_progression
+
+SR, HOP, NFFT, NBINS = 22050, 512, 2048, 84
+
+
+def chord_progression_clip(seed, sr=SR):
+    """The shared truth-clip family (five chords, repeated-pitch boundary;
+    prototype measured: unrefined roll segmentation mean F1 0.34 over 20
+    seeds; refined pipeline 0.99 with precision 1.0 on every seed)."""
+    return generate_chord_progression(seed, sr)
+
+
+# ------------------------------------------------------------------ parity
+
+def test_peel_parity_random():
+    """Device peel == NumPy oracle on random CQT power."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.poly import (harmonic_subtraction_matrix,
+                                     harmonic_suppression_matrix,
+                                     peel_voices, roll_and_confidence)
+    from aegis_tpu.ref.poly_ref import (peel_voices_ref,
+                                        roll_and_confidence_ref)
+
+    rng = np.random.default_rng(0)
+    cqt = (rng.random((97, NBINS), np.float32) ** 2) * 10.0
+    supp = harmonic_suppression_matrix(NBINS)
+    sub = harmonic_subtraction_matrix(NBINS)
+
+    b_d, s_d = peel_voices(jnp.asarray(cqt), jnp.asarray(supp),
+                           jnp.asarray(sub))
+    b_r, s_r = peel_voices_ref(cqt, supp, sub)
+    np.testing.assert_array_equal(np.asarray(b_d), b_r)
+    np.testing.assert_allclose(np.asarray(s_d), s_r, rtol=2e-4, atol=1e-5)
+
+    r_d, c_d, a_d = roll_and_confidence(jnp.asarray(b_d), jnp.asarray(s_d))
+    r_r, c_r, a_r = roll_and_confidence_ref(np.asarray(b_d), np.asarray(s_d))
+    np.testing.assert_array_equal(np.asarray(r_d), r_r)
+    np.testing.assert_allclose(np.asarray(c_d), c_r, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_d), a_r, rtol=1e-5, atol=1e-6)
+
+
+def test_peel_parity_chord_clip():
+    """Device peel == oracle on real plucked-chord CQT (argmax ties and the
+    sub-harmonic redirects must agree on realistic, near-tied saliences)."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.cqt import pseudo_cqt_t
+    from aegis_tpu.core.poly import (harmonic_subtraction_matrix,
+                                     harmonic_suppression_matrix,
+                                     peel_voices)
+    from aegis_tpu.ref.poly_ref import peel_voices_ref
+
+    y, _ = chord_progression_clip(7)
+    cqt = np.asarray(pseudo_cqt_t(jnp.asarray(y), SR, NFFT, HOP, NBINS, 12))
+    supp = harmonic_suppression_matrix(NBINS)
+    sub = harmonic_subtraction_matrix(NBINS)
+    b_d, s_d = peel_voices(jnp.asarray(cqt), jnp.asarray(supp),
+                           jnp.asarray(sub))
+    b_r, s_r = peel_voices_ref(cqt, supp, sub)
+    # a genuine salience tie may legitimately break differently; demand
+    # near-total agreement rather than bitwise equality on real audio
+    agree = float(np.mean(np.asarray(b_d) == b_r))
+    assert agree >= 0.999, f"peel pick agreement {agree}"
+    np.testing.assert_allclose(np.asarray(s_d), s_r, rtol=5e-4, atol=1e-4)
+
+
+def test_subtraction_matrix_flat_rim():
+    from aegis_tpu.core.poly import (harmonic_subtraction_matrix,
+                                     harmonic_suppression_matrix)
+
+    supp = harmonic_suppression_matrix(NBINS)
+    sub = harmonic_subtraction_matrix(NBINS)
+    assert (sub >= supp - 1e-9).all()
+    # the fundamental's +-1 rim carries FULL weight (not triangular 50%)
+    row = sub[40]
+    assert row[39] == row[40] == row[41] == 1.0
+
+
+# ------------------------------------------------------------- truth gates
+
+@pytest.mark.parametrize("seed", [1, 3, 7])
+def test_poly_truth_f1_perfect_seeds(seed):
+    """End-to-end refined pipeline scores F1 = 1.0 against generator truth
+    on chord-progression clips (CPU execution is deterministic)."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    y, truth = chord_progression_clip(seed)
+    eng = AegisPolyEngine(sample_rate=SR)
+    analysis = eng.analyze(y)
+    events = eng.extract_events(analysis)
+    r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
+    assert r["f1"] == 1.0, (seed, r)
+
+
+def test_poly_truth_f1_sweep():
+    """Mean F1 >= 0.97 and precision == 1.0 over ten random voicing seeds —
+    the aggregate quality the refinement was measured at (overfit guard:
+    no seed may fall below 0.85)."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    eng = AegisPolyEngine(sample_rate=SR)
+    f1s, precs = [], []
+    for seed in range(1, 11):
+        y, truth = chord_progression_clip(seed)
+        events = eng.extract_events(eng.analyze(y))
+        r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
+        f1s.append(r["f1"])
+        precs.append(r["precision"])
+    assert np.mean(f1s) >= 0.97, f1s
+    assert min(f1s) >= 0.85, f1s
+    assert min(precs) == 1.0, precs
+
+
+def test_poly_refined_beats_unrefined():
+    """The refinement must strictly dominate the plain segmentation on the
+    design clip family."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    eng = AegisPolyEngine(sample_rate=SR)
+    y, truth = chord_progression_clip(7)
+    analysis = eng.analyze(y)
+    refined = note_event_f1(truth, events_to_seconds(
+        eng.extract_events(analysis), SR, HOP))
+    plain = note_event_f1(truth, events_to_seconds(
+        eng.extract_events(analysis, use_onsets=False), SR, HOP))
+    assert refined["f1"] > plain["f1"], (refined, plain)
+    assert refined["f1"] == 1.0
+
+
+def test_confidence_reconstruction():
+    """The packed buffer ships salience only; the facade's confidence must
+    equal the device's own conf plane exactly."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.poly import analyze_poly_program
+    from aegis_tpu.engine.poly import AegisPolyEngine
+
+    from aegis_tpu.core.analyze import bucket_length
+
+    y, _ = chord_progression_clip(2)
+    eng = AegisPolyEngine(sample_rate=SR)
+    analysis = eng.analyze(y)
+    T = analysis["roll"].shape[0]
+    # same padded input as the engine's packed dispatch (tail frames see
+    # the bucket padding) — but float32, so allow int16 transport noise
+    y_pad = np.pad(y, (0, bucket_length(len(y)) - len(y)))
+    out = analyze_poly_program(jnp.asarray(y_pad), SR, NFFT, HOP, NBINS,
+                               12, 6)
+    sal = np.asarray(out["salience"])[:T]
+    conf = sal / np.maximum(sal.max(axis=1, keepdims=True), 1e-10)
+    np.testing.assert_allclose(analysis["confidence"], conf,
+                               rtol=0.02, atol=0.02)
+    # and the reconstruction identity itself is exact on the dict program
+    np.testing.assert_allclose(
+        np.asarray(out["confidence"]),
+        np.asarray(out["salience"]) / np.maximum(
+            np.asarray(out["salience"]).max(axis=1, keepdims=True), 1e-10),
+        rtol=1e-6, atol=1e-7)
