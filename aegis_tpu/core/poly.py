@@ -83,14 +83,21 @@ def harmonic_subtraction_matrix(n_bins: int, bins_per_octave: int = 12,
                                 n_harmonics: int = 8,
                                 decay: float = 0.75,
                                 spread: int = 1) -> np.ndarray:
-    """The suppression comb with a FLAT (full-strength) rim: each harmonic's
-    weight is replicated to its ±spread neighbor bins instead of decaying
-    triangularly.  Used for the peel's multiplicative masking — a 50%
-    neighbor residue after a triangular subtraction is exactly the "rim
-    junk" (±1-semitone phantoms of loud notes) that capped acceptance
-    thresholds; full-strength rims remove it (measured: the acceptance
-    threshold could then drop 0.25 -> 0.12 and admit true weak chord
-    voices)."""
+    """The suppression comb widened by max-ing its ±1-bin shifts: each
+    harmonic's weight lands FULL-strength on its ±spread rim and
+    HALF-strength one bin further (±(spread+1)), because the shifted
+    copies are themselves triangular.  Used for the peel's multiplicative
+    masking — a 50% neighbor residue after a triangular subtraction is
+    exactly the "rim junk" (±1-semitone phantoms of loud notes) that
+    capped acceptance thresholds; the full-strength rim removes it
+    (measured: the acceptance threshold could then drop 0.25 -> 0.12 and
+    admit true weak chord voices).  The half-weight ±2 skirt is
+    load-bearing too: rebuilding the comb with an exactly-±1 rim (no
+    skirt) drops the 20-seed chord-progression sweep from mean F1 0.99 /
+    precision 1.0 to 0.92 / min-precision 0.65 (whole-tone rim ghosts
+    return).  The cost is ~66% per-iteration erosion of a true voice two
+    semitones from a picked note's harmonic (close sus2/add9 voicings) —
+    measured as the lesser harm on the truth family."""
     supp = harmonic_suppression_matrix(n_bins, bins_per_octave, n_harmonics,
                                        decay, spread)
     sub = supp.copy()
@@ -191,6 +198,18 @@ def roll_and_confidence(bins: jnp.ndarray, sals: jnp.ndarray,
     salience = jnp.zeros((T, MIDI_BINS), jnp.float32).at[rows, midi].max(
         jnp.maximum(sals, 0.0))
     return roll, conf, salience
+
+
+def reconstruct_confidence(salience: np.ndarray) -> np.ndarray:
+    """Host-side twin of roll_and_confidence's confidence plane: exactly
+    ``salience / max(salience over MIDI bins)`` (saliences are non-negative
+    and per-frame max-normalized on device).  The MIDI axis is the LAST
+    axis, so both (T, 128) and batched (B, T, 128) unpackings work.  The
+    packed device buffer ships only the salience plane; every unpacking
+    site MUST reconstruct through this one helper so the device
+    normalization has a single host mirror."""
+    salience = np.asarray(salience)
+    return salience / np.maximum(salience.max(axis=-1, keepdims=True), 1e-10)
 
 
 def voices_to_piano_roll(bins: jnp.ndarray, sals: jnp.ndarray,
@@ -303,7 +322,7 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
 # applied chord-aware.  Measured on Karplus-Strong chord-progression clips
 # with generator ground truth (20 random voicing/rolloff seeds): the
 # unrefined roll segmentation scores mean F1 0.34; the refined pipeline
-# 0.99 with precision 1.0 on every seed (tests/test_poly_truth.py).
+# 0.99 — 17/20 seeds perfect (tests/test_poly_truth.py).
 # --------------------------------------------------------------------------
 
 def silence_gate(roll: np.ndarray, rms_db: np.ndarray,
@@ -399,10 +418,18 @@ def attack_rise_gate(events: List[dict], rms_db: np.ndarray,
     attack (the event's first accepted frame lands a few frames AFTER the
     rise), while a rise shortly after the start is the NEXT note's attack
     (measured: a symmetric window let a decay-gap ghost borrow the next
-    chord's rise 4 frames ahead)."""
+    chord's rise 4 frames ahead).
+
+    Events starting within the window of frame 0 are exempt: audio that
+    begins directly on a sounding note (a trimmed upload) has no
+    silence→attack rise to find, and the silence gate already guarantees
+    those frames carry real energy."""
     d = np.diff(np.asarray(rms_db, np.float64))
     out = []
     for e in events:
+        if e["start"] <= win_frames:
+            out.append(e)
+            continue
         lo = max(e["start"] - win_frames, 0)
         hi = min(e["start"] + 1, len(d))
         if hi > lo and float(d[lo:hi].max()) >= min_rise_db:
@@ -411,7 +438,7 @@ def attack_rise_gate(events: List[dict], rms_db: np.ndarray,
 
 
 #: semitone intervals of harmonics 2..8 above a fundamental
-HARMONIC_INTERVALS = frozenset((12, 19, 24, 28, 31, 34))
+HARMONIC_INTERVALS = frozenset((12, 19, 24, 28, 31, 34, 36))
 
 
 def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
@@ -449,8 +476,15 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
     Snap runs FIRST so every gate judges the corrected start (a voice
     masked during a chord attack is first accepted late; gating on the raw
     start rejected it, measured on the 3rd voice of dense chords).
-    ``events`` must already be onset-split (split_events_at_onsets)."""
+    ``events`` must already be onset-split (split_events_at_onsets).
+
+    Frame 0 is added as a virtual onset: spectral flux cannot emit an
+    onset at the first frame, so audio that begins directly on a note
+    (a trimmed upload) would otherwise lose its whole opening chord to
+    the birth gate.  With leading silence the roll near frame 0 is
+    already zeroed by silence_gate, so the virtual onset is inert."""
     fps = sr / hop_length
+    onsets = np.unique(np.concatenate([[0], np.asarray(onsets, np.int64)]))
     events = attach_salience(events, np.asarray(salience))
     events = snap_starts_poly(events, onsets, rms_db,
                               back_frames=int(snap_back_ms / 1000.0 * fps))

@@ -111,8 +111,7 @@ class AegisPolyEngine:
         return {
             "roll": buf[:, :m] > 0.5,
             # exact reconstruction, not shipped (packed-buffer docstring)
-            "confidence": salience / np.maximum(
-                salience.max(axis=1, keepdims=True), 1e-10),
+            "confidence": P.reconstruct_confidence(salience),
             "salience": salience,
             "rms": buf[:, 2 * m].astype(np.float64),
             "onset_env": buf[:, 2 * m + 1],
@@ -129,17 +128,19 @@ class AegisPolyEngine:
         refinement — silence gate, onset re-attack split, chord-aware
         start snap, decay prune, onset birth + attack-rise gates,
         absolute-salience harmonic dedup (core.poly.refine_poly_events;
-        measured mean truth F1 0.34 -> 0.99, precision 1.0, on 20
-        chord-progression seeds).  ``use_onsets=False`` is the plain
-        pitch-only segmentation."""
+        measured mean truth F1 0.34 -> 0.99 over 20 chord-progression
+        seeds, precision 1.0 on the gated seeds 1-10).
+        ``use_onsets=False`` is the plain pitch-only segmentation."""
         from aegis_tpu.ref.dsp_ref import amplitude_to_db
 
         use_onsets = kwargs.get("use_onsets", True)
         # refinement replaces duration/gap micro-filtering with explicit
-        # attack physics, so it prefers a longer merge + min-duration
-        # (splits are put back by the onset pass)
-        mindur = kwargs.get("min_note_duration_ms",
-                            100.0 if use_onsets else 60.0)
+        # attack physics, so it prefers a longer sustain merge (splits are
+        # put back by the onset pass); min-duration stays 60 ms in both
+        # modes — measured identical on the 20-seed truth sweep, and 100 ms
+        # made sub-4-frame notes (fast arpeggios) undetectable by
+        # construction
+        mindur = kwargs.get("min_note_duration_ms", 60.0)
         sustain = kwargs.get("sustain_ms", 120.0 if use_onsets else 40.0)
         roll = analysis["roll"]
         rms_db = amplitude_to_db(np.asarray(analysis["rms"]))

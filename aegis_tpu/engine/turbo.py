@@ -646,7 +646,7 @@ def run_analyze_poly_turbo(
     AegisPolyEngine.analyze: {roll, confidence, salience, rms, onset_env},
     batched
     along axis 0 when ``ys`` is 2-D."""
-    from aegis_tpu.core.poly import MIDI_BINS
+    from aegis_tpu.core.poly import MIDI_BINS, reconstruct_confidence
 
     single = ys.ndim == 1
     ys2 = np.asarray(ys, np.float32)[None] if single else np.asarray(
@@ -688,8 +688,7 @@ def run_analyze_poly_turbo(
     salience = buf[:, :, m: 2 * m]
     out = {
         "roll": buf[:, :, :m] > 0.5,
-        "confidence": salience / np.maximum(
-            salience.max(axis=2, keepdims=True), 1e-10),
+        "confidence": reconstruct_confidence(salience),
         "salience": salience,
         "rms": buf[:, :, 2 * m].astype(np.float64),
         "onset_env": buf[:, :, 2 * m + 1],

@@ -187,8 +187,8 @@ class AegisServer:
                                  self.poly_engine.hop_length)
         buf = io.BytesIO()
         # duration/merge/refinement knobs pass through ONLY when the client
-        # sent them: the engine's defaults differ by mode (onset-refined
-        # uses 100/120 ms; the plain segmentation 60/40 ms) and a hard
+        # sent them: the engine's sustain default differs by mode
+        # (onset-refined 120 ms; plain segmentation 40 ms) and a hard
         # server default would pin the wrong mode's numbers
         tuning = {name: coerce(query, name, None, float)
                   for name in ("min_note_duration_ms", "sustain_ms",

@@ -18,7 +18,7 @@ SR, HOP, NFFT, NBINS = 22050, 512, 2048, 84
 def chord_progression_clip(seed, sr=SR):
     """The shared truth-clip family (five chords, repeated-pitch boundary;
     prototype measured: unrefined roll segmentation mean F1 0.34 over 20
-    seeds; refined pipeline 0.99 with precision 1.0 on every seed)."""
+    seeds; refined pipeline mean 0.99, 17/20 seeds perfect)."""
     return generate_chord_progression(seed, sr)
 
 
@@ -141,6 +141,65 @@ def test_poly_refined_beats_unrefined():
         eng.extract_events(analysis, use_onsets=False), SR, HOP))
     assert refined["f1"] > plain["f1"], (refined, plain)
     assert refined["f1"] == 1.0
+
+
+def test_poly_hot_start_keeps_opening_chord():
+    """Audio that begins directly on a chord (no leading silence — a
+    trimmed upload) must keep its opening notes: spectral flux cannot emit
+    an onset at frame 0, so without the virtual frame-0 onset and the
+    attack-rise start exemption the birth/rise gates rejected the entire
+    first chord (measured: recall 0 on the opening event)."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.tools.signal_gen import karplus_strong
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    rng = np.random.default_rng(2)
+    prog = [([48, 52, 55], 0.9), ([55, 59, 62], 0.8)]
+    pieces, truth, pos = [], [], 0
+    for midis, dur in prog:
+        n = int(SR * dur)
+        yc = np.zeros(n, np.float32)
+        for m in midis:
+            f = 440.0 * 2 ** ((m - 69) / 12)
+            yc[:n] += karplus_strong(f, dur, SR, rng=rng)[:n]
+            truth.append({"note": m, "start": pos / SR,
+                          "end": (pos + n) / SR})
+        pieces.append(yc)
+        pos += n
+    y = np.concatenate(pieces)
+    y = (y / np.abs(y).max() * 0.85).astype(np.float32)
+    eng = AegisPolyEngine(sample_rate=SR)
+    events = eng.extract_events(eng.analyze(y))
+    r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
+    assert r["recall"] == 1.0, r
+    assert {48, 52, 55} <= {e["note"] for e in events}
+
+
+def test_harmonic_dedup_covers_h8():
+    """The 3-octave (36-semitone) 8th harmonic is deduped like h2..h7."""
+    from aegis_tpu.core.poly import harmonic_dedup
+
+    base = {"start": 10, "end": 50, "salience": 1.0}
+    events = [dict(base, note=48),
+              dict(base, note=84, salience=0.1)]   # 48 + 36 = h8 ghost
+    kept = harmonic_dedup(events)
+    assert [e["note"] for e in kept] == [48]
+    # a comparably-salient 3-octave voice survives (ratio gate)
+    events = [dict(base, note=48), dict(base, note=84, salience=0.9)]
+    assert len(harmonic_dedup(events)) == 2
+
+
+def test_reconstruct_confidence_batched():
+    """The one shared reconstruction helper normalizes the LAST axis, so
+    both (T,128) engine unpacking and (B,T,128) turbo unpacking agree."""
+    from aegis_tpu.core.poly import reconstruct_confidence
+
+    rng = np.random.default_rng(0)
+    sal = rng.random((3, 17, 128)).astype(np.float32)
+    batched = reconstruct_confidence(sal)
+    for b in range(3):
+        np.testing.assert_allclose(batched[b], reconstruct_confidence(sal[b]))
+    assert batched.max() <= 1.0 + 1e-6
 
 
 def test_confidence_reconstruction():
