@@ -143,6 +143,31 @@ def test_poly_refined_beats_unrefined():
     assert refined["f1"] == 1.0
 
 
+def test_poly_octave_family_floor():
+    """Octave-doubled voicings are the peel's KNOWN-WEAK family: comb
+    masking erases the doubled voice's fundamental, so recall is bounded
+    (measured mean F1 0.67; three masking alternatives all traded the
+    standard family down to ~0.93 — full data in VALIDATION.md).  This
+    pins the measured floor so a future attempt at octave recovery is
+    judged against BOTH families."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    eng = AegisPolyEngine(sample_rate=SR)
+    progs = [
+        [([40, 47, 52], 0.9), ([45, 52, 57], 0.8), ([48, 55, 60], 0.9)],
+        [([52, 64], 0.8), ([48, 60], 0.8), ([55, 67], 0.8)],
+    ]
+    f1s = []
+    for prog in progs:
+        for seed in (1, 3):
+            y, truth = generate_chord_progression(seed, prog=prog)
+            events = eng.extract_events(eng.analyze(y))
+            r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
+            f1s.append(r["f1"])
+    assert np.mean(f1s) >= 0.55, f1s  # the honest, measured floor
+
+
 def test_poly_hot_start_keeps_opening_chord():
     """Audio that begins directly on a chord (no leading silence — a
     trimmed upload) must keep its opening notes: spectral flux cannot emit
