@@ -249,22 +249,54 @@ def analyze_poly_program_packed(y: jnp.ndarray, scale: jnp.ndarray,
                                 hop_length: int = 512, n_bins: int = 84,
                                 bins_per_octave: int = 12,
                                 max_voices: int = 6) -> jnp.ndarray:
-    """One packed (T, 2*MIDI_BINS + 2) buffer: [roll | salience | rms |
-    onset_env] — a tunneled backend pays ~25 ms PER device->host transfer,
-    so fetching the poly outputs separately cost more than the program
-    itself on short clips.  The confidence plane is NOT shipped: it equals
-    ``salience / max(salience, axis=1)`` exactly (roll_and_confidence
-    docstring), so the host reconstructs it instead of paying +50%
-    transfer.  ``y`` may be int16 PCM (half the upload bytes); ``scale``
-    dequantizes on device."""
-    out = analyze_poly_program(y.astype(jnp.float32) * scale, sr, n_fft,
-                               hop_length, n_bins, bins_per_octave,
-                               max_voices)
+    """One packed (T, 2*max_voices + 2) buffer of the peel's RAW VOICES:
+    [bins(V) | saliences(V) | rms | onset_env].
+
+    The tunneled backend pays ~25 ms PER device->host transfer and ~44 MB/s
+    bandwidth, so the poly program ships the peel's (T, V) voice picks
+    instead of materialized (T, 128) planes — 14 vs 258 columns at V=6, an
+    18x transport cut.  The host reconstructs roll/confidence/salience
+    EXACTLY through the NumPy oracle (ref.poly_ref.roll_and_confidence_ref
+    is the parity twin of the device roll_and_confidence; the acceptance
+    thresholds compare float32 values that arrive losslessly, and the
+    track-global salience peak is just max(sals)).  CQT bin indices are
+    ≤ n_bins < 2^24, exact in float32.  ``y`` may be int16 PCM (half the
+    upload bytes); ``scale`` dequantizes on device."""
+    yf = y.astype(jnp.float32) * scale
+    cqt = pseudo_cqt_t(yf, sr, n_fft, hop_length, n_bins, bins_per_octave)
+    supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
+    sub = jnp.asarray(harmonic_subtraction_matrix(n_bins, bins_per_octave))
+    bins, sals = peel_voices(cqt, supp, sub, max_voices)
+    rms_ = dsp.rms(yf, n_fft, hop_length)
+    mel = dsp.melspectrogram_t(yf, sr, n_fft, hop_length, 128)
+    onset_env = onset_strength_t(mel)
     return jnp.concatenate(
-        [out["roll"].astype(jnp.float32),
-         out["salience"].astype(jnp.float32),
-         out["rms"].astype(jnp.float32)[:, None],
-         out["onset_env"].astype(jnp.float32)[:, None]], axis=1)
+        [bins.astype(jnp.float32), sals.astype(jnp.float32),
+         rms_.astype(jnp.float32)[:, None],
+         onset_env.astype(jnp.float32)[:, None]], axis=1)
+
+
+def unpack_poly_voices(buf: np.ndarray, max_voices: int = 6,
+                       bins_per_octave: int = 12,
+                       global_peak: float | None = None) -> dict:
+    """Host twin of the packed layout: (T, 2V+2) rows -> the analysis dict
+    {roll, confidence, salience, rms, onset_env} via the oracle's
+    roll_and_confidence_ref (exact device parity, tests/test_poly_truth.py).
+
+    ``global_peak`` overrides the acceptance floor's reference (a streaming
+    caller passes the running maximum; None = max over this buffer, which
+    for a whole track equals the offline fused program exactly)."""
+    from aegis_tpu.ref.poly_ref import roll_and_confidence_ref
+
+    buf = np.asarray(buf)
+    V = max_voices
+    bins = buf[:, :V].astype(np.int32)
+    sals = buf[:, V: 2 * V].astype(np.float32)
+    roll, conf, salience = roll_and_confidence_ref(
+        bins, sals, bins_per_octave, global_peak=global_peak)
+    return {"roll": roll, "confidence": conf, "salience": salience,
+            "rms": buf[:, 2 * V].astype(np.float64),
+            "onset_env": buf[:, 2 * V + 1].astype(np.float64)}
 
 
 # --------------------------------------------------------------------------

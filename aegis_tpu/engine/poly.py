@@ -106,17 +106,14 @@ class AegisPolyEngine:
             self.hop_length,
             self.n_bins, self.bins_per_octave,
             self.max_voices))[:true_frames]
-        m = P.MIDI_BINS
-        salience = buf[:, m: 2 * m]
-        return {
-            "roll": buf[:, :m] > 0.5,
-            # exact reconstruction, not shipped (packed-buffer docstring)
-            "confidence": P.reconstruct_confidence(salience),
-            "salience": salience,
-            "rms": buf[:, 2 * m].astype(np.float64),
-            "onset_env": buf[:, 2 * m + 1],
-            "y": y,
-        }
+        # raw-voice transport (14 cols, not 258 planes); the roll/conf/
+        # salience planes reconstruct exactly through the oracle (the
+        # bucket-padding tail carries ~zero salience, so the global
+        # acceptance peak over true frames equals the padded device max)
+        out = P.unpack_poly_voices(buf, self.max_voices,
+                                   self.bins_per_octave)
+        out["y"] = y
+        return out
 
     # ------------------------------------------------------------- phase two
 

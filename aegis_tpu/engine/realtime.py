@@ -196,3 +196,219 @@ class StreamingTranscriber:
             voiced_flag=rows["voiced_flag"], active_probs=rows["voiced_probs"],
             rms=rows["rms"], sr=self.audio.sample_rate,
             hop_length=self.audio.hop_length, **self.extract_kwargs)
+
+
+# --------------------------------------------------------------------------
+# Polyphonic live streaming
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _poly_tile_program(sr: int, n_fft: int, hop: int, n_mels: int,
+                       n_bins: int, bins_per_octave: int, max_voices: int,
+                       tile: int, halo: int):
+    """One jitted poly tile program per config: (STFT slab, RMS slab,
+    running mel ref) -> raw-voice rows [bins|sals|rms|onset] + updated ref.
+
+    Mirrors engine.turbo.analyze_poly_sharded's per-tile work with the
+    realtime adaptations of the v1 _tile_program: the onset envelope's dB
+    reference is the RUNNING mel-power maximum (a live source cannot see
+    the future; the flux difference cancels the reference except at the
+    -80 dB floor), while the voice-acceptance global peak is applied on
+    HOST at poll time over everything received so far — so a finalized
+    stream reproduces the offline fused program's roll exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.cqt import onset_from_db
+    from aegis_tpu.core.filters import (cqt_filterbank, dft_matrices,
+                                        hann_window, mel_filterbank)
+    from aegis_tpu.core.poly import (harmonic_subtraction_matrix,
+                                     harmonic_suppression_matrix,
+                                     peel_voices)
+    from aegis_tpu.engine.turbo import _frame_slab
+
+    t2 = tile + 2 * halo
+    window = jnp.asarray(hann_window(n_fft))
+    cos_m, sin_m = dft_matrices(n_fft)
+    cqt_fb = jnp.asarray(cqt_filterbank(sr, n_fft, n_bins,
+                                        bins_per_octave).T)
+    mel_fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T)
+    supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
+    subm = jnp.asarray(harmonic_subtraction_matrix(n_bins, bins_per_octave))
+
+    @jax.jit
+    def program(slab16_s, slab16_z, scale, ref_power):
+        y_s = slab16_s.astype(jnp.float32) * scale
+        y_z = slab16_z.astype(jnp.float32) * scale
+        fr = _frame_slab(y_s, t2, hop, n_fft, 0) * window[None, :]
+        re = jnp.dot(fr, jnp.asarray(cos_m),
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(fr, jnp.asarray(sin_m),
+                     preferred_element_type=jnp.float32)
+        power = re * re + im * im
+        cqt_p = jnp.dot(power, cqt_fb, preferred_element_type=jnp.float32)
+        mel_p = jnp.dot(power, mel_fb, preferred_element_type=jnp.float32)
+        frz = _frame_slab(y_z, t2, hop, n_fft, 0)
+        rms_ = jnp.sqrt(jnp.mean(frz * frz, axis=-1))
+        bins_v, sals_v = peel_voices(cqt_p, supp, subm, max_voices)
+
+        sl = slice(halo, halo + tile)
+        new_ref = jnp.maximum(ref_power, jnp.max(mel_p[sl]))
+        amin = 1e-10
+        mel_db = (10.0 * jnp.log10(jnp.maximum(amin, mel_p))
+                  - 10.0 * jnp.log10(jnp.maximum(amin, new_ref)))
+        mel_db = jnp.maximum(mel_db, -80.0)
+        onset = onset_from_db(mel_db)[sl]
+        rows = jnp.concatenate(
+            [bins_v[sl].astype(jnp.float32), sals_v[sl].astype(jnp.float32),
+             rms_[sl, None], onset[:, None]], axis=1)
+        return rows, new_ref
+
+    return program
+
+
+class StreamingPolyTranscriber:
+    """Online chunk-fed POLYPHONIC transcription (chords, live input).
+
+    Same feed/poll/finalize contract as StreamingTranscriber, built on the
+    raw-voice poly transport: the device ships (bins, saliences) per frame
+    and the host reconstructs the piano roll at poll time with the
+    global-so-far acceptance peak — retroactively exact, so
+    ``finalize()`` events equal the offline ``AegisPolyEngine`` pipeline
+    on the same audio (tested).  The first tile's left STFT context is the
+    track-head reflection (the offline pad convention), built once the
+    first samples arrive.
+    """
+
+    def __init__(self, sample_rate: int = 22050, n_fft: int = 2048,
+                 hop_length: int = 512, n_bins: int = 84,
+                 bins_per_octave: int = 12, max_voices: int = 6,
+                 n_mels: int = 128,
+                 tile_frames: int = 64, halo_frames: int = 8,
+                 **extract_kwargs):
+        from aegis_tpu.engine.poly import AegisPolyEngine
+
+        self.sr, self.n_fft, self.hop = sample_rate, n_fft, hop_length
+        self.n_bins, self.bpo = n_bins, bins_per_octave
+        self.max_voices, self.n_mels = max_voices, n_mels
+        self.tile, self.halo = tile_frames, halo_frames
+        self.extract_kwargs = extract_kwargs
+        self._engine = AegisPolyEngine(sample_rate=sample_rate, n_fft=n_fft,
+                                       hop_length=hop_length, n_bins=n_bins,
+                                       bins_per_octave=bins_per_octave,
+                                       max_voices=max_voices)
+        self._ctx = halo_frames * hop_length + n_fft // 2
+        self._tile_samp = tile_frames * hop_length
+        self._buf = np.zeros(0, np.float32)   # raw samples, trimmed
+        self._buf_off = 0                     # absolute index of _buf[0]
+        self._tile_idx = 0
+        self._rows: List[np.ndarray] = []     # per-tile (tile, 2V+2)
+        self._ref_power = 0.0
+        self._n_fed = 0
+
+    # ------------------------------------------------------------------ props
+
+    @property
+    def lookahead_s(self) -> float:
+        return (self._tile_samp + self._ctx) / float(self.sr)
+
+    @property
+    def frames_analyzed(self) -> int:
+        return len(self._rows) * self.tile
+
+    # ------------------------------------------------------------------ feed
+
+    def feed(self, chunk: np.ndarray) -> int:
+        """Append PCM samples; analyzes every tile whose right halo is
+        complete.  Returns the number of tiles analyzed by this call."""
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, chunk])
+        self._n_fed += len(chunk)
+        done = 0
+        while True:
+            start = self._tile_idx * self._tile_samp
+            if self._buf_off + len(self._buf) < start + self._tile_samp \
+                    + self._ctx:
+                break
+            self._run_tile(start)
+            self._tile_idx += 1
+            done += 1
+            # trim: the next tile needs samples from (its start - ctx)
+            keep_from = self._tile_idx * self._tile_samp - self._ctx
+            drop = max(keep_from - self._buf_off, 0)
+            if drop:
+                self._buf = self._buf[drop:]
+                self._buf_off += drop
+        return done
+
+    def _run_tile(self, start: int) -> None:
+        import jax.numpy as jnp
+
+        from aegis_tpu.core.analyze import quantize_pcm16
+
+        core = self._buf[start - self._buf_off:
+                         start - self._buf_off + self._tile_samp + self._ctx]
+        if self._tile_idx == 0:
+            # track-head left context: reflection for STFT frames (the
+            # offline frame_signal pad convention), zeros for RMS frames
+            m = min(self.n_fft // 2, max(len(core) - 1, 0))
+            refl = np.zeros(self._ctx, np.float32)
+            if m:
+                refl[self._ctx - m:] = core[m:0:-1]
+            left_s, left_z = refl, np.zeros(self._ctx, np.float32)
+        else:
+            left = self._buf[start - self._ctx - self._buf_off:
+                             start - self._buf_off]
+            left_s = left_z = left
+        slab_s = np.concatenate([left_s, core])
+        slab_z = np.concatenate([left_z, core])
+        program = _poly_tile_program(self.sr, self.n_fft, self.hop,
+                                     self.n_mels, self.n_bins, self.bpo,
+                                     self.max_voices, self.tile, self.halo)
+        s16, sc = quantize_pcm16(slab_s)
+        # same int16 grid for both slabs (left pads are zeros or copies of
+        # the same samples, so one scale covers both exactly)
+        z16 = np.round(slab_z / sc).astype(np.int16) if sc else \
+            np.zeros_like(slab_z, np.int16)
+        rows, new_ref = program(jnp.asarray(s16), jnp.asarray(z16),
+                                jnp.float32(sc), jnp.float32(self._ref_power))
+        self._rows.append(np.asarray(rows))
+        self._ref_power = float(new_ref)
+
+    # ------------------------------------------------------------------ read
+
+    def _analysis(self, n_frames: Optional[int] = None) -> Optional[Dict]:
+        from aegis_tpu.core.poly import unpack_poly_voices
+
+        if not self._rows:
+            return None
+        buf = np.concatenate(self._rows, axis=0)
+        if n_frames is not None:
+            buf = buf[:n_frames]
+        out = unpack_poly_voices(buf, self.max_voices, self.bpo)
+        out["onset_env"][0] = 0.0  # first-frame convention (lag pad)
+        return out
+
+    def poll_events(self) -> List[dict]:
+        """Events over everything analyzed so far (live view)."""
+        analysis = self._analysis()
+        if analysis is None:
+            return []
+        return self._engine.extract_events(analysis, **self.extract_kwargs)
+
+    def finalize(self, output_mid=None, **kwargs) -> List[dict]:
+        """Flush the buffered tail (silence padding, the offline trailing
+        convention) and return the final event list — identical to the
+        offline AegisPolyEngine events on the same audio."""
+        true_frames = 1 + self._n_fed // self.hop
+        remaining = true_frames - self.frames_analyzed
+        if remaining > 0:
+            need_tiles = -(-remaining // self.tile)
+            pad = need_tiles * self._tile_samp + 2 * self._ctx
+            self.feed(np.zeros(pad, np.float32))
+            self._n_fed -= pad  # padding is not audio
+        analysis = self._analysis(true_frames)
+        if analysis is None:
+            return []
+        return self._engine.extract_events(
+            analysis, output_mid, **{**self.extract_kwargs, **kwargs})

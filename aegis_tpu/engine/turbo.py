@@ -509,19 +509,21 @@ def analyze_poly_sharded(
     sharded over a (data, time) mesh with on-device halo exchange.
 
     Per-frame work (CQT projection, harmonic peeling, RMS, onset flux) is
-    local to a haloed tile; the only cross-tile state is two per-track
-    scalars — the global salience peak (voice acceptance floor) and the
-    mel-power dB reference (onset envelope) — each one ``pmax`` over the
-    time axis riding ICI.  Returns ONE packed
-    (B, n_tiles, tile, 2*MIDI_BINS + 2) buffer: [roll | salience | rms |
-    onset_env].
+    local to a haloed tile; the only cross-tile state is one per-track
+    scalar — the mel-power dB reference (onset envelope) — a ``pmax``
+    over the time axis riding ICI.  Returns ONE packed
+    (B, n_tiles, tile, 2*max_voices + 2) buffer of RAW VOICES:
+    [bins(V) | saliences(V) | rms | onset_env] — the host reconstructs
+    the roll/confidence/salience planes through the NumPy oracle with the
+    track-global acceptance peak (max over the shipped saliences), so no
+    salience pmax is needed on device and the transport shrinks 18x
+    (core.poly.analyze_poly_program_packed docstring).
     """
     from aegis_tpu.core.cqt import onset_from_db
     from aegis_tpu.core.filters import cqt_filterbank
-    from aegis_tpu.core.poly import (MIDI_BINS,
-                                     harmonic_subtraction_matrix,
+    from aegis_tpu.core.poly import (harmonic_subtraction_matrix,
                                      harmonic_suppression_matrix,
-                                     peel_voices, roll_and_confidence)
+                                     peel_voices)
 
     span = _slab_span(tile, halo, hop, n_fft)
     ctx = halo * hop + n_fft // 2
@@ -584,10 +586,8 @@ def analyze_poly_sharded(
         bins_v, sals_v, mel_p, rms_ = jax.vmap(tilefn)(slabs(y_s), slabs(y_z))
         sl = slice(halo, halo + tile)
 
-        # per-track global scalars over the time axis only (NOT data);
+        # per-track global scalar over the time axis only (NOT data);
         # vmapped outputs are (b*k_local, t2, ...)
-        sal_glob = jax.lax.pmax(
-            jnp.max(sals_v[:, sl].reshape(b, -1), axis=1), time_axis)
         mel_glob = jax.lax.pmax(
             jnp.max(mel_p[:, sl].reshape(b, -1), axis=1), time_axis)
 
@@ -602,21 +602,12 @@ def analyze_poly_sharded(
         onset = jax.vmap(onset_from_db)(
             mel_db.reshape(b * k_local, t2, n_mels))[:, sl]
 
-        gp = jnp.repeat(sal_glob, k_local)
-        roll, _conf, salience = jax.vmap(
-            lambda bn, sv, g: roll_and_confidence(
-                bn, sv, bins_per_octave, global_peak=g)
-        )(bins_v.reshape(b * k_local, t2, -1)[:, sl],
-          sals_v.reshape(b * k_local, t2, -1)[:, sl], gp)
-
-        # salience, not confidence, goes over the wire: confidence
-        # normalizes by the per-frame max, which the host reconstructs
-        # exactly (core.poly.roll_and_confidence docstring)
         packed = jnp.concatenate(
-            [roll.astype(jnp.float32), salience,
+            [bins_v.reshape(b * k_local, t2, -1)[:, sl].astype(jnp.float32),
+             sals_v.reshape(b * k_local, t2, -1)[:, sl].astype(jnp.float32),
              rms_.reshape(b * k_local, t2)[:, sl, None],
              onset[..., None]], axis=-1)
-        assert packed.shape[-1] == 2 * MIDI_BINS + 2
+        assert packed.shape[-1] == 2 * max_voices + 2
         return packed.reshape((b, k_local) + packed.shape[1:])
 
     from jax import shard_map
@@ -646,7 +637,7 @@ def run_analyze_poly_turbo(
     AegisPolyEngine.analyze: {roll, confidence, salience, rms, onset_env},
     batched
     along axis 0 when ``ys`` is 2-D."""
-    from aegis_tpu.core.poly import MIDI_BINS, reconstruct_confidence
+    from aegis_tpu.core.poly import unpack_poly_voices
 
     single = ys.ndim == 1
     ys2 = np.asarray(ys, np.float32)[None] if single else np.asarray(
@@ -684,15 +675,12 @@ def run_analyze_poly_turbo(
         mesh, n_tiles, tile, halo)
     buf = np.array(packed)
     buf = buf.reshape(buf.shape[0], -1, buf.shape[-1])[:, :true_frames]
-    m = MIDI_BINS
-    salience = buf[:, :, m: 2 * m]
-    out = {
-        "roll": buf[:, :, :m] > 0.5,
-        "confidence": reconstruct_confidence(salience),
-        "salience": salience,
-        "rms": buf[:, :, 2 * m].astype(np.float64),
-        "onset_env": buf[:, :, 2 * m + 1],
-    }
+    # per-track plane reconstruction through the oracle; the acceptance
+    # peak is per-track (max over that track's shipped saliences), matching
+    # the fused single-track program exactly
+    tracks = [unpack_poly_voices(buf[i], max_voices, bins_per_octave)
+              for i in range(buf.shape[0])]
+    out = {k: np.stack([t[k] for t in tracks]) for k in tracks[0]}
     out["onset_env"][:, 0] = 0.0  # first-frame convention (lag pad)
     if single:
         out = {k: v[0] for k, v in out.items()}

@@ -602,7 +602,9 @@ class AegisServer:
         @r.post("/api/refilter-poly/{sid}")
         def refilter_poly(sid, query, **kw):
             sess = self._sess(sid)
-            if sess.get("poly_analysis") is None:
+            if not isinstance(sess.get("poly_analysis"), dict):
+                # live poly stream sessions mark poly_analysis=True (for
+                # chord-aware tabs) but re-filter through /api/stream-events
                 raise HTTPError(400, "No polyphonic analysis. Run "
                                      "/api/analyze-poly first.")
             events, midi_data, bpm = self._extract_poly(sess, query)
@@ -700,21 +702,40 @@ class AegisServer:
 
         @r.post("/api/stream-start")
         def stream_start(query, **kw):
-            from aegis_tpu.engine.realtime import StreamingTranscriber
+            from aegis_tpu.engine.realtime import (StreamingPolyTranscriber,
+                                                   StreamingTranscriber)
 
             self.sessions.sweep()
-            rt = StreamingTranscriber(
-                audio=self.engine.audio,
-                tile_frames=coerce(query, "tile_frames", 64),
-                halo_frames=coerce(query, "halo_frames", 32),
-                rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
-                confidence_threshold=coerce(query, "confidence_threshold",
-                                            0.5),
-            )
+            engine_kind = query.get("engine", "v1")
+            if engine_kind not in ("v1", "poly"):
+                raise HTTPError(400, "engine must be 'v1' or 'poly'")
+            if engine_kind == "poly":
+                rt = StreamingPolyTranscriber(
+                    sample_rate=self.engine.sr,
+                    tile_frames=coerce(query, "tile_frames", 64),
+                    halo_frames=coerce(query, "halo_frames", 8),
+                    confidence_threshold=coerce(query, "confidence_threshold",
+                                                0.5),
+                )
+            else:
+                rt = StreamingTranscriber(
+                    audio=self.engine.audio,
+                    tile_frames=coerce(query, "tile_frames", 64),
+                    halo_frames=coerce(query, "halo_frames", 32),
+                    rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
+                    confidence_threshold=coerce(query, "confidence_threshold",
+                                                0.5),
+                )
             sid = self.sessions.create(file_name="<live>", raw_data=None,
                                        events=None, midi_data=None,
-                                       stream=rt)
+                                       stream=rt,
+                                       # poly sessions render chord-aware
+                                       # tabs (see /api/tabs)
+                                       poly_analysis=(
+                                           True if engine_kind == "poly"
+                                           else None))
             return json_response({"session_id": sid,
+                                  "engine": engine_kind,
                                   "sample_rate": self.engine.sr,
                                   "lookahead_s": round(rt.lookahead_s, 3)})
 

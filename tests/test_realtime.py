@@ -73,3 +73,54 @@ def test_streaming_incremental_tiles():
     assert rt.feed(np.zeros(tile_samp, np.float32)) == 0
     # completing the halo releases exactly one tile
     assert rt.feed(np.zeros(2 * ctx, np.float32)) == 1
+
+
+# -------------------------------------------------------------------- poly
+
+def test_streaming_poly_matches_offline():
+    """Polyphonic live streaming: finalize() reproduces the offline
+    AegisPolyEngine events exactly — the raw-voice transport lets the host
+    apply the TRUE global acceptance peak retroactively at poll time, so
+    unlike the v1 stream there is no causal-reference caveat (the onset
+    envelope's running dB ref cancels in the flux difference)."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.engine.realtime import StreamingPolyTranscriber
+    from aegis_tpu.tools.signal_gen import generate_chord_progression
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    y, truth = generate_chord_progression(7, sr=SR)
+    eng = AegisPolyEngine(sample_rate=SR)
+    offline = eng.extract_events(eng.analyze(y))
+
+    rt = StreamingPolyTranscriber(sample_rate=SR)
+    assert rt.poll_events() == []
+    assert 0 < rt.lookahead_s < 3.0
+    rng = np.random.default_rng(0)
+    pos = 0
+    while pos < len(y):  # arbitrary chunk sizes incl. tiny ones
+        n = int(rng.integers(100, 9000))
+        rt.feed(y[pos: pos + n])
+        pos += n
+    live = rt.poll_events()  # callable mid-stream
+    got = rt.finalize()
+    assert got and live
+    m = note_event_f1(events_to_seconds(offline, SR, 512),
+                      events_to_seconds(got, SR, 512))
+    assert m["f1"] == 1.0, (m, offline, got)
+    # and both match the generator's ground truth
+    assert note_event_f1(truth, events_to_seconds(got, SR, 512))["f1"] == 1.0
+
+
+def test_streaming_poly_buffer_bounded():
+    """The raw-sample buffer is trimmed as tiles complete — host memory is
+    bounded by (tile + 2*ctx) samples plus the per-frame output rows."""
+    from aegis_tpu.engine.realtime import StreamingPolyTranscriber
+
+    rt = StreamingPolyTranscriber(sample_rate=SR, tile_frames=16,
+                                  halo_frames=4)
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        rt.feed(rng.standard_normal(4096).astype(np.float32) * 0.2)
+    bound = rt._tile_samp + 2 * rt._ctx + 4096
+    assert len(rt._buf) <= bound, (len(rt._buf), bound)
+    assert rt.frames_analyzed > 0

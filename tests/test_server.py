@@ -490,3 +490,54 @@ def test_param_validation_400s(server_url):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert b"start_time" in e.read()
+
+
+def test_streaming_poly_endpoints(server_url):
+    """engine=poly live streaming over HTTP: chords come out, the MIDI is
+    returned, and chord-aware tabs render from the finalized session."""
+    import urllib.error
+
+    from aegis_tpu.tools.signal_gen import generate_chord_progression
+
+    status, _, data = _req(
+        f"{server_url}/api/stream-start?engine=poly", "POST")
+    j = json.loads(data)
+    sid = j["session_id"]
+    assert j["engine"] == "poly" and j["lookahead_s"] > 0
+
+    y, truth = generate_chord_progression(7, sr=SR)
+    pcm = np.round(np.clip(y, -1, 1) * 32767).astype("<i2").tobytes()
+    half = len(pcm) // 2 // 2 * 2
+    for i in range(2):
+        status, _, data = _req(f"{server_url}/api/stream-feed/{sid}", "POST",
+                               pcm[i * half: (i + 1) * half])
+        assert status == 200
+
+    status, _, data = _req(f"{server_url}/api/stream-events/{sid}")
+    assert status == 200  # live view callable mid-stream
+
+    status, _, data = _req(f"{server_url}/api/stream-finalize/{sid}", "POST")
+    j = json.loads(data)
+    truth_notes = {t["note"] for t in truth}
+    got_notes = {e["note"] for e in j["events"]}
+    assert got_notes & truth_notes, (got_notes, truth_notes)
+    assert j["midi_base64"]
+
+    # chord-aware tabs work on the live poly session
+    status, _, data = _req(f"{server_url}/api/tabs/{sid}")
+    assert status == 200
+    assert json.loads(data)["total_notes"] >= len(j["events"]) // 2
+
+    # re-filter endpoints reject live poly sessions cleanly
+    try:
+        _req(f"{server_url}/api/refilter-poly/{sid}", "POST")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    # bad engine name -> 400
+    try:
+        _req(f"{server_url}/api/stream-start?engine=nope", "POST")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
