@@ -32,20 +32,25 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
-from aegis_tpu.core.analyze import _V1_ROWS
+from aegis_tpu.core.analyze import _GTR_ROWS, _V1_ROWS
 
 
 @functools.lru_cache(maxsize=8)
 def _tile_program(audio: AudioConfig, pyin_cfg: PyinConfig,
-                  turbo: TurboConfig):
+                  turbo: TurboConfig, financial: bool = False,
+                  use_guitar_filters: bool = True):
     """One jitted program per config: slab + running dB ref -> packed rows
-    + updated ref."""
+    + updated ref.  ``financial=True`` adds the per-tile guitar-filter
+    rows (_GTR_ROWS: mute mask, sub-E2-corrected f0, distortion partial
+    sums) — the whole-track trend stack runs on HOST at poll time (the
+    CPU oracle; a device dispatch would recompile per stream length)."""
     import jax
     import jax.numpy as jnp
 
     from aegis_tpu.engine.turbo import _tile_analyze, _tile_mel_power
 
     tile, halo = turbo.tile_frames, turbo.halo_frames
+    rows_spec = _GTR_ROWS if financial else _V1_ROWS
 
     @functools.partial(jax.jit, static_argnames=())
     def program(slab16, scale, rake_sens, ref_power):
@@ -59,9 +64,11 @@ def _tile_program(audio: AudioConfig, pyin_cfg: PyinConfig,
         mel_db = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
         mel_db = mel_db - 10.0 * jnp.log10(jnp.maximum(amin, new_ref))
         mel_db = jnp.maximum(mel_db, -80.0)
-        out = _tile_analyze(slab, mel_db, rake_sens, audio, pyin_cfg, turbo)
+        out = _tile_analyze(slab, mel_db, rake_sens, audio, pyin_cfg, turbo,
+                            financial=financial,
+                            use_guitar_filters=use_guitar_filters)
         cols = [jnp.broadcast_to(out[k].astype(jnp.float32),
-                                 (tile,))[:, None] for k in _V1_ROWS]
+                                 (tile,))[:, None] for k in rows_spec]
         return jnp.concatenate(cols, axis=1), new_ref
 
     return program
@@ -81,12 +88,17 @@ class StreamingTranscriber:
                  pyin_cfg: Optional[PyinConfig] = None,
                  tile_frames: int = 64, halo_frames: int = 32,
                  rake_sensitivity: float = 0.6,
+                 financial: bool = False,
+                 use_guitar_filters: bool = True,
                  **extract_kwargs):
         self.audio = audio or AudioConfig()
         self.pyin_cfg = pyin_cfg or PyinConfig()
         self.turbo = TurboConfig(tile_frames=tile_frames,
                                  halo_frames=halo_frames)
         self.rake_sensitivity = rake_sensitivity
+        self.financial = financial
+        self.use_guitar_filters = use_guitar_filters
+        self._rows_spec = _GTR_ROWS if financial else _V1_ROWS
         self.extract_kwargs = extract_kwargs
 
         hop = self.audio.hop_length
@@ -134,7 +146,8 @@ class StreamingTranscriber:
 
         from aegis_tpu.core.analyze import quantize_pcm16
 
-        program = _tile_program(self.audio, self.pyin_cfg, self.turbo)
+        program = _tile_program(self.audio, self.pyin_cfg, self.turbo,
+                                self.financial, self.use_guitar_filters)
         slab16, scale = quantize_pcm16(slab)
         rows, new_ref = program(jnp.asarray(slab16), jnp.float32(scale),
                                 jnp.float32(self.rake_sensitivity),
@@ -145,35 +158,93 @@ class StreamingTranscriber:
     # ------------------------------------------------------------------ read
 
     def _stacked(self, n_frames: Optional[int] = None) -> Dict[str, np.ndarray]:
+        spec = self._rows_spec
         if not self._rows:
             empty = np.zeros(0)
-            return {k: (empty > 0 if k == "voiced_flag" else empty)
-                    for k in _V1_ROWS}
+            return {k: (empty > 0 if k in ("voiced_flag", "rake_mask",
+                                           "mute_mask") else empty)
+                    for k in spec}
         buf = np.concatenate(self._rows, axis=0)
         if n_frames is not None:
             buf = buf[:n_frames]
-        return {
-            "f0": buf[:, 0].astype(np.float64),
-            "voiced_flag": buf[:, 1] > 0.5,
-            "voiced_probs": buf[:, 2].astype(np.float64),
-            "rms": buf[:, 3].astype(np.float64),
-            "rake_mask": buf[:, 4] > 0.5,
-            "onset_env": buf[:, 5].astype(np.float64),
-        }
+        out = {}
+        for i, k in enumerate(spec):
+            col = buf[:, i]
+            out[k] = col > 0.5 if k in ("voiced_flag", "rake_mask",
+                                        "mute_mask") \
+                else col.astype(np.float64)
+        return out
 
-    def poll_events(self) -> List[dict]:
-        """Events over everything analyzed so far (the live view — same
-        instant re-filter contract as the offline Phase 2)."""
+    def _analysis(self, n_frames: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """The accumulated rows as an offline-shaped analysis dict; for a
+        financial stream, the whole-track trend stack is (re)computed here
+        over everything received so far via the CPU oracle — retroactively
+        consistent, same semantics as the device trend program
+        (parity-tested in tests/test_trend_parity.py)."""
+        rows = self._stacked(n_frames)
+        if not self.financial or len(rows.get("f0", ())) == 0:
+            return rows
+        from aegis_tpu.ref import trend_ref
+
+        T = len(rows["f0"])
+        f0_clean = np.where(rows["voiced_flag"], rows["f0"], np.nan)
+        fin = trend_ref.analyze_pitch_financial(f0_clean.astype(np.float32))
+        combined = rows["voiced_probs"] * 0.5 + fin["confidence"] * 0.5
+        n_mels = self.audio.n_mels
+        hi_bins = n_mels - int(n_mels * 0.7)
+        high = float(np.sum(rows.pop("dist_high_sum")))
+        total = float(np.sum(rows.pop("dist_total_sum")))
+        rows.update(
+            trend=fin["trend"],
+            artic_codes=np.asarray(fin["articulations"], np.int8),
+            slide_codes=np.asarray(fin["slides"], np.int8),
+            financial_confidence=fin["confidence"],
+            combined_confidence=combined,
+            adaptive_threshold=trend_ref.adaptive_confidence_threshold(
+                combined),
+            distortion_score=(high / (T * hi_bins))
+            / (total / (T * n_mels) + 1e-6) if total else 0.0,
+        )
+        return rows
+
+    def _extract(self, rows: Dict[str, np.ndarray]) -> List[dict]:
+        if self.financial:
+            from aegis_tpu.core.events import extract_events_financial
+
+            kw = dict(self.extract_kwargs)
+            events, _info = extract_events_financial(
+                rake_mask=rows["rake_mask"], f0=rows["f0"],
+                voiced_flag=rows["voiced_flag"],
+                active_probs=rows["voiced_probs"], rms=rows["rms"],
+                sr=self.audio.sample_rate,
+                hop_length=self.audio.hop_length,
+                trend=rows["trend"], artic_codes=rows["artic_codes"],
+                slide_codes=rows["slide_codes"],
+                financial_confidence=rows["financial_confidence"],
+                confidence_threshold=kw.pop("confidence_threshold", None),
+                onset_env=rows["onset_env"]
+                if kw.pop("use_onsets", True) else None,
+                **kw)
+            return events
         from aegis_tpu.core.events import extract_events_v1
 
-        rows = self._stacked()
-        if len(rows["f0"]) == 0:
-            return []
         return extract_events_v1(
             rake_mask=rows["rake_mask"], f0=np.nan_to_num(rows["f0"]),
             voiced_flag=rows["voiced_flag"], active_probs=rows["voiced_probs"],
             rms=rows["rms"], sr=self.audio.sample_rate,
-            hop_length=self.audio.hop_length, **self.extract_kwargs)
+            hop_length=self.audio.hop_length,
+            onset_env=rows.get("onset_env")
+            if self.extract_kwargs.get("use_onsets", True) else None,
+            **{k: v for k, v in self.extract_kwargs.items()
+               if k != "use_onsets"})
+
+    def poll_events(self) -> List[dict]:
+        """Events over everything analyzed so far (the live view — same
+        instant re-filter contract as the offline Phase 2)."""
+        rows = self._analysis()
+        if len(rows.get("f0", ())) == 0:
+            return []
+        return self._extract(rows)
 
     def finalize(self) -> List[dict]:
         """Flush the buffered tail (padding it with silence, the offline
@@ -186,16 +257,10 @@ class StreamingTranscriber:
             pad = need_tiles * self._tile_samp + 2 * self._ctx
             self.feed(np.zeros(pad, np.float32))
             self._n_fed -= pad  # padding is not audio
-        from aegis_tpu.core.events import extract_events_v1
-
-        rows = self._stacked(true_frames)
-        if len(rows["f0"]) == 0:
+        rows = self._analysis(true_frames)
+        if len(rows.get("f0", ())) == 0:
             return []
-        return extract_events_v1(
-            rake_mask=rows["rake_mask"], f0=np.nan_to_num(rows["f0"]),
-            voiced_flag=rows["voiced_flag"], active_probs=rows["voiced_probs"],
-            rms=rows["rms"], sr=self.audio.sample_rate,
-            hop_length=self.audio.hop_length, **self.extract_kwargs)
+        return self._extract(rows)
 
 
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ Same endpoint surface as the reference FastAPI backend (server.py, port
   POST /api/events/{sid}            sync client piano-roll edits
   POST /api/stream-start | /api/stream-feed/{sid} | GET /api/stream-events/
        {sid} | POST /api/stream-finalize/{sid}   live-source streaming
+       (stream-start?engine=v1|financial|poly)
   GET  /api/tabs/{sid}
 
 Fixed vs the reference (SURVEY.md Appendix A): /api/fret-filter regenerates
@@ -707,8 +708,9 @@ class AegisServer:
 
             self.sessions.sweep()
             engine_kind = query.get("engine", "v1")
-            if engine_kind not in ("v1", "poly"):
-                raise HTTPError(400, "engine must be 'v1' or 'poly'")
+            if engine_kind not in ("v1", "financial", "poly"):
+                raise HTTPError(400,
+                                "engine must be 'v1', 'financial' or 'poly'")
             if engine_kind == "poly":
                 rt = StreamingPolyTranscriber(
                     sample_rate=self.engine.sr,
@@ -718,13 +720,23 @@ class AegisServer:
                                                 0.5),
                 )
             else:
+                # financial live streaming: adaptive threshold by default
+                # (confidence_threshold passes through only when sent)
+                kw = {}
+                if engine_kind == "financial":
+                    if "confidence_threshold" in query:
+                        kw["confidence_threshold"] = coerce(
+                            query, "confidence_threshold", None, float)
+                else:
+                    kw["confidence_threshold"] = coerce(
+                        query, "confidence_threshold", 0.5)
                 rt = StreamingTranscriber(
                     audio=self.engine.audio,
                     tile_frames=coerce(query, "tile_frames", 64),
                     halo_frames=coerce(query, "halo_frames", 32),
                     rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
-                    confidence_threshold=coerce(query, "confidence_threshold",
-                                                0.5),
+                    financial=(engine_kind == "financial"),
+                    **kw,
                 )
             sid = self.sessions.create(file_name="<live>", raw_data=None,
                                        events=None, midi_data=None,

@@ -48,7 +48,8 @@ def test_streaming_matches_turbo_events():
     ref = extract_events_v1(
         rake_mask=tr["rake_mask"], f0=np.nan_to_num(tr["f0"]),
         voiced_flag=tr["voiced_flag"], active_probs=tr["voiced_probs"],
-        rms=tr["rms"], sr=SR, hop_length=512, confidence_threshold=0.5)
+        rms=tr["rms"], sr=SR, hop_length=512, confidence_threshold=0.5,
+        onset_env=tr["onset_env"])  # the stream refines by default too
     m = note_event_f1(events_to_seconds(ref, SR, 512),
                       events_to_seconds(got, SR, 512))
     assert m["f1"] == 1.0, (m, ref, got)
@@ -124,3 +125,35 @@ def test_streaming_poly_buffer_bounded():
     bound = rt._tile_samp + 2 * rt._ctx + 4096
     assert len(rt._buf) <= bound, (len(rt._buf), bound)
     assert rt.frames_analyzed > 0
+
+
+# --------------------------------------------------------------- financial
+
+def test_streaming_financial_matches_offline():
+    """financial=True live streaming: per-tile guitar filters on device,
+    the whole-track trend stack recomputed over everything-so-far via the
+    CPU oracle at poll time.  finalize() must match the offline financial
+    engine's events on a loud-first clip (where the causal dB reference
+    equals the global one)."""
+    from aegis_tpu.engine.financial import AegisFinancialEngine
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    y = _loud_first_clip()
+    eng = AegisFinancialEngine(sample_rate=SR, backend="ref")
+    offline, _ = eng.extract_events(eng.analyze(y))
+
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8,
+                              financial=True)
+    assert rt.poll_events() == []
+    rng = np.random.default_rng(0)
+    pos = 0
+    while pos < len(y):
+        n = int(rng.integers(100, 9000))
+        rt.feed(y[pos: pos + n])
+        pos += n
+    live = rt.poll_events()
+    got = rt.finalize()
+    assert got and live
+    m = note_event_f1(events_to_seconds(offline, SR, 512),
+                      events_to_seconds(got, SR, 512))
+    assert m["f1"] >= 0.99, (m, offline, got)

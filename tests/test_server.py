@@ -541,3 +541,23 @@ def test_streaming_poly_endpoints(server_url):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_streaming_financial_endpoint(server_url):
+    """engine=financial live streaming over HTTP: notes come out with the
+    financial extractor's adaptive threshold, MIDI is returned."""
+    status, _, data = _req(
+        f"{server_url}/api/stream-start?engine=financial"
+        f"&tile_frames=16&halo_frames=8", "POST")
+    j = json.loads(data)
+    sid = j["session_id"]
+    assert j["engine"] == "financial"
+
+    y = two_tone(sr=SR)
+    pcm = np.round(np.clip(y, -1, 1) * 32767).astype("<i2").tobytes()
+    status, _, _ = _req(f"{server_url}/api/stream-feed/{sid}", "POST", pcm)
+    assert status == 200
+    status, _, data = _req(f"{server_url}/api/stream-finalize/{sid}", "POST")
+    j = json.loads(data)
+    assert {e["note"] for e in j["events"]} >= {55, 62}
+    assert j["midi_base64"]
