@@ -8,6 +8,8 @@ every pipeline is one command on a single entry point:
   financial   WAV/MP3 -> MIDI via the v2 financial engine (5-phase)
   poly        WAV/MP3 -> MIDI via the polyphonic CQT engine
   stems       separate stems (Demucs if present, on-device HPSS otherwise)
+  stream      live transcription from an s16le PCM pipe (ffmpeg/sox/mic);
+              prints live event JSON, writes MIDI at EOF (any engine)
   warmup      precompile device programs into the persistent XLA cache
   tabs        MIDI-adjacent: transcribe then print ASCII tablature
   serve       start the REST API + SPA  (same as -m aegis_tpu.serve.server)
@@ -195,6 +197,83 @@ def cmd_warmup(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Live transcription from a PCM pipe.
+
+    Reads signed 16-bit little-endian mono PCM from stdin (what
+    ``ffmpeg -f s16le -ac 1`` or ``sox -t raw -e signed -b 16`` emit, or a
+    microphone bridge), prints a JSON line of the live event list every
+    ``--poll-every`` seconds of audio, and on EOF finalizes — writing MIDI
+    when an output path is given.  Works with every engine:
+    v1 / financial / poly (engine.realtime transcribers, same semantics
+    as /api/stream-start?engine=...).
+
+        ffmpeg -i in.wav -f s16le -ac 1 -ar 22050 - | \
+            python -m aegis_tpu stream --engine poly out.mid
+    """
+    import json
+
+    import numpy as np
+
+    if args.engine == "poly":
+        from aegis_tpu.engine.realtime import StreamingPolyTranscriber
+
+        rt = StreamingPolyTranscriber(sample_rate=args.sr)
+    else:
+        from aegis_tpu.config import AudioConfig
+        from aegis_tpu.engine.realtime import StreamingTranscriber
+
+        kw = {}
+        if args.confidence is not None:
+            kw["confidence_threshold"] = args.confidence
+        elif args.engine == "v1":
+            kw["confidence_threshold"] = 0.5
+        rt = StreamingTranscriber(audio=AudioConfig(sample_rate=args.sr),
+                                  financial=(args.engine == "financial"),
+                                  **kw)
+    print(f"# engine={args.engine} sr={args.sr} "
+          f"lookahead={rt.lookahead_s:.2f}s", file=sys.stderr)
+
+    spf = 512 / float(args.sr)  # seconds per frame (hop 512 everywhere)
+
+    def _jsonable(events, live):
+        return json.dumps({
+            "live": live, "n": len(events),
+            "events": [{
+                "note": int(e["note"]),
+                "start": int(e["start"]), "end": int(e["end"]),
+                "start_s": round(e["start"] * spf, 4),
+                "end_s": round(e["end"] * spf, 4),
+                "confidence": round(float(e.get("confidence", 0.0)), 4),
+                "velocity": int(e.get("velocity", 0)),
+                "track": e.get("track", "main"),
+            } for e in events]})
+
+    poll_samples = max(int(args.poll_every * args.sr), 1)
+    src = sys.stdin.buffer
+    fed_since_poll = 0
+    while True:
+        data = src.read(8192)
+        if not data:
+            break
+        pcm = np.frombuffer(data[: len(data) // 2 * 2],
+                            dtype="<i2").astype(np.float32) / 32768.0
+        rt.feed(pcm)
+        fed_since_poll += len(pcm)
+        if fed_since_poll >= poll_samples:
+            fed_since_poll = 0
+            print(_jsonable(rt.poll_events(), live=True), flush=True)
+    events = rt.finalize()
+    if args.output and events:
+        from aegis_tpu.midi.encode import events_to_midi
+
+        events_to_midi(events, args.sr, 512,
+                       midi_program=args.midi_program, output=args.output)
+        print(f"# wrote {args.output}", file=sys.stderr)
+    print(_jsonable(events, live=False), flush=True)
+    return 0
+
+
 def cmd_stems(args) -> int:
     from aegis_tpu.synth.stems import separate_stems
 
@@ -265,6 +344,19 @@ def main(argv=None) -> int:
                    help="comma-separated: v1,neural,financial,"
                         "neural-financial,poly,stream,neural-stream")
     p.set_defaults(fn=cmd_warmup)
+
+    p = sub.add_parser("stream", description=cmd_stream.__doc__,
+                       formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("output", nargs="?", default=None,
+                   help="optional .mid written at EOF")
+    p.add_argument("--engine", default="v1",
+                   choices=["v1", "financial", "poly"])
+    p.add_argument("--sr", type=int, default=22050)
+    p.add_argument("--confidence", type=float, default=None)
+    p.add_argument("--poll-every", type=float, default=2.0,
+                   help="seconds of audio between live event prints")
+    p.add_argument("--midi-program", type=int, default=27)
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("stems")
     p.add_argument("input")

@@ -103,3 +103,27 @@ def test_invalid_bpm_and_range_rejected(wav_path, tmp_path, capsys):
     with pytest.raises(SystemExit) as exc:
         main(["transcribe", wav_path, out, "--start", "1.0", "--end", "0.5"])
     assert exc.value.code == 2
+
+
+def test_stream(wav_path, tmp_path, capsys, monkeypatch):
+    """The stream command reads s16le PCM from stdin, prints live + final
+    event JSON lines, and writes MIDI at EOF."""
+    import io as _io
+    import json
+
+    y = two_tone(sr=22050)
+    pcm = np.round(np.clip(y, -1, 1) * 32767).astype("<i2").tobytes()
+    out = str(tmp_path / "s.mid")
+    monkeypatch.setattr("sys.stdin",
+                        type("S", (), {"buffer": _io.BytesIO(pcm)})())
+    assert main(["stream", out, "--engine", "v1", "--sr", "22050",
+                 "--poll-every", "1.0", "--confidence", "0.5"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    final = json.loads(lines[-1])
+    assert final["live"] is False
+    assert {e["note"] for e in final["events"]} >= {55, 62}
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    with open(out, "rb") as f:
+        assert len(midi_to_notes(f.read())) == final["n"]
