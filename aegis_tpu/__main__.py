@@ -159,7 +159,8 @@ def cmd_warmup(args) -> int:
     sec_list = [float(s) for s in args.seconds.split(",")]
     pipes = args.pipelines.split(",")
     known = {"v1", "neural", "financial", "neural-financial", "poly",
-             "stream", "neural-stream"}
+             "stream", "neural-stream",
+             "live-v1", "live-financial", "live-poly"}
     bad = set(pipes) - known
     if bad:
         print(f"error: unknown pipeline(s) {sorted(bad)}; "
@@ -167,6 +168,23 @@ def cmd_warmup(args) -> int:
         return 1
 
     def run(pipe: str, y: np.ndarray) -> None:
+        if pipe.startswith("live-"):
+            # live-stream tile programs have FIXED slab shapes (one compile
+            # per tile/halo config, duration-independent): feed enough
+            # silence for one tile so the first real session never pays a
+            # cold remote compile mid-stream
+            from aegis_tpu.engine import realtime as _rt
+
+            if pipe == "live-poly":
+                rt = _rt.StreamingPolyTranscriber(sample_rate=args.sr)
+            else:
+                from aegis_tpu.config import AudioConfig
+
+                rt = _rt.StreamingTranscriber(
+                    audio=AudioConfig(sample_rate=args.sr),
+                    financial=(pipe == "live-financial"))
+            rt.feed(np.zeros(rt._tile_samp + 2 * rt._ctx + 1, np.float32))
+            return
         if pipe == "poly":
             from aegis_tpu.engine.poly import AegisPolyEngine
 
@@ -218,7 +236,9 @@ def cmd_stream(args) -> int:
     if args.engine == "poly":
         from aegis_tpu.engine.realtime import StreamingPolyTranscriber
 
-        rt = StreamingPolyTranscriber(sample_rate=args.sr)
+        kw = ({"confidence_threshold": args.confidence}
+              if args.confidence is not None else {})
+        rt = StreamingPolyTranscriber(sample_rate=args.sr, **kw)
     else:
         from aegis_tpu.config import AudioConfig
         from aegis_tpu.engine.realtime import StreamingTranscriber
@@ -265,10 +285,20 @@ def cmd_stream(args) -> int:
             print(_jsonable(rt.poll_events(), live=True), flush=True)
     events = rt.finalize()
     if args.output and events:
-        from aegis_tpu.midi.encode import events_to_midi
+        # engine-matched encoders, same defaults as the offline facades:
+        # poly program 25, v1 program 27, financial named-track layout
+        if args.engine == "financial":
+            from aegis_tpu.midi.encode import events_to_midi_financial
 
-        events_to_midi(events, args.sr, 512,
-                       midi_program=args.midi_program, output=args.output)
+            events_to_midi_financial(events, args.sr, 512,
+                                     output=args.output)
+        else:
+            from aegis_tpu.midi.encode import events_to_midi
+
+            program = args.midi_program if args.midi_program is not None \
+                else (25 if args.engine == "poly" else 27)
+            events_to_midi(events, args.sr, 512,
+                           midi_program=program, output=args.output)
         print(f"# wrote {args.output}", file=sys.stderr)
     print(_jsonable(events, live=False), flush=True)
     return 0
@@ -355,7 +385,9 @@ def main(argv=None) -> int:
     p.add_argument("--confidence", type=float, default=None)
     p.add_argument("--poll-every", type=float, default=2.0,
                    help="seconds of audio between live event prints")
-    p.add_argument("--midi-program", type=int, default=27)
+    p.add_argument("--midi-program", type=int, default=None,
+                   help="GM program (default: the engine's own — poly 25, "
+                        "v1 27; financial uses its named-track encoder)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("stems")

@@ -201,13 +201,13 @@ def roll_and_confidence(bins: jnp.ndarray, sals: jnp.ndarray,
 
 
 def reconstruct_confidence(salience: np.ndarray) -> np.ndarray:
-    """Host-side twin of roll_and_confidence's confidence plane: exactly
-    ``salience / max(salience over MIDI bins)`` (saliences are non-negative
-    and per-frame max-normalized on device).  The MIDI axis is the LAST
-    axis, so both (T, 128) and batched (B, T, 128) unpackings work.  The
-    packed device buffer ships only the salience plane; every unpacking
-    site MUST reconstruct through this one helper so the device
-    normalization has a single host mirror."""
+    """The confidence↔salience identity: ``salience / max(salience over
+    MIDI bins)`` (last axis, so (T, 128) and batched (B, T, 128) both
+    work).  A documented utility for consumers holding only a salience
+    plane — the transport path itself no longer ships planes at all: every
+    packed-buffer unpacking goes through :func:`unpack_poly_voices`, whose
+    oracle (ref.poly_ref.roll_and_confidence_ref) is the single mandated
+    host mirror of the device normalization (CLAUDE.md invariant)."""
     salience = np.asarray(salience)
     return salience / np.maximum(salience.max(axis=-1, keepdims=True), 1e-10)
 

@@ -173,6 +173,12 @@ class StreamingTranscriber:
             out[k] = col > 0.5 if k in ("voiced_flag", "rake_mask",
                                         "mute_mask") \
                 else col.astype(np.float64)
+        # first tile's left halo is synthetic silence -> spurious frame-0
+        # flux; match the offline/turbo convention (onset_env[0] == 0) so
+        # pick_onsets' env-max normalization sees the real peaks
+        if "onset_env" in out and len(out["onset_env"]):
+            out["onset_env"] = out["onset_env"].copy()
+            out["onset_env"][0] = 0.0
         return out
 
     def _analysis(self, n_frames: Optional[int] = None) -> Dict[str, np.ndarray]:
@@ -194,6 +200,10 @@ class StreamingTranscriber:
         hi_bins = n_mels - int(n_mels * 0.7)
         high = float(np.sum(rows.pop("dist_high_sum")))
         total = float(np.sum(rows.pop("dist_total_sum")))
+        # use_guitar_filters=False forces distortion_score to 0.0, the
+        # same convention as analyze_financial_program and the turbo paths
+        dist = ((high / (T * hi_bins)) / (total / (T * n_mels) + 1e-6)
+                if self.use_guitar_filters and total else 0.0)
         rows.update(
             trend=fin["trend"],
             artic_codes=np.asarray(fin["articulations"], np.int8),
@@ -202,8 +212,7 @@ class StreamingTranscriber:
             combined_confidence=combined,
             adaptive_threshold=trend_ref.adaptive_confidence_threshold(
                 combined),
-            distortion_score=(high / (T * hi_bins))
-            / (total / (T * n_mels) + 1e-6) if total else 0.0,
+            distortion_score=dist,
         )
         return rows
 

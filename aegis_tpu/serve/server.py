@@ -788,10 +788,25 @@ class AegisServer:
             if rt is None:
                 raise HTTPError(400, "Not a streaming session.")
             events = rt.finalize()
-            midi_data = events_to_midi(
-                events, self.engine.sr, self.engine.hop_length,
-                midi_program=coerce(query, "midi_program", 27),
-                output=None) if events else b""
+            # engine-matched MIDI, same defaults as the offline facades:
+            # poly program 25, v1 program 27, financial named-track layout
+            from aegis_tpu.engine.realtime import StreamingPolyTranscriber
+
+            if not events:
+                midi_data = b""
+            elif getattr(rt, "financial", False):
+                from aegis_tpu.midi.encode import events_to_midi_financial
+
+                midi_data = events_to_midi_financial(
+                    events, self.engine.sr, self.engine.hop_length,
+                    output=None)
+            else:
+                default_prog = 25 if isinstance(
+                    rt, StreamingPolyTranscriber) else 27
+                midi_data = events_to_midi(
+                    events, self.engine.sr, self.engine.hop_length,
+                    midi_program=coerce(query, "midi_program", default_prog),
+                    output=None)
             self.sessions.update(sid, events=events, midi_data=midi_data)
             return json_response({
                 "num_events": len(events),

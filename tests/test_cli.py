@@ -127,3 +127,12 @@ def test_stream(wav_path, tmp_path, capsys, monkeypatch):
 
     with open(out, "rb") as f:
         assert len(midi_to_notes(f.read())) == final["n"]
+
+
+def test_warmup_live_pipelines(capsys):
+    """live-* warmup pipelines compile the fixed-shape streaming tile
+    programs so a first live session never pays a cold compile."""
+    assert main(["warmup", "--seconds", "0.5", "--sr", "22050",
+                 "--pipelines", "live-v1,live-financial,live-poly"]) == 0
+    out = capsys.readouterr().out
+    assert "live-poly" in out and "live-financial" in out
