@@ -254,7 +254,9 @@ def cmd_stream(args) -> int:
     print(f"# engine={args.engine} sr={args.sr} "
           f"lookahead={rt.lookahead_s:.2f}s", file=sys.stderr)
 
-    spf = 512 / float(args.sr)  # seconds per frame (hop 512 everywhere)
+    # hop differs by engine/sr (poly scales its window with sr)
+    hop = getattr(rt, "hop", None) or rt.audio.hop_length
+    spf = hop / float(args.sr)  # seconds per frame
 
     def _jsonable(events, live):
         return json.dumps({
@@ -290,14 +292,14 @@ def cmd_stream(args) -> int:
         if args.engine == "financial":
             from aegis_tpu.midi.encode import events_to_midi_financial
 
-            events_to_midi_financial(events, args.sr, 512,
+            events_to_midi_financial(events, args.sr, hop,
                                      output=args.output)
         else:
             from aegis_tpu.midi.encode import events_to_midi
 
             program = args.midi_program if args.midi_program is not None \
                 else (25 if args.engine == "poly" else 27)
-            events_to_midi(events, args.sr, 512,
+            events_to_midi(events, args.sr, hop,
                            midi_program=program, output=args.output)
         print(f"# wrote {args.output}", file=sys.stderr)
     print(_jsonable(events, live=False), flush=True)

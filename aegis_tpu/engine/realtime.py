@@ -354,23 +354,26 @@ class StreamingPolyTranscriber:
     first samples arrive.
     """
 
-    def __init__(self, sample_rate: int = 22050, n_fft: int = 2048,
-                 hop_length: int = 512, n_bins: int = 84,
+    def __init__(self, sample_rate: int = 22050,
+                 n_fft: Optional[int] = None,
+                 hop_length: Optional[int] = None, n_bins: int = 84,
                  bins_per_octave: int = 12, max_voices: int = 6,
                  n_mels: int = 128,
                  tile_frames: int = 64, halo_frames: int = 8,
                  **extract_kwargs):
         from aegis_tpu.engine.poly import AegisPolyEngine
 
+        # sr-proportional window defaults, same rule as AegisPolyEngine
+        self._engine = AegisPolyEngine(sample_rate=sample_rate, n_fft=n_fft,
+                                       hop_length=hop_length, n_bins=n_bins,
+                                       bins_per_octave=bins_per_octave,
+                                       max_voices=max_voices)
+        n_fft, hop_length = self._engine.n_fft, self._engine.hop_length
         self.sr, self.n_fft, self.hop = sample_rate, n_fft, hop_length
         self.n_bins, self.bpo = n_bins, bins_per_octave
         self.max_voices, self.n_mels = max_voices, n_mels
         self.tile, self.halo = tile_frames, halo_frames
         self.extract_kwargs = extract_kwargs
-        self._engine = AegisPolyEngine(sample_rate=sample_rate, n_fft=n_fft,
-                                       hop_length=hop_length, n_bins=n_bins,
-                                       bins_per_octave=bins_per_octave,
-                                       max_voices=max_voices)
         self._ctx = halo_frames * hop_length + n_fft // 2
         self._tile_samp = tile_frames * hop_length
         self._buf = np.zeros(0, np.float32)   # raw samples, trimmed

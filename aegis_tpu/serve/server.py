@@ -767,7 +767,8 @@ class AegisServer:
                 "tiles_analyzed": tiles,
                 "frames_analyzed": rt.frames_analyzed,
                 "seconds_analyzed": round(
-                    rt.frames_analyzed * self.engine.hop_length
+                    rt.frames_analyzed
+                    * (getattr(rt, "hop", None) or rt.audio.hop_length)
                     / self.engine.sr, 3),
             })
 
@@ -789,22 +790,24 @@ class AegisServer:
                 raise HTTPError(400, "Not a streaming session.")
             events = rt.finalize()
             # engine-matched MIDI, same defaults as the offline facades:
-            # poly program 25, v1 program 27, financial named-track layout
+            # poly program 25, v1 program 27, financial named-track layout.
+            # Frame->time conversion uses the TRANSCRIBER's own hop: the
+            # poly streamer scales its window with sr (hop 1024 at 44.1k)
             from aegis_tpu.engine.realtime import StreamingPolyTranscriber
 
+            rt_hop = getattr(rt, "hop", None) or rt.audio.hop_length
             if not events:
                 midi_data = b""
             elif getattr(rt, "financial", False):
                 from aegis_tpu.midi.encode import events_to_midi_financial
 
                 midi_data = events_to_midi_financial(
-                    events, self.engine.sr, self.engine.hop_length,
-                    output=None)
+                    events, self.engine.sr, rt_hop, output=None)
             else:
                 default_prog = 25 if isinstance(
                     rt, StreamingPolyTranscriber) else 27
                 midi_data = events_to_midi(
-                    events, self.engine.sr, self.engine.hop_length,
+                    events, self.engine.sr, rt_hop,
                     midi_program=coerce(query, "midi_program", default_prog),
                     output=None)
             self.sessions.update(sid, events=events, midi_data=midi_data)

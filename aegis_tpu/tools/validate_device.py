@@ -142,16 +142,23 @@ def validate(threshold: float = 0.99, include_bench: bool = True,
     from aegis_tpu.engine.poly import AegisPolyEngine
     from aegis_tpu.tools.signal_gen import generate_chord_progression
 
-    poly_eng = AegisPolyEngine(sample_rate=22050)
-    for seed in (1, 3, 7):
-        y, truth = generate_chord_progression(seed)
-        events = poly_eng.extract_events(poly_eng.analyze(y))
-        pf1 = note_event_f1(truth, events_to_seconds(events, 22050, hop))["f1"]
-        results[f"chord_progression_s{seed}"] = {"poly_truth_f1": round(pf1, 4)}
-        ok = ok and pf1 >= threshold
-        if not quiet:
-            print(f"# chord_progression_s{seed}@22050: poly_truth={pf1:.4f}",
-                  file=sys.stderr)
+    # 44.1 kHz included: the engine's sr-proportional window (4096/1024)
+    # is what makes the rate work at all — a fixed 2048 window measured
+    # F1 0.5-0.79 there (engine/poly.py class docstring)
+    for sr_p, seeds in ((22050, (1, 3, 7)), (44100, (3, 7))):
+        poly_eng = AegisPolyEngine(sample_rate=sr_p)
+        for seed in seeds:
+            y, truth = generate_chord_progression(seed, sr=sr_p)
+            events = poly_eng.extract_events(poly_eng.analyze(y))
+            pf1 = note_event_f1(
+                truth, events_to_seconds(events, sr_p,
+                                         poly_eng.hop_length))["f1"]
+            results[f"chord_progression_s{seed}_{sr_p}"] = {
+                "poly_truth_f1": round(pf1, 4)}
+            ok = ok and pf1 >= threshold
+            if not quiet:
+                print(f"# chord_progression_s{seed}@{sr_p}: "
+                      f"poly_truth={pf1:.4f}", file=sys.stderr)
     return {"pass": ok, "threshold": threshold, "clips": results}
 
 
