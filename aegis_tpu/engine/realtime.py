@@ -109,6 +109,7 @@ class StreamingTranscriber:
         # center/leading-pad convention for the first tile's left halo
         self._pending = np.zeros(self._ctx, np.float32)
         self._rows: List[np.ndarray] = []         # per-tile (tile, 6) rows
+        self._fin_trend_cache = None              # incremental poll trend
         self._ref_power = 0.0
         self._n_fed = 0
 
@@ -181,20 +182,67 @@ class StreamingTranscriber:
             out["onset_env"][0] = 0.0
         return out
 
-    def _analysis(self, n_frames: Optional[int] = None) -> Dict[str, np.ndarray]:
+    #: frames of recompute overlap ahead of the incremental-trend cache;
+    #: every filter in the stack has far shorter memory (savgol window 11,
+    #: Bollinger/RSI ~20, EMA/Kalman exponential decay), so discarding this
+    #: warmup makes the appended tail numerically indistinguishable from a
+    #: full-track pass (parity-tested in tests/test_realtime.py)
+    _TREND_WARMUP = 512
+
+    def _trend_full(self, f0_clean: np.ndarray) -> Dict[str, np.ndarray]:
+        from aegis_tpu.ref import trend_ref
+
+        fin = trend_ref.analyze_pitch_financial(f0_clean)
+        return {k: np.asarray(fin[k]) for k in
+                ("trend", "articulations", "slides", "confidence")}
+
+    def _trend_incremental(self, f0_clean: np.ndarray) -> Dict[str, np.ndarray]:
+        """O(new frames) trend for the LIVE poll path: the oracle pass is
+        O(T) Python loops (measured 6.8 s at 100 k frames — unusable per
+        poll), so polls recompute only [cache_end - warmup, T) and append
+        past the warmup.  finalize() bypasses this (exact full pass)."""
+        T = len(f0_clean)
+        W = self._TREND_WARMUP
+        cache = self._fin_trend_cache
+        if cache is None or len(cache["trend"]) > T:
+            out = self._trend_full(f0_clean)
+        elif len(cache["trend"]) == T:
+            return cache
+        else:
+            # the cache's LAST W frames were computed with end-of-array
+            # edge semantics (the centered filters look forward), so they
+            # are stale once more audio exists — drop them and recompute
+            # from a further-W left warmup (recurrence state rebuild)
+            c = len(cache["trend"])
+            keep = max(c - W, 0)
+            lo = max(keep - W, 0)
+            tail = self._trend_full(f0_clean[lo:])
+            out = {k: np.concatenate([cache[k][:keep], tail[k][keep - lo:]])
+                   for k in cache}
+        self._fin_trend_cache = out
+        return out
+
+    def _analysis(self, n_frames: Optional[int] = None,
+                  exact: bool = False) -> Dict[str, np.ndarray]:
         """The accumulated rows as an offline-shaped analysis dict; for a
         financial stream, the whole-track trend stack is (re)computed here
         over everything received so far via the CPU oracle — retroactively
         consistent, same semantics as the device trend program
-        (parity-tested in tests/test_trend_parity.py)."""
+        (parity-tested in tests/test_trend_parity.py).  Polls use the
+        incremental cache; ``exact=True`` (finalize) runs the full pass."""
         rows = self._stacked(n_frames)
         if not self.financial or len(rows.get("f0", ())) == 0:
             return rows
         from aegis_tpu.ref import trend_ref
 
         T = len(rows["f0"])
-        f0_clean = np.where(rows["voiced_flag"], rows["f0"], np.nan)
-        fin = trend_ref.analyze_pitch_financial(f0_clean.astype(np.float32))
+        f0_clean = np.where(rows["voiced_flag"], rows["f0"],
+                            np.nan).astype(np.float32)
+        if exact:
+            fin = self._trend_full(f0_clean)
+        else:
+            fin = self._trend_incremental(f0_clean)
+            fin = {k: v[:T] for k, v in fin.items()}
         combined = rows["voiced_probs"] * 0.5 + fin["confidence"] * 0.5
         n_mels = self.audio.n_mels
         hi_bins = n_mels - int(n_mels * 0.7)
@@ -266,7 +314,7 @@ class StreamingTranscriber:
             pad = need_tiles * self._tile_samp + 2 * self._ctx
             self.feed(np.zeros(pad, np.float32))
             self._n_fed -= pad  # padding is not audio
-        rows = self._analysis(true_frames)
+        rows = self._analysis(true_frames, exact=True)
         if len(rows.get("f0", ())) == 0:
             return []
         return self._extract(rows)

@@ -157,3 +157,35 @@ def test_streaming_financial_matches_offline():
     m = note_event_f1(events_to_seconds(offline, SR, 512),
                       events_to_seconds(got, SR, 512))
     assert m["f1"] >= 0.99, (m, offline, got)
+
+
+def test_streaming_financial_incremental_trend():
+    """Live polls use an O(new-frames) incremental trend (warmup-overlap
+    tail recompute); its output must be numerically indistinguishable from
+    the full-track oracle pass, and poll events must equal finalize's
+    exact-pass events."""
+    y = _loud_first_clip()
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8,
+                              financial=True)
+    rt._TREND_WARMUP = 64  # exercise several incremental appends
+    rng = np.random.default_rng(2)
+    pos = 0
+    polls = 0
+    while pos < len(y):
+        n = int(rng.integers(3000, 12000))
+        rt.feed(y[pos: pos + n])
+        pos += n
+        rt.poll_events()  # grow the cache incrementally
+        polls += 1
+    assert polls >= 3
+    inc = rt._analysis()          # incremental path
+    full = rt._analysis(exact=True)
+    T = len(full["trend"])
+    np.testing.assert_allclose(inc["trend"][:T], full["trend"],
+                               rtol=1e-5, atol=1e-6, equal_nan=True)
+    np.testing.assert_array_equal(inc["artic_codes"][:T],
+                                  full["artic_codes"])
+    live = rt._extract({k: (v[:T] if getattr(v, "ndim", 0) else v)
+                        for k, v in inc.items()})
+    final = rt.finalize()
+    assert [e["note"] for e in live] == [e["note"] for e in final]
