@@ -115,3 +115,20 @@ def test_tuning_center_archive_files(tmp_path, monkeypatch):
     names = {os.path.basename(p) for p in found}
     assert {"take1.wav", "take2.mp3"} <= names
     assert "notes.txt" not in names
+
+
+def test_live_monitor_stream_helpers():
+    """The live-monitor app's streaming loop works headlessly: the upload
+    is fed in chunks and the event list grows to the finalize result."""
+    import numpy as np
+
+    from aegis_tpu.apps.live_monitor import make_transcriber, stream_in_chunks
+    from aegis_tpu.tools.signal_gen import two_tone
+
+    y = two_tone(sr=22050)
+    for kind in ("v1", "poly"):
+        rt = make_transcriber(kind, 22050, 0.5)
+        steps = list(stream_in_chunks(rt, y, 22050, chunk_s=1.0))
+        assert steps and steps[-1][0] == len(y) / 22050
+        final = rt.finalize()
+        assert {e["note"] for e in final} >= {55, 62}, (kind, final)
