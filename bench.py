@@ -27,6 +27,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import subprocess
 import sys
 import time
 
@@ -52,7 +53,64 @@ def _median_time(fn, n: int) -> float:
     return sorted(times)[n // 2]
 
 
+def _probe_device(timeout_s: float = 300.0) -> bool:
+    """True if the tunneled TPU backend is reachable.
+
+    When the axon device service is down, jax backend init HANGS instead of
+    erroring, so the probe runs in a disposable child process under a hard
+    timeout — the bench process itself never touches the backend until the
+    probe passes.  (Killing a child stuck in backend *init* is safe; the
+    CLAUDE.md orphaned-compile hazard applies to in-flight XLA compiles,
+    which a down service never starts.)
+    """
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "np.asarray(jnp.add(jnp.float32(1), jnp.float32(1)))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _cpu_fallback_bench() -> None:
+    """Device unreachable: emit a valid one-line artifact from the XLA CPU
+    backend instead of hanging the driver.  Only the headline pipeline is
+    measured (the CPU box has one core; the full suite would take hours);
+    the ``device`` field records the degradation so the number is never
+    mistaken for a chip result."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    duration, sr = 60.0, 22050
+    from aegis_tpu.engine.financial import AegisFinancialEngine
+    from aegis_tpu.tools.signal_gen import generate_bench_track
+
+    y = generate_bench_track(duration, sr)
+    engine = AegisFinancialEngine(sample_rate=sr, backend="device")
+
+    def fin_iter():
+        a = engine.analyze(y, fetch_mel=False)
+        engine.extract_events(a)
+
+    fin_iter()  # compile
+    print("# financial 60s two-phase (CPU fallback):", file=sys.stderr)
+    rtf = duration / _median_time(fin_iter, 3)
+    print(json.dumps({
+        "metric": "realtime_factor", "value": round(rtf, 1),
+        "unit": "x_realtime", "vs_baseline": round(rtf / 4.8, 2),
+        "device": "cpu_fallback",
+    }))
+
+
 def main() -> None:
+    if not _probe_device():
+        print("# TPU backend unreachable -- falling back to XLA CPU",
+              file=sys.stderr)
+        _cpu_fallback_bench()
+        return
+
     duration = 60.0
     sr = 22050
     from aegis_tpu.tools.signal_gen import (generate_bench_track,
@@ -287,6 +345,7 @@ def main() -> None:
         "effect_loop_s": round(effect_loop_s, 3),
         "stream_10min_rtf": round(stream_rtf, 1),
         "neural_stream_10min_rtf": round(neural_stream_rtf, 1),
+        "device": "tpu",
     }))
 
 
