@@ -113,6 +113,11 @@ def harmonic_subtraction_matrix(n_bins: int, bins_per_octave: int = 12,
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+#: comb-average normalization floor as a fraction of the full comb weight
+#: (see the comment in peel_voices; swept 2026-08-18, ref/poly_ref.py is
+#: the lockstep oracle — change BOTH together)
+COMB_NORM_FLOOR = 1.0
+
 
 def peel_voices(cqt_power: jnp.ndarray, supp: jnp.ndarray,
                 sub: jnp.ndarray | None = None,
@@ -138,7 +143,21 @@ def peel_voices(cqt_power: jnp.ndarray, supp: jnp.ndarray,
     if sub is None:
         sub = jnp.asarray(harmonic_subtraction_matrix(n_bins))
     mag = jnp.sqrt(jnp.maximum(cqt_power, 0.0))  # magnitude domain peels
-    rowsum = jnp.maximum(jnp.sum(supp, axis=1), 1e-10)
+    # Normalize the comb average by each row's sum FLOORED at a fraction
+    # of the full comb weight: a fundamental whose upper harmonics fall
+    # above the CQT range must count them (mostly) as zero support, not
+    # have them excused.  With pure per-row sums, bins in the top octaves
+    # (MIDI > ~76, where h4+ leaves the 84-bin range) degenerate toward
+    # salience == raw magnitude and out-salience true low voices — at
+    # 44.1 kHz (full upper-partial energy below Nyquist) this minted
+    # h5..h11 ghost events at MIDI 78-98 on 7/12 chord-progression seeds
+    # (measured 2026-08-18; 22.05 kHz hid the bias because those bins are
+    # Nyquist-starved).  The FLOOR (rather than a hard full-comb
+    # normalization) leaves near-top fundamentals that miss only h7/h8
+    # (a few % of comb weight) on their own sums.
+    row = jnp.sum(supp, axis=1)
+    rowsum = jnp.maximum(jnp.maximum(row, COMB_NORM_FLOOR * jnp.max(row)),
+                         1e-10)
     rows = jnp.arange(T)
     bins_out = []
     sal_out = []

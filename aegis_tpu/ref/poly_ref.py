@@ -19,6 +19,7 @@ from typing import List, Tuple
 import numpy as np
 
 from aegis_tpu.core.cqt import CQT_FMIN_MIDI
+from aegis_tpu.core import poly as _poly
 from aegis_tpu.core.poly import (MIDI_BINS, harmonic_subtraction_matrix,
                                  harmonic_suppression_matrix)
 
@@ -41,7 +42,14 @@ def peel_voices_ref(cqt_power: np.ndarray, supp: np.ndarray,
     sub = np.asarray(sub, np.float32)
     T, n_bins = cqt_power.shape
     mag = np.sqrt(np.maximum(cqt_power, 0.0))
-    rowsum = np.maximum(supp.sum(axis=1), np.float32(1e-10))
+    # floored comb normalization, in lockstep with core/poly.py::
+    # peel_voices: out-of-range harmonics count as zero support below the
+    # floor (kills the 44.1 kHz high-bin ghost inflation; see the device
+    # kernel's comment)
+    row = supp.sum(axis=1)
+    rowsum = np.maximum(
+        np.maximum(row, np.float32(_poly.COMB_NORM_FLOOR) * row.max()),
+        np.float32(1e-10))
     rows = np.arange(T)
     bins_out: List[np.ndarray] = []
     sal_out: List[np.ndarray] = []
