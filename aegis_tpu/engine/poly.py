@@ -48,9 +48,10 @@ class AegisPolyEngine:
     same PHYSICAL duration at every rate: with a fixed 2048 window at
     44.1 kHz the FFT bin spacing (21.5 Hz) exceeds a low-string semitone
     and chord-progression truth F1 measured 0.5-0.79; the scaled window
-    restores mean 0.945 over seeds 1-12 (22.05 kHz: 1.0 on the same
-    seeds; the 44.1 kHz residue is the same harmonic-ghost tail class as
-    the extended 22.05 kHz seeds — measured 2026-08-18)."""
+    restores mean 0.960 over seeds 1-12 with the floored comb
+    normalization (core/poly.py::COMB_NORM_FLOOR; 22.05 kHz: 1.0 on the
+    same seeds; the 44.1 kHz residue is the same harmonic-ghost tail
+    class as the extended 22.05 kHz seeds — measured 2026-08-18)."""
 
     def __init__(self, sample_rate: int = 22050,
                  hop_length: Optional[int] = None,
