@@ -128,6 +128,8 @@ def cmd_batch(args) -> int:
     kw = {}
     if args.confidence is not None:
         kw["confidence_threshold"] = args.confidence
+    if getattr(args, "no_onsets", False):
+        kw["use_onsets"] = False
     results = transcribe_folder(args.folder, args.output_dir,
                                 pattern=args.pattern,
                                 sample_rate=args.sr, **kw)
@@ -364,6 +366,9 @@ def main(argv=None) -> int:
     p.add_argument("--pattern", default="*.wav")
     p.add_argument("--sr", type=int, default=22050)
     p.add_argument("--confidence", type=float, default=None)
+    p.add_argument("--no-onsets", action="store_true",
+                   help="disable onset event refinement (the reference's "
+                        "exact merge/lag semantics)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("warmup", description=cmd_warmup.__doc__)

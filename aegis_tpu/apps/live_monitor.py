@@ -29,6 +29,10 @@ def make_transcriber(engine_kind: str, sr: int, confidence):
     kw = {}
     if confidence is not None:
         kw["confidence_threshold"] = confidence
+    elif engine_kind in ("v1", "poly"):
+        # the server's defaults: v1/poly use 0.5; financial stays on its
+        # adaptive threshold unless the client sends one
+        kw["confidence_threshold"] = 0.5
     if engine_kind == "poly":
         return StreamingPolyTranscriber(sample_rate=sr, **kw)
     return StreamingTranscriber(audio=AudioConfig(sample_rate=sr),

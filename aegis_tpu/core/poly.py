@@ -145,16 +145,19 @@ def peel_voices(cqt_power: jnp.ndarray, supp: jnp.ndarray,
     mag = jnp.sqrt(jnp.maximum(cqt_power, 0.0))  # magnitude domain peels
     # Normalize the comb average by each row's sum FLOORED at a fraction
     # of the full comb weight: a fundamental whose upper harmonics fall
-    # above the CQT range must count them (mostly) as zero support, not
-    # have them excused.  With pure per-row sums, bins in the top octaves
+    # above the CQT range must count them as zero support, not have them
+    # excused.  With pure per-row sums, bins in the top octaves
     # (MIDI > ~76, where h4+ leaves the 84-bin range) degenerate toward
     # salience == raw magnitude and out-salience true low voices — at
     # 44.1 kHz (full upper-partial energy below Nyquist) this minted
     # h5..h11 ghost events at MIDI 78-98 on 7/12 chord-progression seeds
     # (measured 2026-08-18; 22.05 kHz hid the bias because those bins are
-    # Nyquist-starved).  The FLOOR (rather than a hard full-comb
-    # normalization) leaves near-top fundamentals that miss only h7/h8
-    # (a few % of comb weight) on their own sums.
+    # Nyquist-starved).  Floor swept over 0.0/0.6/0.8/0.9/1.0: 1.0 — a
+    # hard full-comb normalization, every row divided by the max row sum —
+    # measured best (44.1 kHz mean 0.945->0.960, nothing else moved);
+    # partial floors that leave near-top fundamentals on their own sums
+    # all scored lower, so the knob stays only as the documented sweep
+    # axis.
     row = jnp.sum(supp, axis=1)
     rowsum = jnp.maximum(jnp.maximum(row, COMB_NORM_FLOOR * jnp.max(row)),
                          1e-10)

@@ -267,7 +267,10 @@ def transcribe_folder(
         out = run_analyze_batch(batch, audio, pyin_cfg, rake_sensitivity,
                                 turbo=turbo, mesh=mesh, fetch_mel=False)
 
-    use_onsets = extract_kwargs.pop("use_onsets", False)
+    # onset refinement on by default — the library default (engine.py's
+    # extract_events, CLAUDE.md invariant); use_onsets=False restores the
+    # reference's merge/lag semantics for the golden-comparison mode
+    use_onsets = extract_kwargs.pop("use_onsets", True)
     results = []
     for i, p in enumerate(paths):
         true_frames = audio.n_frames(lengths[i])

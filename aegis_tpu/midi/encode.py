@@ -85,6 +85,10 @@ def events_to_midi(
             velocity = int(velocity * 0.6)  # softened attack
         elif technique == "pull_off":
             velocity = int(velocity * 0.5)
+        # velocity 0 is a legal EVENT (velocity_from_db clips -80 dB frames
+        # to 0, and the technique scaling above can floor 1 to 0) but a
+        # note_on with velocity 0 means note_off in SMF — clamp on encode
+        velocity = max(1, velocity)
 
         tr = evt["track"]
         timeline.append({"t": st, "o": "on", "n": evt["note"], "tr": tr, "v": velocity})
@@ -181,7 +185,8 @@ def events_to_midi_financial(
             MidiMessage(
                 "note_on",
                 note=int(evt["note"]),
-                velocity=int(evt["velocity"]),
+                # velocity-0 events are legal; 0 means note_off in SMF
+                velocity=max(1, int(evt["velocity"])),
                 time=max(0, start_ticks - last[tr]),
             )
         )

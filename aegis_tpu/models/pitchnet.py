@@ -676,6 +676,7 @@ def _mel_db_with_ref(mel, ref_power):
                               "n_mels", "include_mel", "hop22"))
 def _neural_slab_program(y16, scale, y22_16, scale22, rake_sensitivity,
                          params, ref_power, onset_ref, n_invalid_left,
+                         n_valid_right,
                          sample_rate: int,
                          hop_length: int, n_fft: int, n_mels: int,
                          include_mel: bool = False, hop22: int = 0):
@@ -689,12 +690,14 @@ def _neural_slab_program(y16, scale, y22_16, scale22, rake_sensitivity,
     from aegis_tpu.core.cqt import onset_from_db
 
     y = y16.astype(jnp.float32) * scale
-    # the leading halo of slab 0 carries REFLECTED audio for the mel path
-    # (fused framing reflects at the track start), but rms and the pitch
-    # framing use constant-zero padding — zero the pre-track samples for
-    # those paths so every convention matches the fused program exactly
+    # slab 0's leading halo carries REFLECTED audio for the mel path
+    # (fused framing reflects at the track start), and the final slab's
+    # tail carries the bucket-end reflect (samples >= n_valid_right) —
+    # but rms and the pitch framing use constant-zero padding, so zero
+    # both regions for those paths to match the fused program exactly
     s_idx = jnp.arange(y.shape[0])
-    y_zero = jnp.where(s_idx >= n_invalid_left * hop_length, y, 0.0)
+    y_zero = jnp.where((s_idx >= n_invalid_left * hop_length)
+                       & (s_idx < n_valid_right), y, 0.0)
     mel = dsp.melspectrogram_t(y, sample_rate, n_fft, hop_length, n_mels)
     mel_db = _mel_db_with_ref(mel, ref_power)
     out = {
@@ -747,7 +750,8 @@ def run_analyze_neural_streamed(
     resident between the passes).  The whole track is quantized with ONE
     per-track scale, so slab rows are bit-identical to the fused program's.
     `halo_frames` is a floor: the halo grows with the frame rate so the
-    onset backfill's ~0.08 s + 0.04 s dependency chain always fits.
+    onset backfill's full ~0.14 s anchor window (plus its flux/mel frame
+    lookback) always fits.
     Non-native rates resample once host-side (uniform hops only)."""
     import jax.numpy as jnp
 
@@ -755,8 +759,12 @@ def run_analyze_neural_streamed(
         quantize_pcm16
 
     fps = sr / hop_length
-    halo_frames = max(halo_frames,
-                      int(round(0.08 * fps)) + int(round(0.04 * fps)) + 4)
+    # The widest frame dependency is the onset backfill: a filled frame
+    # reads anchors up to k = round(0.14*fps) frames back, and an anchor's
+    # peak test reads onset flux one frame earlier, itself one mel frame
+    # back — a left reach of k+2 (the right reach is k+1 via future(k);
+    # the +4 also covers the cents median +-2 and rake run-length <= 3).
+    halo_frames = max(halo_frames, int(round(0.14 * fps)) + 4)
     true_frames = 1 + len(y) // hop_length
     if sr == SR_NATIVE:
         hop22 = 0
@@ -773,20 +781,26 @@ def run_analyze_neural_streamed(
         need22 = true_frames * hop22 + WIN
         y22 = np.pad(y22, (0, max(need22 - len(y22), 0)))
 
+    # The fused program frames the BUCKET-padded signal (length B): mel
+    # framing reflects past the bucket's far end — back through the
+    # bucket's zero band into real samples when the window outreach
+    # exceeds B - len(y) — and its dB/onset references max over the full
+    # padded grid of T_pad = 1 + B//hop frames.  Slabs must reproduce
+    # both (caught by test_streamed_matches_fused_high_fps: the last true
+    # frame's window reached 1536 samples past the bucket end), so the
+    # slab grid covers T_pad, not just true_frames.
+    B_len = bucket_length(len(y))
+    T_pad = 1 + B_len // hop_length
+
     S, H = slab_frames, halo_frames
-    n_slabs = -(-true_frames // S)
+    n_slabs = -(-T_pad // S)
     ext_len = (S + 2 * H) * hop_length  # samples per extended slab
     y16_full, scale = quantize_pcm16(np.asarray(y, np.float32))
     if hop22:
         y22_16_full, scale22 = quantize_pcm16(np.asarray(y22))
         ext22_len = (S + 2 * H) * hop22
 
-    # the fused path's mel framing reflects past the signal's FAR end only
-    # when bucket padding added nothing (len(y) exactly on a bucket edge);
-    # otherwise the reflected region is the bucket's zeros
-    reflect_end = bucket_length(len(y)) == len(y)
-
-    def slab16(full, a, length, mirror_end=False):
+    def slab16(full, a, length, bucket_len=None):
         lo, hi = max(a, 0), min(a + length, len(full))
         out = np.zeros(length, np.int16)
         if hi > lo:
@@ -798,27 +812,38 @@ def run_analyze_neural_streamed(
             # convention: x[1..p] reversed)
             p = min(-a, len(full) - 1)
             out[-a - p: -a] = full[1:1 + p][::-1]
-        if mirror_end and a + length > len(full):
-            p = min(a + length - len(full), len(full) - 1)
-            tail = full[len(full) - 1 - p: len(full) - 1][::-1]
-            out[len(full) - a: len(full) - a + p] = tail
+        if bucket_len is not None and a + length > bucket_len:
+            # fused mel framing reflects past the bucket's far end: the
+            # virtual sample at position p >= bucket_len is
+            # padded_bucket[2*bucket_len - 2 - p] — zero inside the
+            # bucket's zero band, a real sample below it (single reflect
+            # covers every fused frame: the deepest window reach is
+            # bucket_len + n_fft//2 - hop)
+            p = np.arange(max(a, bucket_len), a + length)
+            q = 2 * bucket_len - 2 - p
+            m = (q >= 0) & (q < len(full))
+            out[p[m] - a] = full[q[m]]
         return jnp.asarray(out)
 
     # pass 1a: upload every slab once (device-resident); track-global mel
-    # peak over INTERIOR frames only — the outermost reflect-padding frames
-    # of each extended slab are palindromic windows whose power can exceed
-    # any real frame's and would inflate the reference above the fused one
+    # peak over interior frames, clamped to the fused grid [0, T_pad) —
+    # the outermost reflect-padding frames of each extended slab are
+    # palindromic windows whose power can exceed any real frame's and
+    # would inflate the reference above the fused one, while frames the
+    # FUSED program computes (including its bucket-tail reflect frames up
+    # to T_pad - 1) must all contribute
     slabs = []
     peaks = []
     for k in range(n_slabs):
         a = (k * S - H) * hop_length
-        s16 = slab16(y16_full, a, ext_len, mirror_end=reflect_end)
+        s16 = slab16(y16_full, a, ext_len, bucket_len=B_len)
         s22 = (slab16(y22_16_full, (k * S - H) * hop22, ext22_len)
                if hop22 else None)
         slabs.append((s16, s22))
         peaks.append(_neural_mel_peak(s16, jnp.float32(scale), sr,
                                       hop_length, n_fft, n_mels,
-                                      keep_lo=H, keep_hi=H + S))
+                                      keep_lo=H,
+                                      keep_hi=H + min(S, T_pad - k * S)))
     ref = jnp.max(jnp.stack(peaks))
 
     # pass 1b: track-global onset-flux max (with the global dB reference)
@@ -826,22 +851,31 @@ def run_analyze_neural_streamed(
     omaxes = [
         _neural_onset_max(s16, jnp.float32(scale), ref,
                           jnp.int32(H if k == 0 else 0), sr, hop_length,
-                          n_fft, n_mels, keep_lo=H, keep_hi=H + S)
+                          n_fft, n_mels, keep_lo=H,
+                          keep_hi=H + min(S, T_pad - k * S))
         for k, (s16, _) in enumerate(slabs)
     ]
     onset_ref = jnp.max(jnp.stack(omaxes))
 
     # pass 2: per-slab rows with the global references, dispatch-ahead
     # (fetching slab k only after slab k+1 is dispatched keeps the tunnel's
-    # per-transfer latency overlapped with device compute)
+    # per-transfer latency overlapped with device compute).  Slabs past
+    # true_frames exist only to feed the reference maxima — skip them.
+    # n_valid_right: first slab-coordinate SAMPLE of the bucket-tail
+    # reflect region, which the pitch/rms zero-padding conventions must
+    # see as zeros (the mel path reads the reflected samples).
     handles = []
     for k, (s16, s22) in enumerate(slabs):
+        if k * S >= true_frames:
+            break
+        a = (k * S - H) * hop_length
         handles.append(_neural_slab_program(
             s16, jnp.float32(scale),
             s22 if s22 is not None else s16,
             jnp.float32(scale22 if hop22 else 0.0),
             jnp.float32(rake_sensitivity), params, ref, onset_ref,
             jnp.int32(H if k == 0 else 0),
+            jnp.int32(np.clip(B_len - a, 0, ext_len)),
             sr, hop_length, n_fft, n_mels, fetch_mel, hop22))
     parts = [np.asarray(h)[H: H + S] for h in handles]
     buf = np.concatenate(parts)[:true_frames]

@@ -10,6 +10,7 @@ upload endpoint.
 from __future__ import annotations
 
 import json
+import math
 import re
 import traceback
 import urllib.parse
@@ -104,11 +105,16 @@ def coerce(query: Dict[str, str], name: str, default, cast=None):
     if cast is bool:
         return val.lower() in ("1", "true", "yes", "on")
     try:
+        # OverflowError: int(float('inf')); non-finite floats ('inf',
+        # 'nan') parse but crash downstream — both are client errors.
         if cast is float or isinstance(default, float):
-            return float(val)
+            out = float(val)
+            if not math.isfinite(out):
+                raise ValueError(val)
+            return out
         if cast is int or isinstance(default, int):
             return int(float(val))
-    except ValueError:
+    except (ValueError, OverflowError):
         raise HTTPError(400, f"invalid value for '{name}': {val!r}")
     return val
 

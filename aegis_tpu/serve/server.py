@@ -651,9 +651,11 @@ class AegisServer:
                     raise HTTPError(400, f"invalid event {ev}")
                 if ev["track"] not in ("main", "safe"):
                     raise HTTPError(400, "track must be 'main' or 'safe'")
-                if not 1 <= ev["velocity"] <= 127:
-                    # 128 would wrap to velocity 0 = note_off in SMF
-                    raise HTTPError(400, "velocity must be in 1..127")
+                if not 0 <= ev["velocity"] <= 127:
+                    # 0 is legal — the extractor emits it for <= -80 dB
+                    # frames and the encoder clamps it to 1 on note_on
+                    # (velocity 0 = note_off in SMF); 128 would wrap
+                    raise HTTPError(400, "velocity must be in 0..127")
                 events.append(ev)
             events.sort(key=lambda e: (e["start"], e["note"]))
             params = sess.get("params", {})

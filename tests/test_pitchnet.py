@@ -357,6 +357,38 @@ def test_streamed_matches_fused():
 
 
 @needs_weights
+def test_streamed_matches_fused_high_fps():
+    """Same contract at a HIGH frame rate (sr=44100, hop=256: ~172 fps,
+    22.05 kHz hop 128 integral): the onset backfill's anchor window is
+    k = round(0.14*fps) = 24 frames, so the slab halo must reach k+2
+    frames left of every interior frame.  The old halo bound
+    (0.08+0.04)*fps+4 = 25 < 26 broke exactness here — anchors near slab
+    starts read a lag-padded flux predecessor (caught by review
+    2026-08-18; the bound is now 0.14*fps+4)."""
+    params = pn.load_params()
+    rng = np.random.default_rng(11)
+    sr = 44100
+    segs = []
+    for f, amp in ((110.0, 0.9), (196.0, 0.08), (330.0, 0.5),
+                   (247.0, 0.04), (147.0, 0.3)):
+        t = np.arange(int(sr * 0.5)) / sr
+        segs.append(amp * np.exp(-2.5 * t) * np.sin(2 * np.pi * f * t))
+    y = np.concatenate(segs).astype(np.float32)
+    y += (0.003 * rng.standard_normal(len(y))).astype(np.float32)
+
+    fused = pn.run_analyze_neural(y, sr, 256, params, fetch_mel=False)
+    streamed = pn.run_analyze_neural_streamed(
+        y, sr, 256, params, fetch_mel=False,
+        slab_frames=48, halo_frames=8)  # many slabs; halo floor must lift
+    for k in ("voiced_flag", "rake_mask"):
+        np.testing.assert_array_equal(streamed[k], fused[k], err_msg=k)
+    for k in ("f0", "voiced_probs", "rms", "onset_env"):
+        np.testing.assert_allclose(
+            np.nan_to_num(streamed[k]), np.nan_to_num(fused[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+@needs_weights
 def test_streamed_44k_and_engine_route():
     from aegis_tpu.engine.engine import AegisEngine
 

@@ -449,13 +449,24 @@ def test_event_edit_validation_and_filename_sanitization(server_url):
     assert status == 200 and data[:4] == b"MThd"
 
     for bad in ([{"note": 60, "start": 0, "end": 4, "track": "Main"}],
-                [{"note": 60, "start": 0, "end": 4, "velocity": 128}]):
+                [{"note": 60, "start": 0, "end": 4, "velocity": 128}],
+                [{"note": 60, "start": 0, "end": 4, "velocity": -1}]):
         try:
             _req(f"{server_url}/api/events/{sid}", "POST",
                  json.dumps(bad).encode())
             assert False, f"expected 400 for {bad}"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+    # velocity 0 is a LEGAL event (velocity_from_db emits it at <= -80 dB)
+    # — the extractor's own output must round-trip through edit-sync; the
+    # encoder clamps it to note_on velocity 1 (0 = note_off in SMF)
+    ok = [{"note": 60, "start": 0, "end": 4, "velocity": 0}]
+    status, _, data = _req(f"{server_url}/api/events/{sid}", "POST",
+                           json.dumps(ok).encode())
+    assert status == 200
+    status, _, data = _req(f"{server_url}/api/midi/{sid}")
+    assert status == 200 and data[:4] == b"MThd"
 
 
 def test_param_validation_400s(server_url):
@@ -490,6 +501,18 @@ def test_param_validation_400s(server_url):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert b"start_time" in e.read()
+
+    # coerce() hardening: 'inf' through an int cast raised an uncaught
+    # OverflowError (500) and non-finite floats crashed downstream — both
+    # must be 400s naming the parameter
+    for qp in ("sustain_ms=inf", "sustain_ms=nan", "noise_gate_db=inf",
+               "noise_gate_db=nan"):
+        try:
+            _req(f"{server_url}/api/refilter/{sid}?{qp}", "POST")
+            assert False, f"expected 400 for {qp}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (qp, e.code)
+            assert qp.split("=")[0].encode() in e.read()
 
 
 def test_streaming_poly_endpoints(server_url):
