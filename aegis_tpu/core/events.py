@@ -487,16 +487,14 @@ def extract_events_financial(
         analyzer = HarmonicAnalyzer()
         midi_notes = np.array([e["note"] for e in events])
         confidences = np.array([e["confidence"] for e in events])
-        times_ms = np.array(
-            [e["start"] * (hop_length / sr) * 1000.0 for e in events]
-        )
         key_info = analyzer.detect_key(midi_notes)
-        _, filtered_conf, out_of_scale = analyzer.filter_out_of_scale_notes(
+        # the scale filter only MASKS (confidences pass through unchanged,
+        # harmony/key.py) — survivors just get the harmonic_valid tag
+        _, _, out_of_scale = analyzer.filter_out_of_scale_notes(
             midi_notes, confidences, key_info, tolerance=harmonic_tolerance
         )
         kept = [e for e, bad in zip(events, out_of_scale) if not bad]
-        for e, c in zip(kept, confidences[~out_of_scale]):
-            e["confidence"] = float(c)
+        for e in kept:
             e["harmonic_valid"] = True
         if kept:
             adjusted = analyzer.adaptive_filter_by_context(

@@ -112,6 +112,7 @@ class StreamingTranscriber:
         self._fin_trend_cache = None              # incremental poll trend
         self._ref_power = 0.0
         self._n_fed = 0
+        self._final_rows: Optional[Dict[str, np.ndarray]] = None  # finalize cache
 
     # ------------------------------------------------------------------ props
 
@@ -129,6 +130,12 @@ class StreamingTranscriber:
     def feed(self, chunk: np.ndarray) -> int:
         """Append PCM samples; analyzes every tile whose halo is complete.
         Returns the number of tiles analyzed by this call."""
+        if self._final_rows is not None:
+            # finalize() flushed the tail with silence padding; accepting
+            # more audio would time-shift every later event by the pad and
+            # silently drop the real tail on a re-finalize
+            raise RuntimeError("stream already finalized; feed() is no "
+                               "longer accepted")
         chunk = np.asarray(chunk, np.float32).reshape(-1)
         self._pending = np.concatenate([self._pending, chunk])
         self._n_fed += len(chunk)
@@ -243,25 +250,34 @@ class StreamingTranscriber:
         else:
             fin = self._trend_incremental(f0_clean)
             fin = {k: v[:T] for k, v in fin.items()}
-        combined = rows["voiced_probs"] * 0.5 + fin["confidence"] * 0.5
-        n_mels = self.audio.n_mels
-        hi_bins = n_mels - int(n_mels * 0.7)
         high = float(np.sum(rows.pop("dist_high_sum")))
         total = float(np.sum(rows.pop("dist_total_sum")))
-        # use_guitar_filters=False forces distortion_score to 0.0, the
-        # same convention as analyze_financial_program and the turbo paths
-        dist = ((high / (T * hi_bins)) / (total / (T * n_mels) + 1e-6)
-                if self.use_guitar_filters and total else 0.0)
         rows.update(
             trend=fin["trend"],
             artic_codes=np.asarray(fin["articulations"], np.int8),
             slide_codes=np.asarray(fin["slides"], np.int8),
             financial_confidence=fin["confidence"],
-            combined_confidence=combined,
-            adaptive_threshold=trend_ref.adaptive_confidence_threshold(
-                combined),
-            distortion_score=dist,
         )
+        if exact:
+            # offline-shape extras, for parity with the offline analyze
+            # dict.  The poll path skips them: extract_events_financial
+            # recomputes combined confidence + the adaptive threshold
+            # internally, so computing them per poll was pure dead work
+            # on the O(T) hot path.
+            combined = rows["voiced_probs"] * 0.5 + fin["confidence"] * 0.5
+            n_mels = self.audio.n_mels
+            hi_bins = n_mels - int(n_mels * 0.7)
+            # use_guitar_filters=False forces distortion_score to 0.0, the
+            # same convention as analyze_financial_program and the turbo
+            # paths
+            dist = ((high / (T * hi_bins)) / (total / (T * n_mels) + 1e-6)
+                    if self.use_guitar_filters and total else 0.0)
+            rows.update(
+                combined_confidence=combined,
+                adaptive_threshold=trend_ref.adaptive_confidence_threshold(
+                    combined),
+                distortion_score=dist,
+            )
         return rows
 
     def _extract(self, rows: Dict[str, np.ndarray]) -> List[dict]:
@@ -297,24 +313,28 @@ class StreamingTranscriber:
 
     def poll_events(self) -> List[dict]:
         """Events over everything analyzed so far (the live view — same
-        instant re-filter contract as the offline Phase 2)."""
-        rows = self._analysis()
+        instant re-filter contract as the offline Phase 2).  After
+        finalize(), polls serve the finalized rows."""
+        rows = (self._final_rows if self._final_rows is not None
+                else self._analysis())
         if len(rows.get("f0", ())) == 0:
             return []
         return self._extract(rows)
 
     def finalize(self) -> List[dict]:
         """Flush the buffered tail (padding it with silence, the offline
-        trailing-pad convention) and return the final event list."""
-        true_frames = self.audio.n_frames(self._n_fed)
-        remaining = true_frames - self.frames_analyzed
-        if remaining > 0:
-            need_tiles = -(-remaining // self.turbo.tile_frames)
-            span = self._ctx + self._tile_samp + self._ctx
-            pad = need_tiles * self._tile_samp + 2 * self._ctx
-            self.feed(np.zeros(pad, np.float32))
-            self._n_fed -= pad  # padding is not audio
-        rows = self._analysis(true_frames, exact=True)
+        trailing-pad convention) and return the final event list.
+        Idempotent: repeat calls re-extract from the finalized rows."""
+        if self._final_rows is None:
+            true_frames = self.audio.n_frames(self._n_fed)
+            remaining = true_frames - self.frames_analyzed
+            if remaining > 0:
+                need_tiles = -(-remaining // self.turbo.tile_frames)
+                pad = need_tiles * self._tile_samp + 2 * self._ctx
+                self.feed(np.zeros(pad, np.float32))
+                self._n_fed -= pad  # padding is not audio
+            self._final_rows = self._analysis(true_frames, exact=True)
+        rows = self._final_rows
         if len(rows.get("f0", ())) == 0:
             return []
         return self._extract(rows)
@@ -430,6 +450,8 @@ class StreamingPolyTranscriber:
         self._rows: List[np.ndarray] = []     # per-tile (tile, 2V+2)
         self._ref_power = 0.0
         self._n_fed = 0
+        self._finalized = False
+        self._final_analysis: Optional[Dict] = None
 
     # ------------------------------------------------------------------ props
 
@@ -446,6 +468,9 @@ class StreamingPolyTranscriber:
     def feed(self, chunk: np.ndarray) -> int:
         """Append PCM samples; analyzes every tile whose right halo is
         complete.  Returns the number of tiles analyzed by this call."""
+        if self._finalized:
+            raise RuntimeError("stream already finalized; feed() is no "
+                               "longer accepted")
         chunk = np.asarray(chunk, np.float32).reshape(-1)
         self._buf = np.concatenate([self._buf, chunk])
         self._n_fed += len(chunk)
@@ -475,12 +500,12 @@ class StreamingPolyTranscriber:
                          start - self._buf_off + self._tile_samp + self._ctx]
         if self._tile_idx == 0:
             # track-head left context: reflection for STFT frames (the
-            # offline frame_signal pad convention), zeros for RMS frames
-            m = min(self.n_fft // 2, max(len(core) - 1, 0))
-            refl = np.zeros(self._ctx, np.float32)
-            if m:
-                refl[self._ctx - m:] = core[m:0:-1]
-            left_s, left_z = refl, np.zeros(self._ctx, np.float32)
+            # offline frame_signal pad convention, via the SAME helper the
+            # offline turbo path uses), zeros for RMS frames
+            from aegis_tpu.core.analyze import reflect_head
+
+            left_s = reflect_head(core, self._ctx, self.n_fft // 2)
+            left_z = np.zeros(self._ctx, np.float32)
         else:
             left = self._buf[start - self._ctx - self._buf_off:
                              start - self._buf_off]
@@ -515,8 +540,10 @@ class StreamingPolyTranscriber:
         return out
 
     def poll_events(self) -> List[dict]:
-        """Events over everything analyzed so far (live view)."""
-        analysis = self._analysis()
+        """Events over everything analyzed so far (live view).  After
+        finalize(), polls serve the finalized analysis."""
+        analysis = (self._final_analysis if self._finalized
+                    else self._analysis())
         if analysis is None:
             return []
         return self._engine.extract_events(analysis, **self.extract_kwargs)
@@ -524,16 +551,20 @@ class StreamingPolyTranscriber:
     def finalize(self, output_mid=None, **kwargs) -> List[dict]:
         """Flush the buffered tail (silence padding, the offline trailing
         convention) and return the final event list — identical to the
-        offline AegisPolyEngine events on the same audio."""
-        true_frames = 1 + self._n_fed // self.hop
-        remaining = true_frames - self.frames_analyzed
-        if remaining > 0:
-            need_tiles = -(-remaining // self.tile)
-            pad = need_tiles * self._tile_samp + 2 * self._ctx
-            self.feed(np.zeros(pad, np.float32))
-            self._n_fed -= pad  # padding is not audio
-        analysis = self._analysis(true_frames)
-        if analysis is None:
+        offline AegisPolyEngine events on the same audio.  Idempotent:
+        repeat calls re-extract from the finalized analysis."""
+        if not self._finalized:
+            true_frames = 1 + self._n_fed // self.hop
+            remaining = true_frames - self.frames_analyzed
+            if remaining > 0:
+                need_tiles = -(-remaining // self.tile)
+                pad = need_tiles * self._tile_samp + 2 * self._ctx
+                self.feed(np.zeros(pad, np.float32))
+                self._n_fed -= pad  # padding is not audio
+            self._final_analysis = self._analysis(true_frames)
+            self._finalized = True
+        if self._final_analysis is None:
             return []
         return self._engine.extract_events(
-            analysis, output_mid, **{**self.extract_kwargs, **kwargs})
+            self._final_analysis, output_mid,
+            **{**self.extract_kwargs, **kwargs})

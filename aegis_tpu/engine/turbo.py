@@ -661,13 +661,13 @@ def run_analyze_poly_turbo(
 
     y16, scale = quantize_tracks(ys2, n_samp)
     # left context = the track's reflect padding (same int16 samples, so the
-    # dequantized slab equals frame_signal's reflect pad exactly)
+    # dequantized slab equals frame_signal's reflect pad exactly); shared
+    # helper with the live poly transcriber (core.analyze.reflect_head)
+    from aegis_tpu.core.analyze import reflect_head
+
     edge = np.zeros((len(ys2), 2 * ctx), np.int16)
-    pad = n_fft // 2
-    for i in range(len(ys2)):
-        m = min(pad, max(ys2.shape[1] - 1, 0))
-        if m:
-            edge[i, ctx - m: ctx] = y16[i, m: 0: -1]
+    edge[:, :ctx] = reflect_head(y16, ctx, n_fft // 2,
+                                 true_len=ys2.shape[1])
 
     packed = analyze_poly_sharded(
         jnp.asarray(y16), jnp.asarray(scale), jnp.asarray(edge),
@@ -794,19 +794,13 @@ def run_analyze_streamed(
                  for s in range(n_slabs)]
     edges_dev = [jnp.asarray(_edge_np(s)) for s in range(n_slabs)]
 
-    def slab(s: int) -> jnp.ndarray:
-        return slabs_dev[s]
-
-    def edge_for(s: int) -> jnp.ndarray:
-        return edges_dev[s]
-
     # pass 1: track-global mel-power reference (bounded in-flight pipeline)
     gmax = 0.0
     pending = []
     for s in range(n_slabs):
         pending.append(analyze_audio_sharded(
-            slab(s), scale_j, rs, audio, pyin_cfg, turbo, mesh, slab_tiles,
-            peak_only=True, edge16=edge_for(s)))
+            slabs_dev[s], scale_j, rs, audio, pyin_cfg, turbo, mesh,
+            slab_tiles, peak_only=True, edge16=edges_dev[s]))
         if len(pending) > max_in_flight:
             gmax = max(gmax, float(np.asarray(pending.pop(0))[0]))
     for h in pending:
@@ -824,10 +818,10 @@ def run_analyze_streamed(
 
     for s in range(n_slabs):
         pending.append(analyze_audio_sharded(
-            slab(s), scale_j, rs, audio, pyin_cfg, turbo, mesh, slab_tiles,
-            include_mel=fetch_mel, guitar_only=financial,
+            slabs_dev[s], scale_j, rs, audio, pyin_cfg, turbo, mesh,
+            slab_tiles, include_mel=fetch_mel, guitar_only=financial,
             use_guitar_filters=use_guitar_filters,
-            edge16=edge_for(s), db_ref=gmax_j))
+            edge16=edges_dev[s], db_ref=gmax_j))
         if len(pending) > max_in_flight:
             outs.append(fetch(pending.pop(0)))
     outs.extend(fetch(h) for h in pending)

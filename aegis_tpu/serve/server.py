@@ -764,7 +764,10 @@ class AegisServer:
             chunk = np.frombuffer(
                 body[: (len(body) // 2) * 2], dtype="<i2"
             ).astype(np.float32) / 32768.0
-            tiles = rt.feed(chunk)
+            try:
+                tiles = rt.feed(chunk)
+            except RuntimeError as e:  # feed after finalize
+                raise HTTPError(400, str(e))
             return json_response({
                 "tiles_analyzed": tiles,
                 "frames_analyzed": rt.frames_analyzed,

@@ -189,3 +189,33 @@ def test_streaming_financial_incremental_trend():
                         for k, v in inc.items()})
     final = rt.finalize()
     assert [e["note"] for e in live] == [e["note"] for e in final]
+
+
+def test_finalize_is_terminal_and_idempotent():
+    """feed() after finalize() must raise (the tail pad would time-shift
+    later events and a re-finalize would trim real audio); repeat
+    finalize() and post-finalize polls serve the finalized result."""
+    import pytest
+
+    from aegis_tpu.engine.realtime import StreamingPolyTranscriber
+
+    y = _loud_first_clip()
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8,
+                              confidence_threshold=0.5)
+    rt.feed(y)
+    final = rt.finalize()
+    assert final
+    assert [e["note"] for e in rt.finalize()] == [e["note"] for e in final]
+    assert [e["note"] for e in rt.poll_events()] == \
+        [e["note"] for e in final]
+    with pytest.raises(RuntimeError):
+        rt.feed(np.zeros(1000, np.float32))
+
+    rp = StreamingPolyTranscriber(sample_rate=SR, tile_frames=32,
+                                  halo_frames=8)
+    rp.feed(y)
+    pf = rp.finalize()
+    assert [e["note"] for e in rp.finalize()] == [e["note"] for e in pf]
+    assert [e["note"] for e in rp.poll_events()] == [e["note"] for e in pf]
+    with pytest.raises(RuntimeError):
+        rp.feed(np.zeros(1000, np.float32))

@@ -374,6 +374,18 @@ def test_streaming_endpoints(server_url):
     assert {e["note"] for e in j["events"]} >= {55, 62}
     assert j["midi_base64"]
 
+    # the stream is terminal after finalize: more audio would corrupt
+    # event timing (pad-shifted) — must be a 400, not silent acceptance
+    try:
+        _req(f"{server_url}/api/stream-feed/{sid}", "POST", pcm[:third])
+        assert False, "expected 400 for feed-after-finalize"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # polling and re-finalizing the finalized session stays valid
+    status, _, data = _req(f"{server_url}/api/stream-events/{sid}")
+    assert status == 200
+    assert {e["note"] for e in json.loads(data)["events"]} >= {55, 62}
+
     # feeding a non-streaming session -> 400
     buf = io.BytesIO()
     write_wav(buf, y, SR)
