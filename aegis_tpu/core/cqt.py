@@ -82,6 +82,13 @@ def pick_onsets(envelope: np.ndarray, sr: int, hop_length: int,
     A frame is an onset iff it is the max of [t-pre_max, t+post_max], at
     least `delta` above the mean of [t-pre_avg, t+post_avg], and at least
     `wait` frames after the previous onset.  Returns frame indices.
+
+    Note: every window size is floored at 1 frame, so the default
+    post_max_ms=0.0 still requires env[t] >= env[t+1] — onsets land on
+    the local flux PEAK, one frame later than a pure rising-edge pick.
+    This inclusive-window convention is what every downstream snap/birth
+    gate was truth-measured against (VALIDATION.md); do not "fix" it to
+    the exclusive-slice reading without re-running those sweeps.
     """
     env = np.asarray(envelope, np.float64)
     T = len(env)

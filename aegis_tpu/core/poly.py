@@ -464,6 +464,11 @@ def onset_birth_gate(events: List[dict], onsets: np.ndarray,
             if int(np.min(np.abs(on - e["start"]))) <= tol_frames]
 
 
+#: frame rate the attack-physics gates were truth-validated at (22.05 kHz
+#: hop 512 — identical to the 44.1 kHz hop-1024 sr-proportional default)
+_GATE_REF_FPS = 22050.0 / 512.0
+
+
 def attack_rise_gate(events: List[dict], rms_db: np.ndarray,
                      win_frames: int = 4,
                      min_rise_db: float = 2.0) -> List[dict]:
@@ -546,7 +551,15 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
                          total_frames=total_frames)
     events = onset_birth_gate(events, onsets,
                               tol_frames=int(birth_tol_ms / 1000.0 * fps))
-    events = attack_rise_gate(events, rms_db, min_rise_db=rise_db)
+    # the rise gate's window and per-frame-diff threshold are anchored to
+    # the truth-validated grid (22.05 kHz hop 512 == 44.1 kHz hop 1024,
+    # both fps 43.07 — the scaling is exactly 1.0 there): at a higher
+    # frame rate an attack's rise spreads over proportionally more frames,
+    # so the window widens and the per-frame rise requirement relaxes
+    events = attack_rise_gate(
+        events, rms_db,
+        win_frames=max(int(round(4 * fps / _GATE_REF_FPS)), 1),
+        min_rise_db=rise_db * min(1.0, _GATE_REF_FPS / fps))
     events = harmonic_dedup(events, sal_ratio=sal_ratio)
     return events
 

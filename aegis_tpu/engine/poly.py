@@ -25,7 +25,7 @@ import numpy as np
 from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
 from aegis_tpu.core import poly as P
 from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
-from aegis_tpu.core.events import extract_events_v1
+from aegis_tpu.core.events import extract_events_v1, velocity_from_db
 from aegis_tpu.io.audio import load_audio
 from aegis_tpu.midi.encode import events_to_midi
 from aegis_tpu.midi.tabs import generate_tabs_chords
@@ -171,6 +171,16 @@ class AegisPolyEngine:
             events = split_events_at_onsets(
                 events, onsets,
                 min_frames=max(int(mindur / 1000.0 * fps), 1))
+            # re-read attack dynamics at each split point — the v1 path's
+            # convention (core/events.py apply_onset_refinement): a chord
+            # re-plucked at a different dynamic must not inherit the first
+            # pluck's velocity.  Deliberately NOT re-read after the snap
+            # below, also matching v1.
+            velocity = velocity_from_db(rms_db)
+            T_rms = len(rms_db)
+            for e in events:
+                e["velocity"] = int(velocity[min(e["start"], T_rms - 1)])
+                e["rms_energy"] = float(rms_db[min(e["start"], T_rms - 1)])
             if "salience" in analysis:
                 events = P.refine_poly_events(
                     events, onsets, rms_db, analysis["salience"],

@@ -248,9 +248,10 @@ def init_train_state(seed: int = 0, hidden: Tuple[int, ...] = HIDDEN,
 FEATURE_VERSION = 1
 
 
-def save_params(params, path: str, metrics: Optional[Dict] = None) -> None:
+def save_params(params, path: str, metrics: Optional[Dict] = None) -> str:
     """f16 npz checkpoint with a __meta__ JSON record (feature version,
-    architecture, bin grid, and any training metrics provided)."""
+    architecture, bin grid, and any training metrics provided).  Returns
+    the path actually written (np.savez appends .npz to bare names)."""
     import json
 
     flat = {}

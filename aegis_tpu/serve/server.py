@@ -105,9 +105,12 @@ class AegisServer:
         if self._poly_engine is None:
             from aegis_tpu.engine.poly import AegisPolyEngine
 
-            self._poly_engine = AegisPolyEngine(
-                sample_rate=self.engine.sr,
-                hop_length=self.engine.hop_length)
+            # sr-proportional window DEFAULTS (4096/1024 at 44.1 kHz) — the
+            # accuracy-validated configs (engine/poly.py docstring).  The
+            # old hop_length=engine.hop override put the server on an
+            # unvalidated fps-86 grid at 44.1 kHz; poly sessions now carry
+            # their own hop (_sess_hop) through every frame->time consumer.
+            self._poly_engine = AegisPolyEngine(sample_rate=self.engine.sr)
         return self._poly_engine
 
     # ------------------------------------------------------------------ util
@@ -122,6 +125,17 @@ class AegisServer:
         if sess is None:
             raise HTTPError(404, "Session not found. Upload a file first.")
         return sess
+
+    def _sess_hop(self, sess: Dict) -> int:
+        """Frame hop of the session's CURRENT event list.  Events are
+        frame-indexed, and different producers use different grids: v1/
+        financial analyze = the engine hop, offline poly = the poly
+        engine's sr-proportional hop (1024 at 44.1 kHz), live streams =
+        the transcriber's hop.  Each producer stores it on the session;
+        every frame->time consumer (events edit-sync, tabs, fret filter,
+        per-note optimizer) must convert with THIS, not the engine hop
+        (review finding: live-poly tabs/edits came out at half speed)."""
+        return int(sess.get("hop_length") or self.engine.hop_length)
 
     def _load_original(self, sess: Dict,
                        duration: Optional[float] = None) -> np.ndarray:
@@ -196,19 +210,25 @@ class AegisServer:
                                "sal_ratio", "rise_db", "silence_db",
                                "birth_tol_ms", "snap_back_ms", "decay_frac")
                   if name in query}
+        midi_program = coerce(query, "midi_program", 25)
         events = self.poly_engine.extract_events(
             sess["poly_analysis"], buf,
             confidence_threshold=coerce(query, "confidence_threshold", 0.5),
             use_onsets=coerce(query, "use_onsets", True, bool),
-            midi_program=coerce(query, "midi_program", 25),
+            midi_program=midi_program,
             bpm=bpm or None,
             **tuning,
         )
         midi_data = buf.getvalue()
         # sessions.get returns the live dict; mutate in place (same pattern
-        # as the analyze endpoint's raw_data store)
+        # as the analyze endpoint's raw_data store).  The poly engine runs
+        # its own sr-proportional frame grid and MIDI defaults — record
+        # them so edit-sync / tabs / re-encodes stay on the same grid.
         sess["events"] = events
         sess["midi_data"] = midi_data
+        sess["hop_length"] = self.poly_engine.hop_length
+        sess["params"] = {**sess.get("params", {}),
+                          "midi_program": midi_program, "bpm": bpm or None}
         return events, midi_data, (bpm or None)
 
     # ---------------------------------------------------------------- routes
@@ -350,20 +370,28 @@ class AegisServer:
             sess["raw_data"] = raw
             events, midi_data, params = self._extract(sess, query)
             self.sessions.update(sid, events=events, midi_data=midi_data,
-                                 params=params)
+                                 params=params,
+                                 hop_length=self.engine.hop_length)
             self.sessions.checkpoint_raw(sid)
+            mode = ({"off": "fused", "tiles": "fused",
+                     "stream": "stream", "auto": "auto"}
+                    if pitch_backend == "neural" else
+                    {"off": "fused", "tiles": "tiles",
+                     "stream": "stream", "auto": "auto"})[turbo_mode]
+            if (mode == "stream" and pitch_backend == "neural"
+                    and (self.engine.hop_length * 22050) % self.engine.sr):
+                # the engine falls back to the fused program at rates with
+                # no integral 22.05 kHz hop — report what actually ran
+                mode = "fused"
             return json_response({
                 "session_id": sid,
                 "num_events": len(events),
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
-                "analysis_mode": ({"off": "fused", "tiles": "fused",
-                                   "stream": "stream", "auto": "auto"}
-                                  if pitch_backend == "neural" else
-                                  {"off": "fused", "tiles": "tiles",
-                                   "stream": "stream",
-                                   "auto": "auto"})[turbo_mode],
+                "analysis_mode": mode,
                 "pitch_backend": pitch_backend,
+                "sample_rate": self.engine.sr,
+                "hop_length": self.engine.hop_length,
                 "bpm": params.get("bpm"),
                 "message": f"Analysis complete: {len(events)} notes detected",
             })
@@ -536,12 +564,12 @@ class AegisServer:
             y = self._load_original(sess)
             mode = "quick" if coerce(query, "quick_mode", True, bool) else "precise"
             params = optimize_all_notes(y, sess["events"], self.engine.sr,
-                                        self.engine.hop_length, mode=mode)
+                                        self._sess_hop(sess), mode=mode)
             if not params:
                 raise HTTPError(500, "Optimization failed")
             report = generate_optimization_report(params)
             audio = synthesize_with_per_note_params(
-                sess["events"], params, self.engine.sr, self.engine.hop_length
+                sess["events"], params, self.engine.sr, self._sess_hop(sess)
             )
             return json_response({
                 "report": report,
@@ -558,7 +586,7 @@ class AegisServer:
 
             filtered, report = apply_fret_filter(
                 sess["events"], sr=self.engine.sr,
-                hop_length=self.engine.hop_length,
+                hop_length=self._sess_hop(sess),
                 max_fret_speed=coerce(query, "max_fret_speed", 40.0),
                 protect_long_notes_ms=coerce(query, "protect_long_notes_ms",
                                              200.0),
@@ -566,7 +594,7 @@ class AegisServer:
             # regenerate MIDI from the FILTERED events (reference bug fixed)
             params = sess.get("params", {})
             midi_data = events_to_midi(
-                filtered, self.engine.sr, self.engine.hop_length,
+                filtered, self.engine.sr, self._sess_hop(sess),
                 midi_program=params.get("midi_program", 27),
                 bpm=params.get("bpm"), output=None,
             )
@@ -597,6 +625,8 @@ class AegisServer:
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
                 "bpm": bpm,
+                "sample_rate": self.poly_engine.sr,
+                "hop_length": self.poly_engine.hop_length,
                 "message": f"Polyphonic analysis: {len(events)} notes",
             })
 
@@ -614,6 +644,8 @@ class AegisServer:
                 "events": _events_json(events),
                 "midi_base64": base64.b64encode(midi_data).decode(),
                 "bpm": bpm,
+                "sample_rate": self.poly_engine.sr,
+                "hop_length": self.poly_engine.hop_length,
             })
 
         @r.post("/api/events/{sid}")
@@ -646,8 +678,11 @@ class AegisServer:
                 except (KeyError, TypeError, ValueError):
                     raise HTTPError(400, "each event needs note/start/end ints")
                 # single-frame events (end == start) are legitimate: the
-                # extractor emits them when min-duration is below one frame
-                if ev["end"] < ev["start"] or not 0 <= ev["note"] <= 127:
+                # extractor emits them when min-duration is below one frame;
+                # negative frames would underflow the SMF delta-time encoder
+                # into a 500 (midi/smf.py raises on negative deltas)
+                if (ev["end"] < ev["start"] or ev["start"] < 0
+                        or not 0 <= ev["note"] <= 127):
                     raise HTTPError(400, f"invalid event {ev}")
                 if ev["track"] not in ("main", "safe"):
                     raise HTTPError(400, "track must be 'main' or 'safe'")
@@ -659,8 +694,12 @@ class AegisServer:
                 events.append(ev)
             events.sort(key=lambda e: (e["start"], e["note"]))
             params = sess.get("params", {})
+            # the session's own frame grid + program: a live-poly session's
+            # events are frame-indexed at the streamer's hop (1024 at
+            # 44.1 kHz) with program 25 — re-encoding with the engine's
+            # defaults halved every note time and switched instruments
             midi_data = events_to_midi(
-                events, self.engine.sr, self.engine.hop_length,
+                events, self.engine.sr, self._sess_hop(sess),
                 midi_program=params.get("midi_program", 27),
                 bpm=params.get("bpm"), output=None,
             )
@@ -743,6 +782,11 @@ class AegisServer:
             sid = self.sessions.create(file_name="<live>", raw_data=None,
                                        events=None, midi_data=None,
                                        stream=rt,
+                                       # the transcriber's frame grid: the
+                                       # poly streamer scales its hop with
+                                       # sr (1024 at 44.1 kHz)
+                                       hop_length=(getattr(rt, "hop", None)
+                                                   or rt.audio.hop_length),
                                        # poly sessions render chord-aware
                                        # tabs (see /api/tabs)
                                        poly_analysis=(
@@ -811,10 +855,13 @@ class AegisServer:
             else:
                 default_prog = 25 if isinstance(
                     rt, StreamingPolyTranscriber) else 27
+                prog = coerce(query, "midi_program", default_prog)
                 midi_data = events_to_midi(
                     events, self.engine.sr, rt_hop,
-                    midi_program=coerce(query, "midi_program", default_prog),
-                    output=None)
+                    midi_program=prog, output=None)
+                # edit-sync re-encodes must keep the stream's instrument
+                sess["params"] = {**sess.get("params", {}),
+                                  "midi_program": prog}
             self.sessions.update(sid, events=events, midi_data=midi_data)
             return json_response({
                 "num_events": len(events),
@@ -832,12 +879,14 @@ class AegisServer:
                                              render_ascii_tab)
 
             if sess.get("poly_analysis") is not None:
-                # chord-aware fingering: simultaneous notes on distinct strings
+                # chord-aware fingering: simultaneous notes on distinct
+                # strings, grouped on the SESSION's frame grid (live-poly
+                # streams run an sr-scaled hop)
                 tab_data = generate_tabs_chords(
-                    sess["events"], self.engine.sr, self.engine.hop_length)
+                    sess["events"], self.engine.sr, self._sess_hop(sess))
             else:
                 tab_data = generate_tabs(sess["events"])
-            spf = self.engine.hop_length / self.engine.sr
+            spf = self._sess_hop(sess) / self.engine.sr
             for t in tab_data:
                 t["time_sec"] = round(t["m_start"] * spf, 4)
                 t["end_sec"] = round(t["m_end"] * spf, 4)

@@ -596,3 +596,65 @@ def test_streaming_financial_endpoint(server_url):
     j = json.loads(data)
     assert {e["note"] for e in j["events"]} >= {55, 62}
     assert j["midi_base64"]
+
+
+def test_poly_session_hop_consistency_44k():
+    """Review r2: at 44.1 kHz the poly engine runs its VALIDATED
+    sr-proportional grid (hop 1024) while the v1 engine uses 512 — tabs,
+    edit-sync re-encodes, and responses must use the session's own hop.
+    Before the fix, /api/tabs halved every live/offline poly time and
+    /api/events re-encoded poly MIDI at double speed with the v1 patch."""
+    import urllib.parse
+
+    from aegis_tpu.tools.signal_gen import generate_chord_progression
+
+    srv = AegisServer(engine=AegisEngine(sample_rate=44100,
+                                         backend="device"))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv.router))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        y, truth = generate_chord_progression(7, sr=44100)
+        buf = io.BytesIO()
+        write_wav(buf, y, 44100)
+        status, _, data = _req(f"{base}/api/upload?name=c.wav", "POST",
+                               buf.getvalue())
+        sid = json.loads(data)["session_id"]
+        status, _, data = _req(f"{base}/api/analyze-poly/{sid}", "POST")
+        j = json.loads(data)
+        assert status == 200 and j["num_events"] > 0
+        # the response declares the poly grid (the SPA adopts it)
+        assert j["hop_length"] == srv.poly_engine.hop_length == 1024
+        assert j["sample_rate"] == 44100
+
+        # tabs convert frames -> seconds with the poly hop: the first
+        # chord's truth onset is ~0 s, the second ~0.8 s (generator grid);
+        # with the engine hop the times would come out halved
+        status, _, data = _req(f"{base}/api/tabs/{sid}")
+        tabs = json.loads(data)["tabs"]
+        assert tabs
+        spf = 1024 / 44100
+        for t in tabs:
+            # time_sec is rounded to 4 decimals server-side
+            assert abs(t["time_sec"] - t["m_start"] * spf) < 5e-5
+
+        # edit-sync round-trip: re-encoded MIDI must match the poly MIDI
+        # (same hop, same program), not a double-speed v1 re-encode
+        status, _, midi_pre = _req(f"{base}/api/midi/{sid}")
+        events = j["events"]
+        status, _, data = _req(
+            f"{base}/api/events/{sid}", "POST",
+            json.dumps(events).encode())
+        assert status == 200
+        status, _, midi_post = _req(f"{base}/api/midi/{sid}")
+        from aegis_tpu.midi.decode import midi_to_notes
+
+        n_pre = midi_to_notes(midi_pre)
+        n_post = midi_to_notes(midi_post)
+        assert len(n_pre) == len(n_post)
+        for a, b in zip(sorted(n_pre, key=lambda n: (n["start"], n["note"])),
+                        sorted(n_post, key=lambda n: (n["start"], n["note"]))):
+            assert a["note"] == b["note"]
+            assert abs(a["start"] - b["start"]) < 0.01, (a, b)
+    finally:
+        httpd.shutdown()
