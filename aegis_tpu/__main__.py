@@ -276,11 +276,17 @@ def cmd_stream(args) -> int:
     poll_samples = max(int(args.poll_every * args.sr), 1)
     src = sys.stdin.buffer
     fed_since_poll = 0
+    carry = b""  # odd trailing byte of a short read belongs to the NEXT
+    # sample — dropping it would byte-shift (byte-swap) the whole rest of
+    # the s16le stream
     while True:
         data = src.read(8192)
         if not data:
             break
-        pcm = np.frombuffer(data[: len(data) // 2 * 2],
+        data = carry + data
+        cut = len(data) // 2 * 2
+        carry = data[cut:]
+        pcm = np.frombuffer(data[:cut],
                             dtype="<i2").astype(np.float32) / 32768.0
         rt.feed(pcm)
         fed_since_poll += len(pcm)
@@ -288,7 +294,9 @@ def cmd_stream(args) -> int:
             fed_since_poll = 0
             print(_jsonable(rt.poll_events(), live=True), flush=True)
     events = rt.finalize()
-    if args.output and events:
+    if not events:
+        print("# no events detected", file=sys.stderr)
+    if args.output:
         # engine-matched encoders, same defaults as the offline facades:
         # poly program 25, v1 program 27, financial named-track layout
         if args.engine == "financial":
@@ -328,8 +336,12 @@ def cmd_tabs(args) -> int:
     if raw is None:
         print("error: empty audio", file=sys.stderr)
         return 1
-    events = eng.extract_events(raw, None, **_extract_kwargs(args))
+    # the optional positional writes the MIDI alongside the ASCII tab
+    # (extract_events encodes when given an output target)
+    events = eng.extract_events(raw, args.output, **_extract_kwargs(args))
     print(render_ascii_tab(generate_tabs(events)))
+    if args.output:
+        print(f"# wrote {args.output}", file=sys.stderr)
     return 0
 
 
@@ -379,7 +391,9 @@ def main(argv=None) -> int:
     p.add_argument("--pipelines",
                    default="v1,financial",
                    help="comma-separated: v1,neural,financial,"
-                        "neural-financial,poly,stream,neural-stream")
+                        "neural-financial,poly,stream,neural-stream,"
+                        "live-v1,live-financial,live-poly (the live-* "
+                        "tile programs are what /api/stream-* compiles)")
     p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("stream", description=cmd_stream.__doc__,

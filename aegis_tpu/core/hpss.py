@@ -39,9 +39,10 @@ from aegis_tpu.core.filters import dft_matrices, hann_window
 
 
 def _idft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Inverse one-sided DFT as matmul operands: frame = R @ icos + I @ isin
-    with shapes (n_bins, n_fft).  Interior bins carry the conjugate-symmetry
-    factor 2."""
+    """Inverse one-sided DFT as matmul operands: frame = R @ icos - I @ isin
+    (the imaginary term SUBTRACTS — Re[X_k e^{i ang}] = R cos - I sin; see
+    istft) with shapes (n_bins, n_fft).  Interior bins carry the
+    conjugate-symmetry factor 2."""
     n_bins = 1 + n_fft // 2
     k = np.arange(n_bins)[:, None]
     n = np.arange(n_fft)[None, :]
@@ -155,8 +156,12 @@ def hpss_program(y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 512,
         t_idx = jnp.arange(T)
         # replicate the last real frame over the padded tail: the time
         # median then sees the oracle's edge-padding semantics at the true
-        # end of track instead of the bucket's zero frames
-        S = jnp.take(S, jnp.minimum(t_idx, n_frames - 1), axis=0)
+        # end of track instead of the bucket's zero frames.  Gather-free:
+        # dynamic row gathers don't tile on TPU (core/dsp.py), so fetch
+        # the one replicated row via a one-hot matvec and select.
+        onehot = (t_idx == jnp.clip(n_frames - 1, 0, T - 1)).astype(S.dtype)
+        last_row = onehot @ S  # (F,)
+        S = jnp.where((t_idx < n_frames)[:, None], S, last_row[None, :])
         valid = (t_idx < n_frames).astype(jnp.float32)
 
     H = _median_along(S, kernel_time, axis=0)   # harmonic: smooth in time
@@ -194,34 +199,42 @@ def hpss(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512,
     slabs with a halo of (kernel_time//2)*hop + 2*n_fft samples: a kept
     sample depends on frames within n_fft/hop of it, whose median context
     reaches kernel_time//2 frames further, whose analysis windows reach
-    n_fft/2 further still — the halo covers that whole chain, so every kept
-    sample sees the identical median context and overlap-add window sum as
-    the unsliced program (exact, bounded memory)."""
+    n_fft/2 further still — the halo covers that whole chain.  Slab starts
+    are hop-aligned (so slab frames sit on the SAME grid as the unsliced
+    run) and the whole track is quantized with ONE int16 scale, so every
+    kept sample sees the identical median context, overlap-add window sum,
+    and transport quantization as the unsliced program (exact, bounded
+    memory)."""
     from aegis_tpu.core.analyze import pad_to_bucket, quantize_pcm16
 
     y = np.asarray(y, np.float32)
     n = len(y)
+    # ONE track-global scale: per-slab peaks would quantize each slab on a
+    # different int16 grid than the unsliced run
+    y16_full, scale = quantize_pcm16(y)
 
-    def run(seg: np.ndarray) -> np.ndarray:
-        seg_pad = pad_to_bucket(seg)
-        y16, s = quantize_pcm16(seg_pad)
-        y_dev = jnp.asarray(y16).astype(jnp.float32) * jnp.float32(s)
+    def run(seg16: np.ndarray) -> np.ndarray:
+        true_len = len(seg16)
+        seg_pad = pad_to_bucket(seg16)
+        y_dev = jnp.asarray(seg_pad).astype(jnp.float32) * jnp.float32(scale)
         hp = hpss_program(y_dev, n_fft, hop_length, kernel_time,
                           kernel_freq, power, length=len(seg_pad),
-                          n_frames=jnp.int32(1 + len(seg) // hop_length))
-        return np.asarray(hp)[:, :len(seg)]
+                          n_frames=jnp.int32(1 + true_len // hop_length))
+        return np.asarray(hp)[:, :true_len]
 
     if n <= _SLAB_SAMPLES:
-        out = run(y)
+        out = run(y16_full)
         return out[0][:n], out[1][:n]
 
-    halo = (kernel_time // 2) * hop_length + 2 * n_fft
-    step = _SLAB_SAMPLES - 2 * halo
+    halo = (kernel_time // 2) * hop_length + 2 * n_fft  # hop | n_fft (istft)
+    # step must be a hop multiple: a slab starting off-grid would put every
+    # frame on a shifted grid and break exactness for non-2^k hops
+    step = ((_SLAB_SAMPLES - 2 * halo) // hop_length) * hop_length
     parts = []
     for start in range(0, n, step):
         a = max(start - halo, 0)
         b = min(start + step + halo, n)
-        seg_out = run(y[a:b])
+        seg_out = run(y16_full[a:b])
         keep_lo = start - a
         keep_hi = keep_lo + min(step, n - start)
         parts.append(seg_out[:, keep_lo:keep_hi])

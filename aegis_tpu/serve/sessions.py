@@ -28,8 +28,13 @@ class SessionStore:
             os.makedirs(persist_dir, exist_ok=True)
 
     def create(self, **fields) -> str:
-        sid = uuid.uuid4().hex[:8]
         with self._lock:
+            # 16 hex = 64 bits; the regenerate loop makes an accidental
+            # collision (which would hand one user another's session)
+            # impossible rather than merely unlikely
+            sid = uuid.uuid4().hex[:16]
+            while sid in self._sessions:
+                sid = uuid.uuid4().hex[:16]
             self._sessions[sid] = {"_created": time.time(), "_touched": time.time(),
                                    **fields}
         return sid
@@ -44,6 +49,10 @@ class SessionStore:
     def update(self, sid: str, **fields) -> None:
         with self._lock:
             if sid in self._sessions:
+                # a write IS activity: without the touch, a session only
+                # being written to (a long analysis that never get()s)
+                # could be swept mid-processing and lose its results
+                self._sessions[sid]["_touched"] = time.time()
                 self._sessions[sid].update(fields)
 
     def __len__(self) -> int:

@@ -658,3 +658,22 @@ def test_poly_session_hop_consistency_44k():
             assert abs(a["start"] - b["start"]) < 0.01, (a, b)
     finally:
         httpd.shutdown()
+
+
+def test_session_store_update_touches_and_ids_unique():
+    """Review r2: update() must count as activity (a long analysis that
+    only writes could be swept mid-processing), and ids are 16-hex."""
+    import time as _time
+
+    from aegis_tpu.serve.sessions import SessionStore
+
+    store = SessionStore(ttl=0.2)
+    sid = store.create(file_name="x.wav")
+    assert len(sid) == 16
+    _time.sleep(0.15)
+    store.update(sid, events=[1])   # write activity refreshes the TTL
+    _time.sleep(0.15)
+    assert store.sweep() == 0       # still alive: updated 0.15s ago
+    assert store.get(sid)["events"] == [1]
+    _time.sleep(0.25)
+    assert store.sweep() == 1       # now genuinely idle
