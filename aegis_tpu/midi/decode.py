@@ -14,8 +14,11 @@ from aegis_tpu.midi.smf import DEFAULT_TEMPO_US, MidiFile
 
 def midi_to_notes(path_or_bytes: Union[str, bytes], include_track: bool = True) -> List[dict]:
     """Parse an SMF file into [{note, start, end, velocity, track_index}] with
-    times in seconds.  Handles overlapping notes per (track, note) pair by
-    matching each note_off with the earliest open note_on.
+    times in seconds (``include_track=False`` omits track_index).  Handles
+    overlapping notes per (track, channel, note) by matching each note_off
+    with the earliest open note_on — channel-keyed, so a bass and a melody
+    holding the same pitch on different channels of one track never
+    mis-pair.
     """
     mid = MidiFile.load(path_or_bytes)
     tpb = mid.ticks_per_beat
@@ -48,13 +51,15 @@ def midi_to_notes(path_or_bytes: Union[str, bytes], include_track: bool = True) 
     notes: List[dict] = []
     for t_idx, track in enumerate(mid.tracks):
         abs_tick = 0
-        open_notes: dict = {}  # note -> list of (start_tick, velocity)
+        # (channel, note) -> list of (start_tick, velocity)
+        open_notes: dict = {}
         for msg in track:
             abs_tick += msg.time
             if msg.type == "note_on" and msg.velocity > 0:
-                open_notes.setdefault(msg.note, []).append((abs_tick, msg.velocity))
+                key = (getattr(msg, "channel", 0), msg.note)
+                open_notes.setdefault(key, []).append((abs_tick, msg.velocity))
             elif msg.type == "note_off" or (msg.type == "note_on" and msg.velocity == 0):
-                stack = open_notes.get(msg.note)
+                stack = open_notes.get((getattr(msg, "channel", 0), msg.note))
                 if stack:
                     start_tick, velocity = stack.pop(0)
                     notes.append(
@@ -67,7 +72,7 @@ def midi_to_notes(path_or_bytes: Union[str, bytes], include_track: bool = True) 
                         }
                     )
         # close dangling notes at track end
-        for note, stack in open_notes.items():
+        for (_, note), stack in open_notes.items():
             for start_tick, velocity in stack:
                 notes.append(
                     {
@@ -79,5 +84,8 @@ def midi_to_notes(path_or_bytes: Union[str, bytes], include_track: bool = True) 
                     }
                 )
 
+    if not include_track:
+        for n in notes:
+            n.pop("track_index", None)
     notes.sort(key=lambda n: (n["start"], n["note"]))
     return notes

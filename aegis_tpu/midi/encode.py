@@ -87,8 +87,10 @@ def events_to_midi(
             velocity = int(velocity * 0.5)
         # velocity 0 is a legal EVENT (velocity_from_db clips -80 dB frames
         # to 0, and the technique scaling above can floor 1 to 0) but a
-        # note_on with velocity 0 means note_off in SMF — clamp on encode
-        velocity = max(1, velocity)
+        # note_on with velocity 0 means note_off in SMF — clamp on encode.
+        # The high side matters too: smf.py masks with & 0x7F, so an
+        # unclamped 128 would WRAP to 0 (= note_off) instead of fortissimo
+        velocity = min(127, max(1, velocity))
 
         tr = evt["track"]
         timeline.append({"t": st, "o": "on", "n": evt["note"], "tr": tr, "v": velocity})
@@ -185,8 +187,9 @@ def events_to_midi_financial(
             MidiMessage(
                 "note_on",
                 note=int(evt["note"]),
-                # velocity-0 events are legal; 0 means note_off in SMF
-                velocity=max(1, int(evt["velocity"])),
+                # velocity-0 events are legal (0 means note_off in SMF);
+                # >127 would wrap through smf.py's & 0x7F mask
+                velocity=min(127, max(1, int(evt["velocity"]))),
                 time=max(0, start_ticks - last[tr]),
             )
         )

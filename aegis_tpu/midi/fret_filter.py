@@ -94,15 +94,18 @@ def apply_fret_filter(
                  "end": e["end"], "reason": reason, **extra}
             )
 
+    # range removal is UNCONDITIONAL (the documented hard filter): doing it
+    # inside the pair loop let chord-simultaneous and trailing out-of-range
+    # notes slip past the chord-skip / last-pair boundary
+    for i, e in enumerate(events):
+        if not (GUITAR_MIDI_MIN <= e["note"] <= GUITAR_MIDI_MAX):
+            mark(i, "out_of_guitar_range")
+
     for i in range(len(events) - 1):
         curr, nxt = events[i], events[i + 1]
+        if i in remove or (i + 1) in remove:
+            continue  # a removed note must not drive fret-speed analysis
         if abs(nxt["start"] - curr["start"]) < 2:  # chord: skip
-            continue
-        if not (GUITAR_MIDI_MIN <= curr["note"] <= GUITAR_MIDI_MAX):
-            mark(i, "out_of_guitar_range")
-            continue
-        if not (GUITAR_MIDI_MIN <= nxt["note"] <= GUITAR_MIDI_MAX):
-            mark(i + 1, "out_of_guitar_range")
             continue
 
         pos_a, pos_b = positions[i], positions[i + 1]

@@ -110,7 +110,6 @@ def generate_tabs_chords(events: List[dict], sr: int = 22050,
 def render_ascii_tab(tab_data: List[dict], width: int = 72) -> str:
     """Six-line ASCII tablature with technique symbols."""
     lines = []
-    col = 0
     columns: List[List[str]] = []
     for t in tab_data:
         cell = str(t["fret"])
@@ -118,7 +117,6 @@ def render_ascii_tab(tab_data: List[dict], width: int = 72) -> str:
         entry = cell + sym
         columns.append([entry if s == t["string"] else "-" * len(entry)
                         for s in range(1, 7)])
-        col += len(entry) + 1
 
     blocks = []
     current = [[] for _ in range(6)]

@@ -96,6 +96,10 @@ def delay(audio: jnp.ndarray, delay_ms: float = 300.0, feedback: float = 0.3,
     delay_samples = int(delay_ms / 1000.0 * sr)
     if delay_samples <= 0 or feedback <= 0:
         return jnp.asarray(audio)
+    # feedback >= 1 would never decay below the -40 dB echo cutoff
+    # (log(1)=0 made the count formula blow up); clamp to a stable loop
+    # and let the 20-echo cap bound the tail
+    feedback = min(float(feedback), 0.99)
     n_echoes = min(int(np.log(0.01) / np.log(max(feedback, 0.01))), 20)
     # echoes with gain < 0.01 are dropped (matches the reference's early break)
     n_echoes = max(1, min(n_echoes,

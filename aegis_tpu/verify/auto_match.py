@@ -259,7 +259,7 @@ def _sweep_batched(engine, raw_data, mel_r, ch_r, total, sample_rate, grid,
 
 def auto_match_parameters(
     original_audio, engine, raw_data,
-    sample_rate: int = 44100,
+    sample_rate: Optional[int] = None,
     progress_callback: Optional[Callable] = None,
     batched: Optional[bool] = None,
 ) -> Optional[Dict]:
@@ -267,10 +267,21 @@ def auto_match_parameters(
     score} or None when no combination produced usable output.
 
     ``original_audio`` may be a path or a mono float array at engine.sr.
+    ``sample_rate`` defaults to engine.sr and must MATCH it: raw_data's
+    events are frame-indexed on the engine's grid, so rendering/scoring
+    at a different rate would place every synthesized note at the wrong
+    wall-clock position and score garbage (review finding).
     batched=None (default) uses the single-program batched sweep unless
     FluidSynth is available (whose soundfont rendering can't be batched
     on device; the sequential loop keeps the reference's objective there).
     """
+    if sample_rate is None:
+        sample_rate = engine.sr
+    elif sample_rate != engine.sr:
+        raise ValueError(
+            f"sample_rate={sample_rate} != engine.sr={engine.sr}: the "
+            f"comparison must run on the engine's rate (resample the "
+            f"audio or build the engine at the audio's rate)")
     if isinstance(original_audio, np.ndarray):
         y_orig = original_audio[: int(sample_rate * 30)]
     else:

@@ -13,6 +13,7 @@ Modes mirror the reference: 'quick' = envelope analysis passthrough
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -47,8 +48,12 @@ def _pow2(n: int, floor: int = 2048) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "max_len"))
 def _render_batch(freqs, lengths, velocities, attacks, decays, sustains,
                   releases, codes, sr: int, max_len: int) -> jnp.ndarray:
+    # jit is essential here, not a nicety: an un-jitted vmap dispatches
+    # every primitive eagerly — ~70 x 25-30 ms tunnel round-trips per
+    # chunk instead of ONE fused program (CLAUDE.md environment facts)
     return jax.vmap(
         lambda f, n, v, a, d, s, r, w: _render_note(f, n, v, a, d, s, r, w,
                                                     sr, max_len)

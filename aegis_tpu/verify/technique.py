@@ -40,7 +40,6 @@ def _mel_cosine(y_a: jnp.ndarray, y_b: jnp.ndarray, sr: int) -> jnp.ndarray:
 
 
 def _mini_midi(event: Dict, sr: int, hop_length: int, with_technique: bool) -> bytes:
-    spf = hop_length / sr
     evt = dict(event)
     evt["start"], evt["end"] = 0, max(1, event["end"] - event["start"])
     if not with_technique:

@@ -192,3 +192,65 @@ def test_events_to_midi_rejects_bad_bpm():
         for bad in (0.0, float("nan"), -60.0):
             with pytest.raises(ValueError, match="bpm"):
                 enc(ev, 22050, 512, bpm=bad)
+
+
+def test_velocity_clamped_both_sides_on_encode():
+    """Review r2: velocity 0 and >127 are legal event values but illegal
+    SMF note_on velocities (0 = note_off; 128 wraps through & 0x7F to 0):
+    the encoders clamp to 1..127."""
+    from aegis_tpu.midi.decode import midi_to_notes
+    from aegis_tpu.midi.encode import events_to_midi, events_to_midi_financial
+
+    events = [
+        {"note": 60, "start": 0, "end": 20, "velocity": 0, "track": "main",
+         "technique": None, "slope": 0.0, "confidence": 1.0},
+        {"note": 64, "start": 30, "end": 50, "velocity": 128, "track": "main",
+         "technique": None, "slope": 0.0, "confidence": 1.0},
+    ]
+    for enc in (events_to_midi, events_to_midi_financial):
+        notes = midi_to_notes(enc(events, 22050, 512, output=None))
+        got = {n["note"]: n["velocity"] for n in notes}
+        assert got[60] == 1 and got[64] == 127, (enc.__name__, got)
+
+
+def test_decode_pairs_notes_per_channel():
+    """Review r2: same pitch held on two channels of one track must pair
+    each note_off with ITS channel's note_on, not FIFO across channels."""
+    from aegis_tpu.midi.decode import midi_to_notes
+    from aegis_tpu.midi.smf import MidiFile, MidiMessage, MidiTrack
+
+    mid = MidiFile(ticks_per_beat=480)
+    tr = MidiTrack()
+    mid.tracks.append(tr)
+    # ch0 note 48 on @0 (long), ch1 note 48 on @120, ch1 off @240, ch0 off @480
+    tr.append(MidiMessage("note_on", note=48, velocity=100, channel=0, time=0))
+    tr.append(MidiMessage("note_on", note=48, velocity=50, channel=1, time=120))
+    tr.append(MidiMessage("note_off", note=48, velocity=0, channel=1, time=120))
+    tr.append(MidiMessage("note_off", note=48, velocity=0, channel=0, time=240))
+    notes = sorted(midi_to_notes(mid.save(None)), key=lambda n: n["start"])
+    assert len(notes) == 2
+    # ch0's long note keeps its full duration; ch1's short note is inside it
+    assert notes[0]["velocity"] == 100 and notes[1]["velocity"] == 50
+    assert notes[0]["end"] > notes[1]["end"]
+
+    # include_track=False drops the index
+    assert "track_index" not in midi_to_notes(mid.save(None),
+                                              include_track=False)[0]
+
+
+def test_fret_filter_removes_out_of_range_in_chords():
+    """Review r2: the hard range filter must catch chord-simultaneous and
+    trailing out-of-range notes the pair loop used to skip."""
+    from aegis_tpu.midi.fret_filter import apply_fret_filter
+
+    events = [
+        {"note": 60, "start": 0, "end": 20, "velocity": 90, "track": "main",
+         "technique": None, "slope": 0.0, "confidence": 1.0},
+        {"note": 30, "start": 1, "end": 20, "velocity": 90, "track": "main",
+         "technique": None, "slope": 0.0, "confidence": 1.0},  # chord-sync, sub-range
+        {"note": 95, "start": 40, "end": 60, "velocity": 90, "track": "main",
+         "technique": None, "slope": 0.0, "confidence": 1.0},  # trailing, above range
+    ]
+    kept, report = apply_fret_filter(events, sr=22050, hop_length=512)
+    assert {e["note"] for e in kept} == {60}
+    assert {d["note"] for d in report["removed_notes"]} == {30, 95}

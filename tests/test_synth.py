@@ -93,3 +93,19 @@ def test_effect_chain_unknown_skipped():
     x = np.zeros(SR, np.float32)
     out = apply_effect_chain(x, [("flanger", {})], sr=SR)
     np.testing.assert_allclose(out, x)
+
+
+def test_delay_feedback_one_no_crash():
+    """Review r2: feedback >= 1.0 made the echo-count formula divide by
+    log(1)=0 and crash with OverflowError; it now clamps to a decaying
+    loop."""
+    import numpy as np
+
+    from aegis_tpu.synth.effects import apply_effect_chain
+
+    y = np.zeros(4096, np.float32)
+    y[0] = 1.0
+    out = np.asarray(apply_effect_chain(y, [("delay", {"feedback": 1.0,
+                                                       "delay_ms": 20.0})]))
+    assert out.shape == y.shape and np.isfinite(out).all()
+    assert np.abs(out[400:]).max() > 0  # echoes actually present
