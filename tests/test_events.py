@@ -164,3 +164,40 @@ def test_extract_v1_onset_snap_restores_late_lock():
                            confidence_threshold=0.5, onset_env=onset_env,
                            onset_snap_ms=0.0)
     assert ev[0]["start"] == 10
+
+
+def test_split_echo_guard():
+    """An interior onset only splits an event when the local RMS rises
+    (a true re-attack re-excites the string); a delay echo rides the
+    sustaining tail with a flat RMS and must NOT mint an event."""
+    from aegis_tpu.core.events import apply_onset_refinement
+
+    T = 80
+    rms_db = np.full(T, -20.0)
+    velocity = np.full(T, 90, np.int64)
+    onset_env = np.zeros(T)
+    onset_env[10] = 1.0   # the note's own attack
+    onset_env[40] = 0.35  # interior onset at frame 40
+    events = [{"note": 60, "start": 10, "end": 75, "confidence": 0.9,
+               "velocity": 90, "track": "main", "technique": "normal",
+               "slope": 0.0, "rms_energy": -20.0}]
+
+    # flat RMS at the interior onset -> echo -> no split
+    out = apply_onset_refinement(
+        [dict(events[0])], onset_env, velocity, rms_db, SR, HOP,
+        min_frames=2, onset_snap_ms=0.0)
+    assert len(out) == 1
+
+    # a >= 2.5 dB RMS rise at the onset -> genuine re-attack -> split
+    rise = rms_db.copy()
+    rise[36:40] = -26.0  # decayed tail, then re-attack back to -20
+    out = apply_onset_refinement(
+        [dict(events[0])], onset_env, velocity, rise, SR, HOP,
+        min_frames=2, onset_snap_ms=0.0)
+    assert len(out) == 2 and out[1]["start"] == 40
+
+    # guard disabled (split_min_rise_db=0): the flat-RMS onset splits
+    out = apply_onset_refinement(
+        [dict(events[0])], onset_env, velocity, rms_db, SR, HOP,
+        min_frames=2, onset_snap_ms=0.0, split_min_rise_db=0.0)
+    assert len(out) == 2
