@@ -9,6 +9,7 @@ import io
 import numpy as np
 import pytest
 
+from aegis_tpu.config import AudioConfig, PyinConfig
 from aegis_tpu.engine.engine import AegisEngine
 from aegis_tpu.engine.financial import AegisFinancialEngine
 from aegis_tpu.midi.decode import midi_to_notes
@@ -149,6 +150,62 @@ def test_turbo_quantize_edge():
     q, scale = quantize_tracks(np.stack([loud, quiet]), 256)
     assert scale[1] < scale[0] / 50
     assert np.abs(q[1]).max() > 30000  # quiet track uses the full range
+
+
+def test_pcm8_transport_roundtrip():
+    """int8 block-float transport: per-block error bounded by the LOCAL
+    block peak (half an LSB of that block's scale), silent blocks exact,
+    non-block-multiple lengths rejected."""
+    from aegis_tpu.core.analyze import PCM8_BLOCK, quantize_pcm8
+
+    rng = np.random.default_rng(0)
+    # decaying envelope: late blocks are ~40 dB below the track peak
+    n = 8 * PCM8_BLOCK
+    y = (np.exp(-np.arange(n) / (n / 9.2)) *
+         np.sin(2 * np.pi * 196.0 * np.arange(n) / 22050) +
+         1e-4 * rng.standard_normal(n)).astype(np.float32)
+    q, scales = quantize_pcm8(y)
+    assert q.dtype == np.int8 and scales.shape == (8,)
+    back = (q.astype(np.float64).reshape(-1, PCM8_BLOCK) *
+            scales[:, None].astype(np.float64))
+    blocks = y.reshape(-1, PCM8_BLOCK)
+    for i in range(8):
+        peak = np.abs(blocks[i]).max()
+        assert np.abs(back[i] - blocks[i]).max() <= peak / 252
+    # a track-global int8 scale could NOT bound the late blocks this way:
+    # the local bound is far below one global LSB
+    assert scales[-1] < scales[0] / 50
+
+    q, scales = quantize_pcm8(np.zeros(PCM8_BLOCK, np.float32))
+    assert (q == 0).all() and (scales == 0).all()
+    with pytest.raises(ValueError):
+        quantize_pcm8(np.zeros(PCM8_BLOCK + 1, np.float32))
+
+
+def test_pcm8_transport_event_parity():
+    """The default int8 transport must extract the SAME note events as
+    bit-exact float32 ingest (measured F1 1.0000 on every gating clip incl.
+    the 60 s bench track; this pins the KS clip in CI)."""
+    from aegis_tpu.core.analyze import run_analyze
+    from aegis_tpu.core.events import extract_events_v1
+
+    track, _ = generate_test_track(sr=SR)
+    audio = AudioConfig(sample_rate=SR)
+    pyin = PyinConfig()
+
+    def events(transport):
+        out = run_analyze(track, audio, pyin, 0.6, transport=transport)
+        f0 = np.nan_to_num(out["f0"])
+        return extract_events_v1(
+            out["rake_mask"], f0, out["voiced_flag"], out["voiced_probs"],
+            out["rms"], SR, audio.hop_length, confidence_threshold=0.3,
+            onset_env=out["onset_env"])
+
+    e8, ef = events("int8"), events("float32")
+    m = note_event_f1(events_to_seconds(ef, SR, 512),
+                      events_to_seconds(e8, SR, 512))
+    assert m["f1"] == 1.0, m
+    assert len(e8) == len(ef)
 
 
 def test_validate_device_gate():
