@@ -413,12 +413,13 @@ def _onset_backfill(pitch, onset_env, frames_per_second: float,
 
 def _neural_native_rows(y16, scale, rake_sensitivity, params, sample_rate,
                         hop_length, n_fft, n_mels):
-    """Shared body of the native-rate (22.05 kHz single-input) programs."""
-    import jax.numpy as jnp
-
+    """Shared body of the native-rate (22.05 kHz single-input) programs.
+    ``scale`` rank selects the transport (core.analyze.dequant_transport):
+    scalar = per-track int16, rank-1 = int8 block-float."""
     from aegis_tpu.core import dsp
+    from aegis_tpu.core.analyze import dequant_transport
 
-    y = y16.astype(jnp.float32) * scale
+    y = dequant_transport(y16, scale)
     out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
                             n_fft, n_mels)
     frames = dsp.frame_signal(y, WIN, hop_length, "constant")  # (T, WIN)
@@ -517,17 +518,19 @@ def _neural_dual_rows(y16, scale, y22_16, scale22, centers,
                       rake_sensitivity, params, sample_rate, hop_length,
                       n_fft, n_mels, uniform_hop22):
     """Shared body of the two-rate programs: original-rate base rows +
-    22.05 kHz pitch head (uniform framing or rounded-center gather)."""
+    22.05 kHz pitch head (uniform framing or rounded-center gather).
+    Scale ranks select each input's transport (dequant_transport)."""
     import jax.numpy as jnp
 
     from aegis_tpu.core import dsp
+    from aegis_tpu.core.analyze import dequant_transport
 
-    y = y16.astype(jnp.float32) * scale
+    y = dequant_transport(y16, scale)
     out = _neural_host_rows(y, rake_sensitivity, sample_rate, hop_length,
                             n_fft, n_mels)
     T = out["rms"].shape[0]
 
-    y22 = y22_16.astype(jnp.float32) * scale22
+    y22 = dequant_transport(y22_16, scale22)
     if uniform_hop22:
         frames = dsp.frame_signal(y22, WIN, uniform_hop22, "constant")
         frames = frames[:T]
@@ -894,6 +897,7 @@ def run_analyze_neural(
     fetch_mel: bool = True,
     financial: bool = False,
     use_guitar_filters: bool = True,
+    transport: str = "int8",
 ) -> Dict[str, np.ndarray]:
     """Host wrapper mirroring core.analyze.run_analyze for the neural
     backend.  The non-pitch rows (mel/rake/RMS/onset) always use the
@@ -901,26 +905,43 @@ def run_analyze_neural(
     22.05 kHz resample, aligned per frame (uniform stride when divisible,
     rounded centers otherwise) — no cumulative timing drift at any rate.
     financial=True appends the guitar-filter/trend tail (_FIN_ROWS) at any
-    rate."""
+    rate.
+
+    transport="int8" (default) is the fused paths' block-float convention
+    (core.analyze.quantize_pcm8) — safe here because featurize()
+    standardizes every analysis window, so the net is gain-invariant by
+    construction and the per-block noise floor (~42 dB under the local
+    envelope) sits far below the feature scale.  "int16" is what the
+    streamed slab mode ships (its slab slicing needs one per-track scale
+    for bit-exact splices); the streamed==fused parity test compares both
+    at int16."""
     from aegis_tpu.core.analyze import _FIN_ROWS, _V1_ROWS, _unpack, \
-        pad_to_bucket, quantize_pcm16
+        pad_to_bucket, quantize_pcm16, quantize_pcm8, PCM8_BLOCK
 
     import jax.numpy as jnp
 
+    def _quant(arr):
+        if transport == "int8":
+            pad = (-len(arr)) % PCM8_BLOCK
+            q, sc = quantize_pcm8(np.pad(arr, (0, pad)))
+            return jnp.asarray(q), jnp.asarray(sc)
+        q, sc = quantize_pcm16(arr)
+        return jnp.asarray(q), jnp.float32(sc)
+
     true_frames = 1 + len(y) // hop_length
     y_pad = pad_to_bucket(np.asarray(y, np.float32))
-    y16, s = quantize_pcm16(y_pad)
+    y16, s = _quant(y_pad)
     rs = jnp.float32(rake_sensitivity)
     rows = _FIN_ROWS if financial else _V1_ROWS
 
     if sr == SR_NATIVE:
         if financial:
             packed = analyze_neural_financial_packed(
-                jnp.asarray(y16), jnp.float32(s), rs, params, sr,
+                y16, s, rs, params, sr,
                 hop_length, n_fft, n_mels, fetch_mel, use_guitar_filters)
         else:
             packed = analyze_neural_program_packed(
-                jnp.asarray(y16), jnp.float32(s), rs, params, sr,
+                y16, s, rs, params, sr,
                 hop_length, n_fft, n_mels, fetch_mel)
     else:
         from aegis_tpu.io.audio import resample
@@ -933,7 +954,7 @@ def run_analyze_neural(
         T_pad = 1 + len(y_pad) // hop_length
         need = (T_pad * (hop22 or int(np.ceil(num / sr)))) + WIN
         y22_pad = np.pad(y22, (0, max(need - len(y22), 0)))
-        y22_16, s22 = quantize_pcm16(y22_pad)
+        y22_16, s22 = _quant(y22_pad)
         if uniform:
             centers = jnp.zeros((1,), jnp.int32)  # unused placeholder
         else:
@@ -941,8 +962,7 @@ def run_analyze_neural(
             # itself (start = c - WIN//2 unpadded, +WIN//2 pad offset)
             c = np.round(np.arange(T_pad) * num / sr).astype(np.int32)
             centers = jnp.asarray(c)
-        args = (jnp.asarray(y16), jnp.float32(s), jnp.asarray(y22_16),
-                jnp.float32(s22), centers, rs, params, sr, hop_length,
+        args = (y16, s, y22_16, s22, centers, rs, params, sr, hop_length,
                 n_fft, n_mels, fetch_mel)
         if financial:
             packed = analyze_neural_financial_dual(

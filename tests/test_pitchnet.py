@@ -199,6 +199,36 @@ def test_neural_financial_pipeline():
 
 
 @needs_weights
+def test_neural_int8_transport_event_parity():
+    """The default int8 block-float ingest must extract the SAME events as
+    int16 through the neural backend, at the native rate AND through the
+    dual-rate 44.1 kHz program (featurize standardizes per window, so the
+    net is gain-invariant; this pins that the transport swap stays
+    event-invisible)."""
+    from aegis_tpu.core.events import extract_events_v1
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+    from aegis_tpu.tools.signal_gen import generate_test_track
+
+    params = pn.load_params()
+    for sr in (pn.SR_NATIVE, 44100):
+        y, _ = generate_test_track(sr=sr)
+
+        def events(transport):
+            out = pn.run_analyze_neural(y, sr, 512, params, fetch_mel=False,
+                                        transport=transport)
+            return extract_events_v1(
+                out["rake_mask"], np.nan_to_num(out["f0"]),
+                out["voiced_flag"], out["voiced_probs"], out["rms"],
+                sr, 512, confidence_threshold=0.3,
+                onset_env=out["onset_env"])
+
+        e8, e16 = events("int8"), events("int16")
+        m = note_event_f1(events_to_seconds(e16, sr, 512),
+                          events_to_seconds(e8, sr, 512))
+        assert m["f1"] == 1.0, (sr, m)
+
+
+@needs_weights
 def test_checkpoint_rejects_noise():
     rng = np.random.default_rng(0)
     y = (0.3 * rng.standard_normal(pn.SR_NATIVE)).astype(np.float32)
@@ -344,7 +374,11 @@ def test_streamed_matches_fused():
     y = np.concatenate(segs).astype(np.float32)
     y += (0.003 * rng.standard_normal(len(y))).astype(np.float32)
 
-    fused = pn.run_analyze_neural(y, sr, 512, params, fetch_mel=False)
+    # transport="int16": the slab mode ships int16 with ONE per-track scale
+    # (block-float slab splices wouldn't be bit-exact), so the exactness
+    # contract is defined — and tested — at matching int16 ingest
+    fused = pn.run_analyze_neural(y, sr, 512, params, fetch_mel=False,
+                                  transport="int16")
     streamed = pn.run_analyze_neural_streamed(
         y, sr, 512, params, fetch_mel=False,
         slab_frames=32, halo_frames=16)  # force many slabs
@@ -376,7 +410,8 @@ def test_streamed_matches_fused_high_fps():
     y = np.concatenate(segs).astype(np.float32)
     y += (0.003 * rng.standard_normal(len(y))).astype(np.float32)
 
-    fused = pn.run_analyze_neural(y, sr, 256, params, fetch_mel=False)
+    fused = pn.run_analyze_neural(y, sr, 256, params, fetch_mel=False,
+                                  transport="int16")
     streamed = pn.run_analyze_neural_streamed(
         y, sr, 256, params, fetch_mel=False,
         slab_frames=48, halo_frames=8)  # many slabs; halo floor must lift
