@@ -151,7 +151,8 @@ def _sustain_merge(events: List[dict], sustain_frames: int) -> List[dict]:
 
 
 def snap_starts_to_onsets(events: List[dict], onsets: np.ndarray,
-                          rms_db: np.ndarray, back_frames: int) -> List[dict]:
+                          rms_db: np.ndarray, back_frames: int,
+                          fwd_frames: int = 0) -> List[dict]:
     """Move each event's start back to the physical attack time.
 
     pYIN needs several pitch periods to lock after an attack (the pluck
@@ -206,6 +207,43 @@ def snap_starts_to_onsets(events: List[dict], onsets: np.ndarray,
         if i and out[i - 1]["end"] >= new_start:
             out[i - 1]["end"] = new_start - 1
         e["start"] = new_start
+
+    if fwd_frames > 0:
+        # FORWARD snap — the mirror rule for EARLY-firing backends.
+        # PitchNet standardizes magnitude spectra (phase-blind), so its
+        # voicing fires as soon as a window CONTAINS the upcoming attack:
+        # in start-indexed frame time that is up to ~one analysis window
+        # BEFORE the physical pluck (measured 53-77 ms on the KS truth
+        # clips — outside the 50 ms tolerance).  When the RMS still RISES
+        # substantially after an event's start (the SPLIT_MIN_RISE_DB
+        # echo-guard bound — at a true attack-aligned start the first
+        # frame already sits at the peak, so the guard no-ops), the
+        # event's first frames precede its own attack: move the start to
+        # the steepest RMS rise, the same attack-time definition the
+        # backward rule uses.  No picked-onset anchor here: a rake decaying
+        # straight into the pluck merges both transients into ONE pick at
+        # the rake (measured on the KS clip: attack flux 11.4 at frame 63
+        # eclipsed by rake flux 46.9 at 59), so the rise itself is the only
+        # reliable attack marker.  pYIN never fires early (CMNDF needs
+        # periods IN the window), so this pass is enabled only for the
+        # neural backend (the engines plumb snap_fwd_ms).
+        for i, e in enumerate(out):
+            hi = min(e["start"] + fwd_frames, e["end"])
+            seg = rms_db[e["start"]: hi + 1]
+            if len(seg) < 2:
+                continue
+            # rise measured from the pre-peak TROUGH, not seg[0]: a rake
+            # decaying into the pluck leaves the start frame loud, so the
+            # peak clears it by less than the true attack rise (measured
+            # 2.4 dB vs the 4.4 dB trough rise on the 44.1 kHz KS clip —
+            # the guard missed by 0.1 dB anchored at seg[0])
+            peak = int(np.argmax(seg))
+            if seg[peak] - seg[: peak + 1].min() < SPLIT_MIN_RISE_DB:
+                continue
+            new_start = e["start"] + int(np.argmax(np.diff(seg))) + 1
+            if new_start <= e["start"] or new_start >= e["end"]:
+                continue
+            e["start"] = new_start
     return out
 
 
@@ -249,6 +287,7 @@ def extract_events_v1(
     smooth: bool = True,
     onset_env: Optional[np.ndarray] = None,
     onset_snap_ms: float = 140.0,
+    onset_fwd_snap_ms: float = 0.0,
 ) -> List[dict]:
     """v1 note-event extraction.  f0 convention here: 0 on unvoiced frames
     (the engine nan_to_nums pYIN output, reference aegis_engine.py:69).
@@ -257,7 +296,10 @@ def extract_events_v1(
     same-pitch re-attacks are split at picked onsets (driver config 2),
     each split re-reads its velocity from RMS at the new attack frame, and
     event starts snap back to the attack transient (snap_starts_to_onsets;
-    window onset_snap_ms, 0 disables) to undo pYIN's pitch-lock delay."""
+    window onset_snap_ms, 0 disables) to undo pYIN's pitch-lock delay.
+    onset_fwd_snap_ms enables the FORWARD snap for early-firing backends
+    (the engines pass it for pitch_backend="neural"; see
+    snap_starts_to_onsets)."""
     T = min(len(rake_mask), len(f0), len(rms), len(voiced_flag), len(active_probs))
     rake_mask, f0, voiced_flag, active_probs, rms = (
         a[:T] for a in (rake_mask, f0, voiced_flag, active_probs, rms)
@@ -306,7 +348,8 @@ def extract_events_v1(
     if onset_env is not None:
         events = apply_onset_refinement(events, onset_env[:T], velocity,
                                         rms_db, sr, hop_length, min_frames,
-                                        onset_snap_ms)
+                                        onset_snap_ms,
+                                        snap_fwd_ms=onset_fwd_snap_ms)
 
     _hammer_pull_pairs(events, ms_per_frame)
     return events
@@ -322,10 +365,15 @@ def apply_onset_refinement(
     min_frames: int,
     onset_snap_ms: float = 140.0,
     split_min_rise_db: float = SPLIT_MIN_RISE_DB,
+    snap_fwd_ms: float = 0.0,
 ) -> List[dict]:
     """The two onset-envelope passes shared by the v1 and financial
     extractors: re-attack splitting with the pYIN-lag tail guard, then
     attack-rise start snapping (see snap_starts_to_onsets).
+    ``snap_fwd_ms`` additionally enables the FORWARD snap for early-firing
+    pitch backends (PitchNet's magnitude features are phase-blind, so its
+    voicing fires when a window merely CONTAINS the upcoming attack — up
+    to ~a window early in start-indexed time; see snap_starts_to_onsets).
 
     ``split_min_rise_db`` is the echo guard on the SPLIT pass (0 disables):
     an interior onset only cuts an event if the local RMS rise at the
@@ -369,7 +417,8 @@ def apply_onset_refinement(
     if onset_snap_ms > 0:
         events = snap_starts_to_onsets(
             events, onsets, rms_db,
-            int((onset_snap_ms / 1000.0) * sr / hop_length))
+            int((onset_snap_ms / 1000.0) * sr / hop_length),
+            fwd_frames=int((snap_fwd_ms / 1000.0) * sr / hop_length))
     return events
 
 
@@ -427,6 +476,7 @@ def extract_events_financial(
     rsi_threshold: float = 70.0,
     onset_env: Optional[np.ndarray] = None,
     onset_snap_ms: float = 140.0,
+    onset_fwd_snap_ms: float = 0.0,
     pitch_source: str = "pyin",
 ) -> Tuple[List[dict], dict]:
     """v2 event extraction from device-side financial analysis outputs.
@@ -506,7 +556,8 @@ def extract_events_financial(
     if onset_env is not None:
         events = apply_onset_refinement(events, onset_env[:T], velocity,
                                         rms_db, sr, hop_length, min_frames,
-                                        onset_snap_ms)
+                                        onset_snap_ms,
+                                        snap_fwd_ms=onset_fwd_snap_ms)
 
     if len(events) > 10:
         events = filter_ghost_notes_rsi(events, sr, hop_length, rsi_threshold)

@@ -212,6 +212,9 @@ class AegisEngine:
             raw["onset_env"] = np.asarray(out["onset_env"], dtype=np.float64)
         if "mel_db" in out:
             raw["mel_db"] = np.asarray(out["mel_db"])
+        # marker for backend-conditional extraction (the neural backend's
+        # forward onset snap); np.savez round-trips it as a 0-d str array
+        raw["pitch_backend"] = kwargs.get("pitch_backend", "pyin")
         if output_mid is not None:
             self.extract_events(raw, output_mid, **kwargs)
         return raw
@@ -244,6 +247,13 @@ class AegisEngine:
             # restores the reference's exact merge/lag semantics
             onset_env=raw_data.get("onset_env")
             if kwargs.get("use_onsets", True) else None,
+            # PitchNet fires up to ~a window early (phase-blind magnitude
+            # features); the forward snap moves such starts to the attack
+            # rise.  pYIN never fires early, so it stays off there.
+            onset_fwd_snap_ms=kwargs.get(
+                "onset_fwd_snap_ms",
+                100.0 if str(raw_data.get("pitch_backend", "")) == "neural"
+                else 0.0),
         )
         if output_mid is not None:
             bpm = kwargs.get("bpm")

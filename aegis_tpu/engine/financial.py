@@ -133,6 +133,8 @@ class AegisFinancialEngine:
                 kwargs.get("pitch_backend", "pyin"),
             )
         out["y"] = y
+        # marker for backend-conditional extraction (neural forward snap)
+        out["pitch_backend"] = kwargs.get("pitch_backend", "pyin")
         return out
 
     def extract_events(self, analysis: Dict[str, np.ndarray],
@@ -168,6 +170,12 @@ class AegisFinancialEngine:
             # use_onsets=False restores the reference's merge/lag semantics
             onset_env=analysis.get("onset_env")
             if kwargs.get("use_onsets", True) else None,
+            # PitchNet fires up to ~a window early; the forward snap moves
+            # such starts to the attack rise (engine/engine.py rationale)
+            onset_fwd_snap_ms=kwargs.get(
+                "onset_fwd_snap_ms",
+                100.0 if str(analysis.get("pitch_backend", "")) == "neural"
+                else 0.0),
             # "pyin" quantizes notes from the median-smoothed f0 (truth
             # F1 1.0); "trend" is the reference's over-smoothed semantics
             pitch_source=kwargs.get("pitch_source", "pyin"),

@@ -57,6 +57,12 @@ DECAY_AMBIG_BLOCKS = 4
 # while the voiced side still demands detection by window center.
 ONSET_AMBIG_BLOCKS = 8
 
+# Supervision weight across the pre-onset span (window centers before the
+# attack whose right half already contains it): voiced with the UPCOMING
+# note's pitch.  See the label_w construction in make_clips for the
+# measured failure this replaces (junk-pitch rake events on retrains).
+ONSET_PRE_W = 0.3
+
 
 def _fx_augment(sig: np.ndarray, rng, sr: int):
     """Apply a random pitch-preserving effect chain from the family the
@@ -107,6 +113,9 @@ def make_clips(
     fmax: float = 1000.0,
     ks_frac: float = 0.35,
     fx_frac: float = 0.3,
+    low_every: int = 4,
+    weakfund_every: int = 3,
+    tilt_frac: float = 0.15,
 ) -> Dict[str, np.ndarray]:
     """Returns {tracks (n, L) int16, scale (n,) f32,
     f0_hz (n, L//LABEL_HOP) f32 (0 where unvoiced),
@@ -134,6 +143,16 @@ def make_clips(
 
     for i in range(n_ks):
         f_want = float(np.exp(rng.uniform(np.log(fmin), np.log(fmax))))
+        if low_every and i % low_every == low_every - 1:
+            # low-octave emphasis: log-uniform [fmin, fmax] leaves only ~8%
+            # of clips below 98 Hz, and the committed net octave-flipped on
+            # 2/30 low-G KS excitations (5.7% of voiced frames at 98 Hz,
+            # measured 2026-08-18) — the bench track's three residual event
+            # errors.  A quarter of the plucks resample from the bottom
+            # ~1.1 octaves so the net's low edge is trained, not just
+            # covered.
+            f_want = float(np.exp(rng.uniform(np.log(fmin),
+                                              np.log(2.2 * fmin))))
         # half the plucks are synthesized at 2x rate and decimated — the
         # production 44.1 kHz path resamples to 22.05 kHz, and the
         # anti-alias filter halves the broadband attack peak (a spectrum
@@ -148,6 +167,13 @@ def make_clips(
             decay = decay ** 0.5  # same per-second ring time at 2x rate
         x = np.zeros(L_syn, np.float32)
         x[:min(N, L_syn)] = rng.uniform(-1, 1, min(N, L_syn))
+        if weakfund_every and i % weakfund_every == weakfund_every - 1:
+            # weak-fundamental pluck: first-difference the excitation
+            # (+6 dB/oct tilt), so harmonic 2 dominates the attack spectrum
+            # — the octave-error timbre.  The label stays the loop period:
+            # pitch is periodicity, not the loudest partial.
+            ne = min(N, L_syn)
+            x[:ne] = np.diff(x[:ne], prepend=np.float32(0.0))
         a = np.zeros(N + 2)
         a[0] = 1.0
         a[N] = a[N + 1] = -0.5 * decay
@@ -210,6 +236,12 @@ def make_clips(
         phase = (2 * np.pi / sr) * np.cumsum(f0, axis=1)
 
         alpha = rng.uniform(0.5, 1.8, (b, 1))
+        # ~15% rising spectral tilt (partials LOUDER than the fundamental):
+        # the missing-fundamental timbre that teaches the pitch head
+        # periodicity over peak-picking; without it, confidently-voiced
+        # octave-up errors survive the cents median on low plucks
+        tilt_up = rng.random((b, 1)) < tilt_frac
+        alpha = np.where(tilt_up, rng.uniform(-0.7, -0.1, (b, 1)), alpha)
         inharm = rng.uniform(0.0, 2e-4, (b, 1))
         # spectral-shape diversity: ~15% pure sines (the scale/benchmark
         # clips are plain sinusoids), otherwise random partial dropout —
@@ -228,6 +260,15 @@ def make_clips(
             sig += (amp * np.sin(stretch * phase + ph0)).astype(np.float32)
 
         attack = rng.uniform(0.002, 0.012, (b, 1)).astype(np.float32)
+        # tilted (missing-fundamental) clips take a SOFT attack and no
+        # pluck transient: their role is the octave cue (periodicity over
+        # peak-picking).  Pairing them with a bright noise attack taught
+        # the voicing head that broadband bursts are voiced onsets — the
+        # retrained nets transcribed the KS track's RAKE as a 3-frame
+        # 131 Hz note (measured 2026-08-18, 5/5 retrains failing the kst
+        # truth gate until this decoupling).
+        attack = np.where(tilt_up, rng.uniform(0.02, 0.05, (b, 1)),
+                          attack).astype(np.float32)
         tau = rng.uniform(0.15, 1.6, (b, 1)).astype(np.float32)
         env = (np.minimum(t / attack, 1.0)
                * np.exp(-np.maximum(t - attack, 0.0) / tau)).astype(np.float32)
@@ -237,6 +278,7 @@ def make_clips(
         n_pluck = max(int(0.004 * sr), 8)
         pluck = rng.standard_normal((b, n_pluck)).astype(np.float32)
         pluck *= rng.uniform(0.1, 0.5, (b, 1)) * np.linspace(1, 0, n_pluck)
+        pluck *= ~tilt_up
         sig[:, :n_pluck] += pluck
 
         peak = np.max(np.abs(sig), axis=1, keepdims=True) + 1e-9
@@ -340,12 +382,54 @@ def make_clips(
     ambig = binary_dilation(
         fall, structure=np.ones((1, 2 * DECAY_AMBIG_BLOCKS + 1), bool))
     label_w[ambig] = 0.0
-    # one-sided pre-onset mask: unvoiced blocks whose window already
-    # contains the upcoming attack are unsupervised (see ONSET_AMBIG_BLOCKS)
+    # one-sided pre-onset span: blocks whose window already contains the
+    # upcoming attack (see ONSET_AMBIG_BLOCKS)
     near_onset = np.zeros_like(v_lab)
     for s in range(1, ONSET_AMBIG_BLOCKS + 1):
         near_onset[:, :-s] |= v_lab[:, s:]
-    label_w[~v_lab & near_onset] = 0.0
+    pre = ~v_lab & near_onset
+    label_w[pre] = 0.0
+    # Leaving the pre-onset span fully UNSUPERVISED made post-rake behavior
+    # a per-training-run coin flip: the canonical rake->pluck gesture lives
+    # exactly here, and with zero weight on BOTH heads the net is free to
+    # decode junk pitch (measured: retrained nets minted a spurious
+    # 3-frame 131 Hz event on the KS track's rake in 8/8 runs across every
+    # augmentation config, while the committed checkpoint was simply a
+    # lucky draw).  Supervise the span with the UPCOMING note instead, at
+    # gentle weight: a window whose right half contains the attack may
+    # fire early (within the 50 ms F1 tolerance — window centers reach at
+    # most half a window past the block), but when it does its pitch must
+    # be the note's, so the event extractor merges it into the note
+    # instead of minting a junk-pitch prefix event.  Voicing eagerness is
+    # now trained, not left to initialization.
+    f0_next = np.zeros_like(f0_lab)
+    for s in range(1, ONSET_AMBIG_BLOCKS + 1):
+        src_v = np.zeros_like(v_lab)
+        src_v[:, :-s] = v_lab[:, s:]
+        src_f = np.zeros_like(f0_lab)
+        src_f[:, :-s] = f0_lab[:, s:]
+        fill = pre & (f0_next == 0) & src_v & (src_f > 0)
+        f0_next[fill] = src_f[fill]
+    # decay ambiguity wins where the spans overlap (short inter-note gaps:
+    # the window holds BOTH the dying previous note and the next attack —
+    # genuinely contradictory, keep it unsupervised).  Grow the voiced
+    # pre-span CONTIGUOUSLY backward from each rising edge and stop at the
+    # first ambiguous block — a skipped-over block would leave a voiced
+    # island with a synthetic fall edge in the labels.
+    allowed = pre & (f0_next > 0) & ~ambig
+    grow = v_lab.copy()
+    sel = np.zeros_like(v_lab)
+    for _ in range(ONSET_AMBIG_BLOCKS):
+        nxt = np.zeros_like(v_lab)
+        nxt[:, :-1] = grow[:, 1:]
+        add = allowed & nxt & ~grow
+        if not add.any():
+            break
+        grow |= add
+        sel |= add
+    f0_lab[sel] = f0_next[sel]
+    v_lab[sel] = True
+    label_w[sel] = ONSET_PRE_W
     if rings.any():
         past_end = ~np.maximum.accumulate(v_lab[rings][:, ::-1],
                                           axis=1)[:, ::-1]

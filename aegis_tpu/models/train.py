@@ -68,7 +68,7 @@ def evaluate(params, n_clips: int = 192, clip_len: int = 16384,
 
 def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
           clip_len: int = 16384, seed: int = 0, out: str | None = None,
-          mesh=None, log_every: int = 200):
+          mesh=None, log_every: int = 200, data_kwargs: dict | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +82,7 @@ def train(steps: int = 3000, batch: int = 256, clips: int = 2048,
         # region; a smaller clip would feed randint a non-positive range
         raise ValueError(f"clip_len must be >= {2 * WIN} (got {clip_len})")
     t0 = time.time()
-    d = make_clips(clips, clip_len, seed=seed)
+    d = make_clips(clips, clip_len, seed=seed, **(data_kwargs or {}))
     print(f"# data: {clips} clips x {clip_len} samples "
           f"({time.time() - t0:.1f}s to synthesize)", file=sys.stderr)
 

@@ -45,10 +45,14 @@ def test_make_clips_shapes_and_labels():
 def test_label_weights_mask_decay_boundaries():
     from aegis_tpu.models.data import DECAY_AMBIG_BLOCKS
 
+    from aegis_tpu.models.data import ONSET_AMBIG_BLOCKS, ONSET_PRE_W
+
     d = make_clips(64, clip_len=8192, seed=7)
     w, v = d["label_w"], d["voiced"]
     assert w.shape == v.shape and w.dtype == np.float32
-    assert set(np.unique(w)) <= {0.0, 1.0}
+    # weights: 0 (ambiguous), ONSET_PRE_W (pre-onset span, labeled voiced
+    # with the upcoming pitch), 1 (fully supervised)
+    assert set(np.unique(w)) <= {0.0, np.float32(ONSET_PRE_W), 1.0}
     # every voiced->unvoiced transition is weight-0 on both sides; onsets
     # (unvoiced->voiced) keep weight 1 right AT the rising edge's voiced
     # side unless a decay boundary sits within the ambiguity radius
@@ -60,6 +64,18 @@ def test_label_weights_mask_decay_boundaries():
         lo = max(b - DECAY_AMBIG_BLOCKS, 0)
         hi = min(b + DECAY_AMBIG_BLOCKS + 1, w.shape[1])
         assert (w[c, lo:hi] == 0).all()
+    # the pre-onset span is voiced at ONSET_PRE_W with the UPCOMING pitch:
+    # each rising edge is preceded by up to ONSET_AMBIG_BLOCKS blocks of
+    # weight-0.3 voiced labels carrying the onset block's f0
+    pre = w == np.float32(ONSET_PRE_W)
+    assert pre.any(), "fixture should contain pre-onset spans"
+    assert v[pre].all() and (d["f0_hz"][pre] > 0).all()
+    ci, bi = np.nonzero(pre)
+    for c, b in zip(ci[:50], bi[:50]):
+        on = np.nonzero(v[c, b:b + ONSET_AMBIG_BLOCKS + 1]
+                        & (w[c, b:b + ONSET_AMBIG_BLOCKS + 1] > 0.5))[0]
+        if len(on):  # nearest fully-supervised voiced block ahead
+            assert d["f0_hz"][c, b] == d["f0_hz"][c, b + on[0]]
     # supervision survives: most blocks still carry weight
     assert w.mean() > 0.6
 
