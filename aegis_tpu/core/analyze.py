@@ -117,12 +117,55 @@ def quantize_pcm8(y: np.ndarray):
     return q.astype(np.int8).reshape(-1), (peak / 127.0).astype(np.float32)
 
 
+# Block size for the int4 packed block-float transport.  Much smaller than
+# PCM8_BLOCK: with only ±7 quantization levels the noise floor sits
+# ~19 dB under the block peak, so the scale must hug the local envelope
+# tighter.  Swept offline 2026-08-19 (CPU oracle, all four gating clips,
+# v1 AND financial): 128 scores F1 1.0000 everywhere with exact event
+# counts; 256 and 512 each mint a spurious event on the 44.1 kHz KS clip.
+# Must divide every bucket length and be even (two samples pack a byte).
+PCM4_BLOCK = 128
+
+
+def quantize_pcm4(y: np.ndarray, block: int = PCM4_BLOCK):
+    """ONE bucket-padded track -> (packed uint8 nibble pairs of length
+    len(y)//2, per-block float32 scales): int4 block-floating-point
+    transport at a QUARTER of the int16 bytes (+1.6% scale overhead at
+    block=256).  Sample 2i rides the LOW nibble of byte i, sample 2i+1
+    the HIGH nibble, two's-complement in [-7, 7].
+
+    The fused single-track analyze is transport-bound (measured: wall ≈
+    upload + ~54 ms tunnel latency), so halving the int8 upload again
+    moves the headline directly — IF note-event F1 survives the ~19 dB
+    noise floor.  See VALIDATION.md §A for the measured verdict; this
+    transport is opt-in unless that measurement says 1.0000 everywhere."""
+    y = np.asarray(y, np.float32)
+    if len(y) % block or block % 2:
+        raise ValueError(f"int4 transport needs even block | len "
+                         f"({block}, {len(y)})")
+    b = y.reshape(-1, block)
+    peak = np.abs(b).max(axis=1)
+    q = np.round(b * (7.0 / np.maximum(peak[:, None], 1e-30)))
+    qi = q.astype(np.int8).reshape(-1)
+    packed = ((qi[0::2] & 0xF) | ((qi[1::2] & 0xF) << 4)).astype(np.uint8)
+    return packed, (peak / 7.0).astype(np.float32)
+
+
 def dequant_transport(y: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """Device-side dequant shared by the packed programs: a scalar ``scale``
     is the int16 (or float32 pass-through) convention; a rank-1 ``scale``
-    is the int8 block-float convention (one scale per PCM8_BLOCK-sample
-    block).  Rank is static under jit, so each transport traces its own
+    selects block-float — int8 (one scale per PCM8_BLOCK samples) or,
+    when ``y`` arrives as packed uint8 nibble pairs, int4 (quantize_pcm4).
+    Rank and dtype are static under jit, so each transport traces its own
     program."""
+    if y.dtype == jnp.uint8:  # packed int4 nibble pairs
+        b = y.astype(jnp.int32)
+        lo = b & 0xF
+        hi = (b >> 4) & 0xF
+        lo = lo - jnp.where(lo >= 8, 16, 0)
+        hi = hi - jnp.where(hi >= 8, 16, 0)
+        yf = jnp.stack([lo, hi], axis=-1).reshape(-1).astype(jnp.float32)
+        return (yf.reshape(scale.shape[0], -1) * scale[:, None]).reshape(-1)
     y = y.astype(jnp.float32)
     if scale.ndim == 1:
         return (y.reshape(scale.shape[0], -1) * scale[:, None]).reshape(-1)
@@ -313,6 +356,10 @@ def dispatch_analyze(
         y8, s8 = quantize_pcm8(y_pad)
         y_dev = jnp.asarray(y8)
         scale = jnp.asarray(s8)
+    elif transport == "int4":
+        y4, s4 = quantize_pcm4(y_pad)
+        y_dev = jnp.asarray(y4)
+        scale = jnp.asarray(s4)
     elif transport == "int16":
         y16, s = quantize_pcm16(y_pad)
         y_dev = jnp.asarray(y16)

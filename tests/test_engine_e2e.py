@@ -208,6 +208,68 @@ def test_pcm8_transport_event_parity():
     assert len(e8) == len(ef)
 
 
+def test_pcm4_transport_roundtrip():
+    """int4 packed transport: device-side nibble decode (dequant_transport)
+    must invert the host pack exactly, per-block error bounded by half an
+    LSB of the LOCAL block scale (peak/14), silent blocks exact."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.analyze import (PCM4_BLOCK, dequant_transport,
+                                        quantize_pcm4)
+
+    rng = np.random.default_rng(1)
+    n = 8 * PCM4_BLOCK
+    y = (np.exp(-np.arange(n) / (n / 9.2)) *
+         np.sin(2 * np.pi * 196.0 * np.arange(n) / 22050) +
+         1e-4 * rng.standard_normal(n)).astype(np.float32)
+    packed, scales = quantize_pcm4(y)
+    assert packed.dtype == np.uint8 and packed.shape == (n // 2,)
+    assert scales.shape == (8,)
+    back = np.asarray(dequant_transport(jnp.asarray(packed),
+                                        jnp.asarray(scales)))
+    assert back.shape == (n,)
+    blocks = y.reshape(8, -1)
+    backb = back.astype(np.float64).reshape(8, -1)
+    for i in range(8):
+        peak = np.abs(blocks[i]).max()
+        assert np.abs(backb[i] - blocks[i]).max() <= peak / 13.9
+    # block scales track the decaying local envelope
+    assert scales[-1] < scales[0] / 50
+
+    packed, scales = quantize_pcm4(np.zeros(PCM4_BLOCK, np.float32))
+    assert (packed == 0).all() and (scales == 0).all()
+    with pytest.raises(ValueError):
+        quantize_pcm4(np.zeros(PCM4_BLOCK + 2, np.float32), PCM4_BLOCK + 1)
+    with pytest.raises(ValueError):
+        quantize_pcm4(np.zeros(PCM4_BLOCK + 2, np.float32))
+
+
+def test_pcm4_transport_event_parity():
+    """transport="int4" must extract the SAME note events as bit-exact
+    float32 ingest (offline oracle sweep 2026-08-19: F1 1.0000 at blocks
+    128/256/512 on every gating clip; this pins the KS clip in CI)."""
+    from aegis_tpu.core.analyze import run_analyze
+    from aegis_tpu.core.events import extract_events_v1
+
+    track, _ = generate_test_track(sr=SR)
+    audio = AudioConfig(sample_rate=SR)
+    pyin = PyinConfig()
+
+    def events(transport):
+        out = run_analyze(track, audio, pyin, 0.6, transport=transport)
+        f0 = np.nan_to_num(out["f0"])
+        return extract_events_v1(
+            out["rake_mask"], f0, out["voiced_flag"], out["voiced_probs"],
+            out["rms"], SR, audio.hop_length, confidence_threshold=0.3,
+            onset_env=out["onset_env"])
+
+    e4, ef = events("int4"), events("float32")
+    m = note_event_f1(events_to_seconds(ef, SR, 512),
+                      events_to_seconds(e4, SR, 512))
+    assert m["f1"] == 1.0, m
+    assert len(e4) == len(ef)
+
+
 def test_validate_device_gate():
     """The driver's F1 gate (tools.validate_device) must pass on every
     gating clip — incl. sr=44100 — on this backend (CPU here; the tool also
