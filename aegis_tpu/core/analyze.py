@@ -134,11 +134,16 @@ def quantize_pcm4(y: np.ndarray, block: int = PCM4_BLOCK):
     block=256).  Sample 2i rides the LOW nibble of byte i, sample 2i+1
     the HIGH nibble, two's-complement in [-7, 7].
 
-    The fused single-track analyze is transport-bound (measured: wall ≈
-    upload + ~54 ms tunnel latency), so halving the int8 upload again
-    moves the headline directly — IF note-event F1 survives the ~19 dB
-    noise floor.  See VALIDATION.md §A for the measured verdict; this
-    transport is opt-in unless that measurement says 1.0000 everywhere."""
+    The fused single-track analyze is transport-bound, so halving the
+    int8 upload again moves the headline directly: measured on-chip
+    2026-08-19, 865x vs int8's 777x same-day (+11%).  OPT-IN, not the
+    default: the ~19 dB noise floor is transparent on every GATING clip
+    (F1 1.0000, exact counts, v1 AND financial) but measurably lossy
+    off-gate — fresh bench seeds flip ~1 event per 70, and the
+    reverb-wash preset mints 1-2 extra events (echo-guard decisions sit
+    on ~0.1 dB margins); int8 measures 1.0000 on all of those
+    (VALIDATION.md §A).  For throughput-over-fidelity deployments:
+    run_analyze(..., transport="int4")."""
     y = np.asarray(y, np.float32)
     if len(y) % block or block % 2:
         raise ValueError(f"int4 transport needs even block | len "
@@ -154,10 +159,16 @@ def quantize_pcm4(y: np.ndarray, block: int = PCM4_BLOCK):
 def dequant_transport(y: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """Device-side dequant shared by the packed programs: a scalar ``scale``
     is the int16 (or float32 pass-through) convention; a rank-1 ``scale``
-    selects block-float — int8 (one scale per PCM8_BLOCK samples) or,
-    when ``y`` arrives as packed uint8 nibble pairs, int4 (quantize_pcm4).
+    selects block-float — int8 (one scale per PCM8_BLOCK samples), or int4
+    nibble pairs (quantize_pcm4) when ``y`` arrives as packed uint8.
     Rank and dtype are static under jit, so each transport traces its own
-    program."""
+    program.
+
+    (An int6 byte-triple variant was built and measured 2026-08-19, then
+    removed: on-chip it was NO faster than int8 — the ~0.3 MB saved on a
+    60 s upload vanishes in per-message overhead/jitter — while already
+    flipping one wet-track event timing.  int4 is the only packing whose
+    byte cut shows up on the wire; see VALIDATION.md §A.)"""
     if y.dtype == jnp.uint8:  # packed int4 nibble pairs
         b = y.astype(jnp.int32)
         lo = b & 0xF
@@ -405,7 +416,10 @@ def run_analyze(
     60 s bench track at exact 152/152 events).  Host->device bandwidth is
     the pipeline bottleneck on tunneled backends, so transport bytes ARE
     the headline.  "int16" is the conservative -96 dBFS variant; pass
-    "float32" for bit-exact ingest.  fetch_mel=False drops the (T, n_mels)
+    "float32" for bit-exact ingest; "int4" (quantize_pcm4) halves the
+    upload again for another measured +11% headline but is NOT
+    event-transparent off the gating clips — opt-in only, see its
+    docstring.  fetch_mel=False drops the (T, n_mels)
     spectrogram from the device->host fetch (the reference's raw_data
     contract has no mel; aegis_engine.py:72-75) — event extraction never
     reads it.
