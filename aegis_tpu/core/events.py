@@ -355,6 +355,64 @@ def extract_events_v1(
     return events
 
 
+#: semitone intervals at which a decaying string's harmonic can be decoded
+#: as a phantom note by a phase-blind pitch backend (h2..h8)
+_HARMONIC_INTERVALS = frozenset((12, 19, 24, 28, 31, 34, 36))
+
+
+def drop_harmonic_tail_ghosts(events: List[dict], onsets: np.ndarray,
+                              rms_db: np.ndarray, sr: int, hop_length: int,
+                              min_rise_db: float = SPLIT_MIN_RISE_DB,
+                              max_ms: float = 220.0) -> List[dict]:
+    """Neural-backend tail guard: merge a brief harmonic-interval phantom
+    back into the note whose decay tail it rides on.
+
+    PitchNet has no HMM transition prior, so once a pluck's fundamental
+    decays below a strong partial the net can flip to that partial for a
+    few frames — measured on the 60 s bench track (2026-08-19): the tail
+    of a 220 Hz note decodes as 664.6 Hz (its 3rd harmonic, MIDI 76,
+    confidence 0.998!) for 6 frames right before the next attack, the
+    single event keeping `neural_truth_f1` at 0.9967.  pYIN's Viterbi
+    prior makes such 19-semitone excursions impossible, so this pass runs
+    only for the neural backend (alongside the forward snap).
+
+    An event is a tail phantom — merged into its predecessor (the string
+    IS still sounding; only the decoded octave/partial is wrong) — iff:
+      * its pitch sits a harmonic interval ABOVE the immediately preceding
+        event's (h2..h8 — a real melody can land there too, but only via
+        a new attack, which the next two conditions require);
+      * it continues that event contiguously (gap <= 2 frames) and briefly
+        (<= ``max_ms`` — the flip lives in the fundamental's last audible
+        span, bounded well under a real note's duration);
+      * no picked onset falls near its start (+-2 frames), and the RMS
+        over all but its final 2 frames (where the NEXT note's attack
+        already bleeds in) never rises ``min_rise_db`` above its running
+        minimum — i.e. it sits strictly inside a decay."""
+    if not events:
+        return events
+    onsets = np.asarray(onsets, np.int64)
+    rms_db = np.asarray(rms_db, np.float64)
+    max_frames = int((max_ms / 1000.0) * sr / hop_length)
+    out: List[dict] = []
+    for e in sorted(events, key=lambda ev: (ev["start"], ev["note"])):
+        prev = out[-1] if out else None
+        if prev is not None:
+            seg = rms_db[e["start"]: max(e["end"] - 1, e["start"] + 1)]
+            rise = (float(np.max(seg - np.minimum.accumulate(seg)))
+                    if len(seg) >= 2 else 0.0)
+            born_at_onset = bool(len(onsets)) and bool(
+                np.min(np.abs(onsets - e["start"])) <= 2)
+            if ((e["note"] - prev["note"]) in _HARMONIC_INTERVALS
+                    and 0 <= e["start"] - prev["end"] <= 2
+                    and (e["end"] - e["start"] + 1) <= max_frames
+                    and not born_at_onset
+                    and rise < min_rise_db):
+                prev["end"] = max(prev["end"], e["end"])
+                continue
+        out.append(e)
+    return out
+
+
 def apply_onset_refinement(
     events: List[dict],
     onset_env: np.ndarray,
@@ -419,6 +477,12 @@ def apply_onset_refinement(
             events, onsets, rms_db,
             int((onset_snap_ms / 1000.0) * sr / hop_length),
             fwd_frames=int((snap_fwd_ms / 1000.0) * sr / hop_length))
+    if snap_fwd_ms > 0:
+        # the second phase-blind-backend compensation (neural only, like
+        # the forward snap): see drop_harmonic_tail_ghosts
+        events = drop_harmonic_tail_ghosts(events, onsets, rms_db, sr,
+                                           hop_length,
+                                           min_rise_db=split_min_rise_db)
     return events
 
 

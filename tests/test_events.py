@@ -201,3 +201,42 @@ def test_split_echo_guard():
         [dict(events[0])], onset_env, velocity, rms_db, SR, HOP,
         min_frames=2, onset_snap_ms=0.0, split_min_rise_db=0.0)
     assert len(out) == 2
+
+
+def test_drop_harmonic_tail_ghosts():
+    """Neural tail guard: a brief h3-interval event riding a predecessor's
+    decay (no onset at its start, RMS strictly falling) merges back into
+    the predecessor; the same pitch born AT an onset with an RMS rise is a
+    real note and survives.  Mirrors the measured bench-track phantom
+    (220 Hz tail decoded as MIDI 76 for 6 frames, VALIDATION.md)."""
+    from aegis_tpu.core.events import drop_harmonic_tail_ghosts
+
+    base = {"confidence": 0.9, "velocity": 90, "track": "main",
+            "technique": None, "slope": 0.0, "rms_energy": -30.0}
+    rms_db = np.concatenate([np.linspace(-20, -33, 60),
+                             np.linspace(-22, -30, 20)])
+    onsets = np.asarray([2, 60])
+
+    # phantom: +19 semitones, contiguous, short, mid-decay, no onset
+    events = [dict(base, note=57, start=2, end=53),
+              dict(base, note=76, start=54, end=59)]
+    out = drop_harmonic_tail_ghosts(events, onsets, rms_db, SR, HOP)
+    assert len(out) == 1 and out[0]["note"] == 57 and out[0]["end"] == 59
+
+    # same interval born AT an onset (frame 60) with an attack rise: real
+    events = [dict(base, note=57, start=2, end=58),
+              dict(base, note=76, start=60, end=75)]
+    out = drop_harmonic_tail_ghosts(events, onsets, rms_db, SR, HOP)
+    assert len(out) == 2
+
+    # non-harmonic interval in the tail survives (the guard is narrow)
+    events = [dict(base, note=57, start=2, end=53),
+              dict(base, note=62, start=54, end=59)]
+    out = drop_harmonic_tail_ghosts(events, onsets, rms_db, SR, HOP)
+    assert len(out) == 2
+
+    # a LONG harmonic-interval continuation survives (max_ms bound)
+    events = [dict(base, note=57, start=2, end=20),
+              dict(base, note=76, start=21, end=59)]
+    out = drop_harmonic_tail_ghosts(events, onsets, rms_db, SR, HOP)
+    assert len(out) == 2
