@@ -170,3 +170,35 @@ def test_stft_matches_torch():
     a, b = p_ours[:, :n], p_torch[:, :n]
     denom = np.maximum(np.abs(b).max(), 1e-12)
     assert np.max(np.abs(a - b)) / denom < 1e-6
+
+
+def test_mel_path_matches_transformers():
+    """External cross-check #2: HuggingFace transformers ships its own
+    librosa-mirroring mel stack (transformers.audio_utils — an
+    independent reimplementation of librosa's slaney filterbank and
+    centered/reflect spectrogram).  Pinning the oracle's FULL mel path
+    (framing, periodic Hann, FFT, power, slaney mel) to it at both
+    production rates rules out any shared-bug hypothesis with the
+    in-repo torch.stft check (which covers only the STFT)."""
+    audio_utils = pytest.importorskip("transformers.audio_utils")
+
+    from aegis_tpu.ref.dsp_ref import mel_filterbank, melspectrogram
+
+    rng = np.random.default_rng(0)
+    for sr in (22050, 44100):
+        n_fft, hop, n_mels = 2048, 512, 128
+        fb = audio_utils.mel_filter_bank(
+            num_frequency_bins=n_fft // 2 + 1, num_mel_filters=n_mels,
+            min_frequency=0.0, max_frequency=sr / 2, sampling_rate=sr,
+            norm="slaney", mel_scale="slaney")
+        assert np.abs(np.asarray(mel_filterbank(sr, n_fft, n_mels))
+                      - fb.T).max() < 1e-8
+
+        y = (rng.standard_normal(sr)
+             * np.exp(-np.arange(sr) / sr * 3)).astype(np.float32)
+        win = audio_utils.window_function(n_fft, "hann")
+        S = audio_utils.spectrogram(y, win, frame_length=n_fft,
+                                    hop_length=hop, power=2.0, center=True,
+                                    pad_mode="reflect", mel_filters=fb)
+        ours = np.asarray(melspectrogram(y, sr, n_fft, hop, n_mels))
+        assert np.abs(ours - S).max() / max(S.max(), 1e-12) < 1e-6
