@@ -202,3 +202,18 @@ def test_mel_path_matches_transformers():
                                     pad_mode="reflect", mel_filters=fb)
         ours = np.asarray(melspectrogram(y, sr, n_fft, hop, n_mels))
         assert np.abs(ours - S).max() / max(S.max(), 1e-12) < 1e-6
+
+
+def test_power_to_db_matches_transformers():
+    """The dB conversion (ref=max, amin 1e-10, top_db 80 -- velocity and
+    every noise-gate threshold ride on it) against transformers'
+    independent librosa-equivalent power_to_db."""
+    audio_utils = pytest.importorskip("transformers.audio_utils")
+
+    from aegis_tpu.ref.dsp_ref import power_to_db
+
+    rng = np.random.default_rng(1)
+    S = rng.random((128, 50)) ** 4 * 300
+    theirs = audio_utils.power_to_db(S, reference=float(S.max()),
+                                     min_value=1e-10, db_range=80.0)
+    assert np.abs(np.asarray(power_to_db(S)) - theirs).max() < 1e-5
