@@ -143,7 +143,10 @@ def main() -> None:
     fin_iter()
     fin_iter()
     print("# financial 60s two-phase:", file=sys.stderr)
-    elapsed = _median_time(fin_iter, 7)
+    # median of 15: the tunnel's jitter band is wide (same warm program
+    # measured 604x and 777x medians-of-7 on the same day); at ~0.1 s per
+    # iter the wider sample is free and the recorded headline stabler
+    elapsed = _median_time(fin_iter, 15)
     rtf = duration / elapsed
     print(f"# steady-state (median): {elapsed:.3f}s per {duration:.0f}s audio",
           file=sys.stderr)
