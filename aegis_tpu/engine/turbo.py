@@ -762,7 +762,14 @@ def run_analyze_streamed(
     true_frames = audio.n_frames(len(y))
     n_tiles_total = max(1, -(-true_frames // tile))
 
-    slab_tiles = slab_tiles or 8 * n_time
+    # default slab size: measured on the chip 2026-08-19 over the 10-min
+    # bench track (5 runs each, warm) — 16 tiles/axis beats 8 on BOTH
+    # speed and stability (332x median vs 298x, worst-run 2.3 s vs 7.1 s:
+    # fewer slab round trips = fewer exposures to tunnel stalls), while
+    # 26 tiles (whole track in one slab) adds nothing further (320x).
+    # Memory stays bounded by the fixed slab size regardless of duration
+    # (~17 MB of int16 audio per 16-tile slab at 22.05 kHz).
+    slab_tiles = slab_tiles or 16 * n_time
     slab_tiles = -(-slab_tiles // n_time) * n_time
     # never pad a short track past its own tile count (rounded to the mesh)
     slab_tiles = min(slab_tiles, -(-n_tiles_total // n_time) * n_time)

@@ -741,10 +741,16 @@ def run_analyze_neural_streamed(
     n_fft: int = 2048,
     n_mels: int = 128,
     fetch_mel: bool = False,
-    slab_frames: int = 4096,
+    slab_frames: int = 16384,
     halo_frames: int = 16,
 ) -> Dict[str, np.ndarray]:
     """Bounded-memory streamed neural analyze for multi-minute tracks.
+
+    Default slab size measured on the chip 2026-08-19 (10-min track,
+    5 warm runs each): 16384 frames/slab streams at 416x vs 300x at 4096
+    with a tighter spread (fewer slab round trips = fewer tunnel-stall
+    exposures; the same result as the pyin streamed path's slab sweep).
+    Memory stays bounded by the fixed slab (~17 MB int16 at 22.05 kHz).
 
     Every stage of the neural pipeline is frame-local (window 2048, rake
     run-length <= 3 frames, cents median +-2, onset backfill bounded by
