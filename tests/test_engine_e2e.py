@@ -246,28 +246,31 @@ def test_pcm4_transport_roundtrip():
 
 def test_pcm4_transport_event_parity():
     """transport="int4" must extract the SAME note events as bit-exact
-    float32 ingest (offline oracle sweep 2026-08-19: F1 1.0000 at blocks
-    128/256/512 on every gating clip; this pins the KS clip in CI)."""
+    float32 ingest on the gating clips (offline oracle sweep 2026-08-19:
+    F1 1.0000 at block=128 everywhere).  Pins BOTH production rates —
+    44.1 kHz is where the neighboring block sizes (64 and 256) each mint
+    a spurious event, so it is the rate that would catch a drift."""
     from aegis_tpu.core.analyze import run_analyze
     from aegis_tpu.core.events import extract_events_v1
 
-    track, _ = generate_test_track(sr=SR)
-    audio = AudioConfig(sample_rate=SR)
-    pyin = PyinConfig()
+    for sr in (SR, 44100):
+        track, _ = generate_test_track(sr=sr)
+        audio = AudioConfig(sample_rate=sr)
+        pyin = PyinConfig()
 
-    def events(transport):
-        out = run_analyze(track, audio, pyin, 0.6, transport=transport)
-        f0 = np.nan_to_num(out["f0"])
-        return extract_events_v1(
-            out["rake_mask"], f0, out["voiced_flag"], out["voiced_probs"],
-            out["rms"], SR, audio.hop_length, confidence_threshold=0.3,
-            onset_env=out["onset_env"])
+        def events(transport):
+            out = run_analyze(track, audio, pyin, 0.6, transport=transport)
+            f0 = np.nan_to_num(out["f0"])
+            return extract_events_v1(
+                out["rake_mask"], f0, out["voiced_flag"],
+                out["voiced_probs"], out["rms"], sr, audio.hop_length,
+                confidence_threshold=0.3, onset_env=out["onset_env"])
 
-    e4, ef = events("int4"), events("float32")
-    m = note_event_f1(events_to_seconds(ef, SR, 512),
-                      events_to_seconds(e4, SR, 512))
-    assert m["f1"] == 1.0, m
-    assert len(e4) == len(ef)
+        e4, ef = events("int4"), events("float32")
+        m = note_event_f1(events_to_seconds(ef, sr, audio.hop_length),
+                          events_to_seconds(e4, sr, audio.hop_length))
+        assert m["f1"] == 1.0, (sr, m)
+        assert len(e4) == len(ef)
 
 
 def test_validate_device_gate():
