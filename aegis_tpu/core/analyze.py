@@ -375,9 +375,12 @@ def dispatch_analyze(
         y16, s = quantize_pcm16(y_pad)
         y_dev = jnp.asarray(y16)
         scale = jnp.float32(s)
-    else:
+    elif transport == "float32":
         y_dev = jnp.asarray(y_pad)
         scale = jnp.float32(1.0)
+    else:
+        raise ValueError(f"unknown transport {transport!r} "
+                         "(int8 | int4 | int16 | float32)")
     rs = jnp.float32(rake_sensitivity)
     if financial:
         packed = analyze_financial_program_packed(

@@ -416,6 +416,9 @@ def run_analyze_turbo(
     n_tiles = max(1, -(-true_frames // tile))
     n_tiles = -(-n_tiles // n_time) * n_time
     n_samp = n_tiles * tile * audio.hop_length
+    if transport not in ("int16", "float32"):
+        raise ValueError(f"unknown transport {transport!r} "
+                         "(sharded tile paths: int16 | float32)")
     if transport == "int16":
         y_dev, scale = quantize_tracks(np.asarray(y, np.float32)[None], n_samp)
     else:
@@ -465,6 +468,9 @@ def run_analyze_batch(
     n_tiles = max(1, -(-true_frames // tile))
     n_tiles = -(-n_tiles // n_time) * n_time
     n_samp = n_tiles * tile * audio.hop_length
+    if transport not in ("int16", "float32"):
+        raise ValueError(f"unknown transport {transport!r} "
+                         "(sharded tile paths: int16 | float32)")
     if transport == "int16":
         y_dev, scale = quantize_tracks(np.asarray(ys, np.float32), n_samp)
     else:

@@ -926,11 +926,17 @@ def run_analyze_neural(
 
     import jax.numpy as jnp
 
+    if transport not in ("int8", "int16", "float32"):
+        raise ValueError(f"unknown transport {transport!r} "
+                         "(neural backend: int8 | int16 | float32)")
+
     def _quant(arr):
         if transport == "int8":
             pad = (-len(arr)) % PCM8_BLOCK
             q, sc = quantize_pcm8(np.pad(arr, (0, pad)))
             return jnp.asarray(q), jnp.asarray(sc)
+        if transport == "float32":
+            return jnp.asarray(arr), jnp.float32(1.0)
         q, sc = quantize_pcm16(arr)
         return jnp.asarray(q), jnp.float32(sc)
 
