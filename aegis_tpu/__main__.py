@@ -132,7 +132,8 @@ def cmd_batch(args) -> int:
         kw["use_onsets"] = False
     results = transcribe_folder(args.folder, args.output_dir,
                                 pattern=args.pattern,
-                                sample_rate=args.sr, **kw)
+                                sample_rate=args.sr,
+                                pitch_backend=args.pitch_backend, **kw)
     if not results:
         print("no matching audio files", file=sys.stderr)
         return 1
@@ -381,6 +382,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-onsets", action="store_true",
                    help="disable onset event refinement (the reference's "
                         "exact merge/lag semantics)")
+    p.add_argument("--pitch-backend", default="pyin",
+                   choices=["pyin", "neural"],
+                   help="neural = PitchNet dispatch-ahead sweep (the "
+                        "fastest folder path)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("warmup", description=cmd_warmup.__doc__)

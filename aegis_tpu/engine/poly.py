@@ -226,6 +226,7 @@ def transcribe_folder(
     end_time: Optional[float] = None,
     turbo: Optional[TurboConfig] = None,
     mesh=None,
+    pitch_backend: str = "pyin",
     **extract_kwargs,
 ) -> List[Tuple[str, str, int]]:
     """Batch-transcribe every matching file as ONE sharded device batch.
@@ -235,6 +236,13 @@ def transcribe_folder(
     axis and analyzed via engine.turbo.run_analyze_batch (data-parallel
     over the mesh, time-tiled with pYIN halos).  Event extraction + MIDI
     encode run per track on host.  Returns [(wav_path, mid_path, n_events)].
+
+    pitch_backend="neural" runs PitchNet instead of pYIN: every track is
+    dispatched before any fetch (models.pitchnet.dispatch_analyze_neural),
+    so upload/compute of track i+1 overlaps track i's device->host
+    transfer — the neural fused program is the fastest single-track path,
+    which makes this the fastest folder sweep.  There is no sharded-tiles
+    neural mode; the dispatch-ahead path is used regardless of mesh.
     """
     from aegis_tpu.engine.turbo import run_analyze_batch
 
@@ -261,7 +269,24 @@ def transcribe_folder(
 
     import jax
 
-    if mesh is None and jax.device_count() == 1:
+    if pitch_backend == "neural":
+        from aegis_tpu.models.pitchnet import default_params_device, \
+            dispatch_analyze_neural, fetch_analyze_neural
+
+        params = default_params_device()
+        handles = [dispatch_analyze_neural(
+            y, sample_rate, audio.hop_length, params, rake_sensitivity,
+            n_fft=audio.n_fft, n_mels=audio.n_mels, fetch_mel=False)
+            for y in batch]
+        per_track = [fetch_analyze_neural(h) for h in handles]
+        out = {k: np.stack([r[k] for r in per_track])
+               for k in per_track[0]}
+        # PitchNet fires up to ~a window early; forward-snap such starts
+        # to the attack rise (the engine facade's backend convention)
+        extract_kwargs.setdefault("onset_fwd_snap_ms", 100.0)
+    elif pitch_backend != "pyin":
+        raise ValueError(f"unknown pitch backend: {pitch_backend!r}")
+    elif mesh is None and jax.device_count() == 1:
         # single chip: the fused whole-track program beats the tiled path
         # (no halo recompute, better pyin shapes).  Dispatch ALL tracks
         # before fetching any — JAX dispatch is async, so track i+1's

@@ -892,7 +892,7 @@ def run_analyze_neural_streamed(
     return _unpack(buf, _V1_ROWS, n_mels if fetch_mel else 0)
 
 
-def run_analyze_neural(
+def dispatch_analyze_neural(
     y: np.ndarray,
     sr: int,
     hop_length: int,
@@ -904,24 +904,15 @@ def run_analyze_neural(
     financial: bool = False,
     use_guitar_filters: bool = True,
     transport: str = "int8",
-) -> Dict[str, np.ndarray]:
-    """Host wrapper mirroring core.analyze.run_analyze for the neural
-    backend.  The non-pitch rows (mel/rake/RMS/onset) always use the
-    caller's exact (sr, hop) frame grid; only the pitch head sees a
-    22.05 kHz resample, aligned per frame (uniform stride when divisible,
-    rounded centers otherwise) — no cumulative timing drift at any rate.
-    financial=True appends the guitar-filter/trend tail (_FIN_ROWS) at any
-    rate.
-
-    transport="int8" (default) is the fused paths' block-float convention
-    (core.analyze.quantize_pcm8) — safe here because featurize()
-    standardizes every analysis window, so the net is gain-invariant by
-    construction and the per-block noise floor (~42 dB under the local
-    envelope) sits far below the feature scale.  "int16" is what the
-    streamed slab mode ships (its slab slicing needs one per-track scale
-    for bit-exact splices); the streamed==fused parity test compares both
-    at int16."""
-    from aegis_tpu.core.analyze import _FIN_ROWS, _V1_ROWS, _unpack, \
+):
+    """Async half of run_analyze_neural (mirrors
+    core.analyze.dispatch_analyze): quantize, upload, dispatch the fused
+    neural device program and return an opaque handle WITHOUT blocking.
+    JAX dispatch is asynchronous, so a folder sweep can put every track in
+    flight before fetching any — track i+1's upload/compute overlaps track
+    i's device->host transfer on the tunnel.  Resolve with
+    fetch_analyze_neural(handle)."""
+    from aegis_tpu.core.analyze import _FIN_ROWS, _V1_ROWS, \
         pad_to_bucket, quantize_pcm16, quantize_pcm8, PCM8_BLOCK
 
     import jax.numpy as jnp
@@ -981,5 +972,46 @@ def run_analyze_neural(
                 *args, use_guitar_filters, hop22)
         else:
             packed = analyze_neural_program_dual(*args, hop22)
-    buf = np.asarray(packed)[:true_frames]
-    return _unpack(buf, rows, n_mels if fetch_mel else 0)
+    return packed, rows, true_frames, (n_mels if fetch_mel else 0)
+
+
+def fetch_analyze_neural(handle) -> Dict[str, np.ndarray]:
+    """Blocking half: transfer the packed buffer and unpack it."""
+    from aegis_tpu.core.analyze import _unpack
+
+    packed, rows, true_frames, n_mels = handle
+    return _unpack(np.asarray(packed)[:true_frames], rows, n_mels)
+
+
+def run_analyze_neural(
+    y: np.ndarray,
+    sr: int,
+    hop_length: int,
+    params,
+    rake_sensitivity: float = 0.6,
+    n_fft: int = 2048,
+    n_mels: int = 128,
+    fetch_mel: bool = True,
+    financial: bool = False,
+    use_guitar_filters: bool = True,
+    transport: str = "int8",
+) -> Dict[str, np.ndarray]:
+    """Host wrapper mirroring core.analyze.run_analyze for the neural
+    backend.  The non-pitch rows (mel/rake/RMS/onset) always use the
+    caller's exact (sr, hop) frame grid; only the pitch head sees a
+    22.05 kHz resample, aligned per frame (uniform stride when divisible,
+    rounded centers otherwise) — no cumulative timing drift at any rate.
+    financial=True appends the guitar-filter/trend tail (_FIN_ROWS) at any
+    rate.
+
+    transport="int8" (default) is the fused paths' block-float convention
+    (core.analyze.quantize_pcm8) — safe here because featurize()
+    standardizes every analysis window, so the net is gain-invariant by
+    construction and the per-block noise floor (~42 dB under the local
+    envelope) sits far below the feature scale.  "int16" is what the
+    streamed slab mode ships (its slab slicing needs one per-track scale
+    for bit-exact splices); the streamed==fused parity test compares both
+    at int16."""
+    return fetch_analyze_neural(dispatch_analyze_neural(
+        y, sr, hop_length, params, rake_sensitivity, n_fft, n_mels,
+        fetch_mel, financial, use_guitar_filters, transport))

@@ -227,6 +227,32 @@ def main() -> None:
     folder_s = _median_time(folder_iter, 3)
     folder_rtf = 4 * duration / folder_s
 
+    # ---------------- neural folder sweep: same 4 tracks, PitchNet ---------
+    from aegis_tpu.core.events import extract_events_v1
+
+    neural_folder_rtf = 0.0
+    if have_default_weights():
+        from aegis_tpu.models.pitchnet import default_params_device, \
+            dispatch_analyze_neural, fetch_analyze_neural
+
+        nparams = default_params_device()
+
+        def neural_folder_iter():
+            handles = [dispatch_analyze_neural(
+                tr, sr, 512, nparams, fetch_mel=False) for tr in tracks]
+            for h in handles:
+                raw = fetch_analyze_neural(h)
+                extract_events_v1(
+                    rake_mask=raw["rake_mask"], f0=np.nan_to_num(raw["f0"]),
+                    voiced_flag=raw["voiced_flag"],
+                    active_probs=raw["voiced_probs"], rms=raw["rms"],
+                    sr=sr, hop_length=512, onset_env=raw["onset_env"],
+                    onset_fwd_snap_ms=100.0)
+
+        neural_folder_iter()  # compile
+        print("# neural folder sweep 4x60s:", file=sys.stderr)
+        neural_folder_rtf = 4 * duration / _median_time(neural_folder_iter, 3)
+
     # ---------------- warm auto-match (54-combo batched sweep) -------------
     from aegis_tpu.verify.auto_match import auto_match_parameters
 
@@ -341,6 +367,7 @@ def main() -> None:
         "poly_rtf": round(poly_rtf, 1),
         "folder_sweep_s": round(folder_s, 3),
         "folder_rtf_aggregate": round(folder_rtf, 1),
+        "neural_folder_rtf": round(neural_folder_rtf, 1),
         "auto_match_s": round(auto_match_s, 3),
         "reverse_s": round(reverse_s, 3),
         "per_note_s": round(per_note_s, 3),

@@ -533,3 +533,48 @@ def test_neural_robust_to_effects():
         f1 = note_event_f1(events_to_seconds(ep, sr, 512),
                            events_to_seconds(en, sr, 512))["f1"]
         assert f1 >= 0.9, (preset, f1, ep, en)
+
+
+def test_neural_folder_sweep_matches_engine(tmp_path):
+    """transcribe_folder(pitch_backend='neural') — the dispatch-ahead
+    sweep must produce exactly the per-track engine facade's events
+    (same rows, same extraction defaults, incl. the neural forward
+    onset snap)."""
+    import os
+
+    from aegis_tpu.engine.engine import AegisEngine
+    from aegis_tpu.engine.poly import transcribe_folder
+    from aegis_tpu.io.wav import write_wav
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    sr = 22050
+    clips = {
+        "g.wav": np.concatenate([_tone(sr, 196.0, 0.6),
+                                 _tone(sr, 293.66, 0.6)]),
+        "a.wav": _tone(sr, 220.0, 0.9),
+    }
+    for name, y in clips.items():
+        write_wav(str(tmp_path / name), y.astype(np.float32), sr)
+
+    out_dir = tmp_path / "mid"
+    results = transcribe_folder(str(tmp_path), str(out_dir),
+                                sample_rate=sr, pitch_backend="neural",
+                                confidence_threshold=0.3)
+    assert len(results) == 2
+
+    eng = AegisEngine(sample_rate=sr)
+    for wav_path, mid_path, n_events in results:
+        assert os.path.basename(wav_path) in clips
+        # the engine must see exactly what the folder sweep loaded
+        # (write_wav round-trips through int16 PCM)
+        raw = eng.audio_to_midi(wav_path, None, pitch_backend="neural",
+                                fetch_mel=False)
+        expected = eng.extract_events(raw, None, confidence_threshold=0.3)
+        assert n_events == len(expected), (wav_path, n_events, expected)
+        got = sorted(n["note"] for n in
+                     midi_to_notes(open(mid_path, "rb").read()))
+        assert got == sorted(e["note"] for e in expected)
+
+    with pytest.raises(ValueError):
+        transcribe_folder(str(tmp_path), str(out_dir), sample_rate=sr,
+                          pitch_backend="bogus")
