@@ -185,28 +185,29 @@ def snap_starts_to_onsets(events: List[dict], onsets: np.ndarray,
     The reference has no equivalent (its events inherit pyin's late lock);
     this is a documented deliberate divergence (VALIDATION.md).
     """
-    if len(onsets) == 0 or back_frames <= 0:
+    if (len(onsets) == 0 or back_frames <= 0) and fwd_frames <= 0:
         return events
     onsets = np.asarray(onsets, np.int64)
     rms_db = np.asarray(rms_db, np.float64)
     out = [dict(e) for e in events]
-    for i, e in enumerate(out):
-        lo = e["start"] - back_frames
-        if i:  # never swallow the previous note's own attack
-            lo = max(lo, out[i - 1]["start"] + 1)
-        cand = onsets[(onsets >= max(lo, 0)) & (onsets <= e["start"])]
-        if not len(cand):
-            continue
-        o = int(cand[-1])
-        seg = rms_db[o : e["start"] + 1]
-        if len(seg) < 2:
-            continue
-        new_start = o + int(np.argmax(np.diff(seg))) + 1
-        if new_start >= e["start"]:
-            continue
-        if i and out[i - 1]["end"] >= new_start:
-            out[i - 1]["end"] = new_start - 1
-        e["start"] = new_start
+    if len(onsets) and back_frames > 0:
+        for i, e in enumerate(out):
+            lo = e["start"] - back_frames
+            if i:  # never swallow the previous note's own attack
+                lo = max(lo, out[i - 1]["start"] + 1)
+            cand = onsets[(onsets >= max(lo, 0)) & (onsets <= e["start"])]
+            if not len(cand):
+                continue
+            o = int(cand[-1])
+            seg = rms_db[o : e["start"] + 1]
+            if len(seg) < 2:
+                continue
+            new_start = o + int(np.argmax(np.diff(seg))) + 1
+            if new_start >= e["start"]:
+                continue
+            if i and out[i - 1]["end"] >= new_start:
+                out[i - 1]["end"] = new_start - 1
+            e["start"] = new_start
 
     if fwd_frames > 0:
         # FORWARD snap — the mirror rule for EARLY-firing backends.
@@ -244,6 +245,12 @@ def snap_starts_to_onsets(events: List[dict], onsets: np.ndarray,
             if new_start <= e["start"] or new_start >= e["end"]:
                 continue
             e["start"] = new_start
+            # unlike the backward snap (whose target frames are the quiet
+            # pre-attack instant, docstring above), the forward snap LEAVES
+            # the quiet pre-attack frames: re-read attack dynamics at the
+            # snapped frame, the same convention as the split pass
+            e["velocity"] = int(velocity_from_db(rms_db[new_start]))
+            e["rms_energy"] = float(rms_db[new_start])
     return out
 
 

@@ -240,3 +240,40 @@ def test_drop_harmonic_tail_ghosts():
               dict(base, note=76, start=21, end=59)]
     out = drop_harmonic_tail_ghosts(events, onsets, rms_db, SR, HOP)
     assert len(out) == 2
+
+
+def test_snap_forward_early_firing_backend():
+    """The neural-backend FORWARD snap: an event whose start precedes its
+    own attack moves to the steepest RMS rise, re-reading attack dynamics
+    (velocity/rms_energy) at the snapped frame — and runs even with NO
+    picked onsets (the rise itself is the anchor)."""
+    from aegis_tpu.core.events import snap_starts_to_onsets, velocity_from_db
+
+    T = 60
+    rms = np.full(T, -50.0)
+    # pre-attack hush at -50, attack rise 20->23 to -12, decay after
+    rms[21] = -40.0
+    rms[22] = -20.0  # steepest rise 21->22
+    rms[23:40] = -12.0
+    evts = [{"note": 60, "start": 18, "end": 39, "velocity": 45,
+             "rms_energy": -50.0}]
+
+    out = snap_starts_to_onsets(evts, np.array([]), rms, back_frames=6,
+                                fwd_frames=8)
+    assert out[0]["start"] == 22
+    assert out[0]["velocity"] == int(velocity_from_db(rms[22]))
+    assert out[0]["rms_energy"] == rms[22]
+    # input untouched
+    assert evts[0]["start"] == 18 and evts[0]["velocity"] == 45
+
+    # already attack-aligned (first frame at the local peak): the rise
+    # guard no-ops and dynamics stay as read at the true start
+    aligned = [{"note": 60, "start": 23, "end": 39, "velocity": 102,
+                "rms_energy": -12.0}]
+    out = snap_starts_to_onsets(aligned, np.array([]), rms, back_frames=6,
+                                fwd_frames=8)
+    assert out[0]["start"] == 23 and out[0]["velocity"] == 102
+
+    # fwd_frames=0 keeps the early start (pYIN semantics)
+    out = snap_starts_to_onsets(evts, np.array([]), rms, back_frames=6)
+    assert out[0]["start"] == 18
