@@ -133,7 +133,8 @@ def cmd_batch(args) -> int:
     results = transcribe_folder(args.folder, args.output_dir,
                                 pattern=args.pattern,
                                 sample_rate=args.sr,
-                                pitch_backend=args.pitch_backend, **kw)
+                                pitch_backend=args.pitch_backend,
+                                engine=args.engine, **kw)
     if not results:
         print("no matching audio files", file=sys.stderr)
         return 1
@@ -386,6 +387,10 @@ def main(argv=None) -> int:
                    choices=["pyin", "neural"],
                    help="neural = PitchNet dispatch-ahead sweep (the "
                         "fastest folder path)")
+    p.add_argument("--engine", default="v1",
+                   choices=["v1", "financial", "poly"],
+                   help="pipeline per track: v1 two-phase (default), "
+                        "financial 5-phase, or polyphonic CQT")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("warmup", description=cmd_warmup.__doc__)

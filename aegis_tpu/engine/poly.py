@@ -8,10 +8,11 @@ export as AegisEngine so the serve/apps layers can host it unchanged.
 
 `transcribe_folder` is the Turbo batch entry point (config 5): a folder of
 tracks is loaded with optional time-range selection (the reference's
-start/end slicing, aegis_engine.py:22-27), padded to the common bucket and
-transcribed as ONE sharded batch over the device mesh
-(engine.turbo.run_analyze_batch) — the TPU-native replacement for the
-reference's per-file process-pool sweep.
+start/end slicing, aegis_engine.py:22-27) and transcribed dispatch-ahead —
+every track's fused program in flight before any fetch, each at its own
+length bucket — or, given a multi-device mesh, padded to the common bucket
+and run as ONE sharded batch (engine.turbo.run_analyze_batch).  Either way
+the TPU-native replacement for the reference's per-file process-pool sweep.
 """
 
 from __future__ import annotations
@@ -38,6 +39,39 @@ def _pad_bucket(y: np.ndarray) -> np.ndarray:
 
     n = bucket_length(len(y))
     return np.pad(y, (0, n - len(y))) if n != len(y) else y
+
+
+def dispatch_analyze_poly(y: np.ndarray, sr: int, n_fft: int = 2048,
+                          hop_length: int = 512, n_bins: int = 84,
+                          bins_per_octave: int = 12, max_voices: int = 6):
+    """Async half of the fused polyphonic analyze (mirrors
+    core.analyze.dispatch_analyze): bucket-pad, upload int16 PCM, dispatch
+    the packed raw-voice program and return a handle WITHOUT blocking, so a
+    folder sweep can put every track in flight before fetching any.
+    Resolve with fetch_analyze_poly(handle)."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.analyze import quantize_pcm16
+
+    true_frames = 1 + len(y) // hop_length
+    # ONE packed buffer = one device->host transfer (the four separate
+    # fetches cost more than the program itself on a tunneled backend),
+    # int16 PCM upload (half the bytes; -96 dBFS quantization noise)
+    y16, s = quantize_pcm16(_pad_bucket(np.asarray(y, np.float32)))
+    buf = P.analyze_poly_program_packed(
+        jnp.asarray(y16), jnp.float32(s), sr, n_fft, hop_length,
+        n_bins, bins_per_octave, max_voices)
+    return buf, true_frames, max_voices, bins_per_octave
+
+
+def fetch_analyze_poly(handle) -> Dict[str, np.ndarray]:
+    """Blocking half: transfer the packed raw-voice buffer and reconstruct
+    the {roll, confidence, salience, rms, onset_env} planes through the
+    NumPy oracle (the bucket-padding tail carries ~zero salience, so the
+    global acceptance peak over true frames equals the padded device max)."""
+    buf, true_frames, max_voices, bins_per_octave = handle
+    return P.unpack_poly_voices(np.asarray(buf)[:true_frames], max_voices,
+                                bins_per_octave)
 
 
 class AegisPolyEngine:
@@ -70,8 +104,6 @@ class AegisPolyEngine:
 
     def analyze(self, input_wav: Union[str, bytes, np.ndarray],
                 **kwargs) -> Optional[Dict[str, np.ndarray]]:
-        import jax.numpy as jnp
-
         if isinstance(input_wav, np.ndarray):
             y = input_wav.astype(np.float32)
         else:
@@ -81,7 +113,6 @@ class AegisPolyEngine:
                               duration=(end - start) if end else None)
         if len(y) == 0:
             return None
-        true_frames = 1 + len(y) // self.hop_length
 
         from aegis_tpu.engine.engine import normalize_turbo_mode
 
@@ -105,26 +136,11 @@ class AegisPolyEngine:
             out["y"] = y
             return out
 
-        y_pad = _pad_bucket(y)
         log.info(f"Polyphonic Perception Phase ({len(y)/self.sr:.1f}s, "
                  f"<= {self.max_voices} voices)")
-        # ONE packed buffer = one device->host transfer (the four separate
-        # fetches cost more than the program itself on a tunneled backend),
-        # int16 PCM upload (half the bytes; -96 dBFS quantization noise)
-        from aegis_tpu.core.analyze import quantize_pcm16
-
-        y16, s = quantize_pcm16(y_pad)
-        buf = np.asarray(P.analyze_poly_program_packed(
-            jnp.asarray(y16), jnp.float32(s), self.sr, self.n_fft,
-            self.hop_length,
-            self.n_bins, self.bins_per_octave,
-            self.max_voices))[:true_frames]
-        # raw-voice transport (14 cols, not 258 planes); the roll/conf/
-        # salience planes reconstruct exactly through the oracle (the
-        # bucket-padding tail carries ~zero salience, so the global
-        # acceptance peak over true frames equals the padded device max)
-        out = P.unpack_poly_voices(buf, self.max_voices,
-                                   self.bins_per_octave)
+        out = fetch_analyze_poly(dispatch_analyze_poly(
+            y, self.sr, self.n_fft, self.hop_length, self.n_bins,
+            self.bins_per_octave, self.max_voices))
         out["y"] = y
         return out
 
@@ -227,17 +243,32 @@ def transcribe_folder(
     turbo: Optional[TurboConfig] = None,
     mesh=None,
     pitch_backend: str = "pyin",
+    engine: str = "v1",
     **extract_kwargs,
 ) -> List[Tuple[str, str, int]]:
-    """Batch-transcribe every matching file as ONE sharded device batch.
+    """Batch-transcribe every matching file through the device.
 
-    Tracks are loaded with the requested [start_time, end_time) range,
-    zero-padded to the longest track's frame bucket, stacked on a batch
-    axis and analyzed via engine.turbo.run_analyze_batch (data-parallel
-    over the mesh, time-tiled with pYIN halos).  Event extraction + MIDI
-    encode run per track on host.  Returns [(wav_path, mid_path, n_events)].
+    Tracks are loaded with the requested [start_time, end_time) range.  On
+    a single chip every track's fused program is dispatched before any
+    fetch (JAX dispatch is async), each track at its OWN length bucket —
+    no pad bytes on the transport-bound tunnel, and the programs are the
+    same ones single-track runs warm.  Given a multi-device ``mesh`` the
+    tracks are instead zero-padded to the longest track's bucket, stacked
+    on a batch axis and analyzed via engine.turbo.run_analyze_batch
+    (data-parallel over the mesh, time-tiled with pYIN halos).  Event
+    extraction + MIDI encode run per track on host.  Returns
+    [(wav_path, mid_path, n_events)].
 
-    pitch_backend="neural" runs PitchNet instead of pYIN: every track is
+    ``engine`` selects the pipeline: "v1" (default, the two-phase
+    monophonic engine's extraction defaults), "financial" (the v2 5-phase
+    pipeline — trend articulations, adaptive threshold, harmonic filter —
+    extracted through AegisFinancialEngine so folder events match the
+    per-track facade exactly), or "poly" (chord-capable CQT salience
+    peeling via AegisPolyEngine).  Every engine gets the dispatch-ahead
+    treatment on a single chip and the sharded batch on a mesh.
+
+    pitch_backend="neural" runs PitchNet instead of pYIN (v1 and financial;
+    the poly engine is pYIN-free already and rejects it): every track is
     dispatched before any fetch (models.pitchnet.dispatch_analyze_neural),
     so upload/compute of track i+1 overlaps track i's device->host
     transfer — the neural fused program is the fastest single-track path,
@@ -245,6 +276,13 @@ def transcribe_folder(
     neural mode; the dispatch-ahead path is used regardless of mesh.
     """
     from aegis_tpu.engine.turbo import run_analyze_batch
+
+    if engine not in ("v1", "financial", "poly"):
+        raise ValueError(f"unknown engine: {engine!r} (v1 | financial | poly)")
+    if engine == "poly" and pitch_backend != "pyin":
+        raise ValueError("the polyphonic engine has no neural backend")
+    if pitch_backend not in ("pyin", "neural"):
+        raise ValueError(f"unknown pitch backend: {pitch_backend!r}")
 
     paths = sorted(glob.glob(os.path.join(folder, pattern)))
     if not paths:
@@ -259,34 +297,73 @@ def transcribe_folder(
                           duration=duration)
         tracks.append(y)
         lengths.append(len(y))
-    max_len = max(lengths)
-    batch = np.stack([np.pad(y, (0, max_len - len(y))) for y in tracks])
 
     audio = AudioConfig(sample_rate=sample_rate)
     pyin_cfg = PyinConfig()
     rake_sensitivity = extract_kwargs.pop("rake_sensitivity", 0.6)
-    log.info(f"Turbo batch: {len(paths)} tracks x {max_len/sample_rate:.1f}s")
+    financial = engine == "financial"
+    log.info(f"Turbo batch [{engine}]: {len(paths)} tracks x "
+             f"{max(lengths)/sample_rate:.1f}s max")
 
     import jax
 
-    if pitch_backend == "neural":
+    single_chip = mesh is None and jax.device_count() == 1
+
+    def _mesh_batch_slices(out):
+        """Sharded batch output -> per-track dicts, trimming each track's
+        common-pad tail (per-track scalars like adaptive_threshold pass
+        through unsliced)."""
+        def cut(v, i, tf):
+            a = np.asarray(v[i])
+            return a[:tf] if a.ndim >= 1 else a
+        return [{k: cut(v, i, audio.n_frames(lengths[i]))
+                 for k, v in out.items()} for i in range(len(tracks))]
+
+    # The dispatch-ahead paths send each track UNPADDED: dispatch_analyze
+    # bucket-pads per track, so a 5 s clip in a folder with a 60 s track
+    # costs a 5 s upload/compute, not a 60 s one (the transport-bound
+    # tunnel pays for every pad byte) — and per-track buckets hit the
+    # same persistent-cache programs single-track runs compile, where a
+    # common max-length pad would mint a shape nothing else uses.  Only
+    # the sharded mesh paths need a common-length stacked batch.
+    if engine == "poly":
+        peng = AegisPolyEngine(sample_rate=sample_rate)
+        if single_chip:
+            handles = [dispatch_analyze_poly(
+                y, sample_rate, peng.n_fft, peng.hop_length, peng.n_bins,
+                peng.bins_per_octave, peng.max_voices) for y in tracks]
+            per_track = [fetch_analyze_poly(h) for h in handles]
+        else:
+            from aegis_tpu.engine.turbo import run_analyze_poly_turbo
+
+            max_len = max(lengths)
+            batch = np.stack([np.pad(y, (0, max_len - len(y)))
+                              for y in tracks])
+            out = run_analyze_poly_turbo(
+                batch, sr=sample_rate, n_fft=peng.n_fft,
+                hop_length=peng.hop_length, n_bins=peng.n_bins,
+                bins_per_octave=peng.bins_per_octave,
+                max_voices=peng.max_voices, turbo=turbo, mesh=mesh)
+            # poly frame grid: 1 + n // hop (sr-proportional hop)
+            per_track = [
+                {k: np.asarray(v[i])[: 1 + lengths[i] // peng.hop_length]
+                 for k, v in out.items()} for i in range(len(tracks))]
+    elif pitch_backend == "neural":
         from aegis_tpu.models.pitchnet import default_params_device, \
             dispatch_analyze_neural, fetch_analyze_neural
 
         params = default_params_device()
         handles = [dispatch_analyze_neural(
             y, sample_rate, audio.hop_length, params, rake_sensitivity,
-            n_fft=audio.n_fft, n_mels=audio.n_mels, fetch_mel=False)
-            for y in batch]
+            n_fft=audio.n_fft, n_mels=audio.n_mels, fetch_mel=False,
+            financial=financial) for y in tracks]
         per_track = [fetch_analyze_neural(h) for h in handles]
-        out = {k: np.stack([r[k] for r in per_track])
-               for k in per_track[0]}
         # PitchNet fires up to ~a window early; forward-snap such starts
-        # to the attack rise (the engine facade's backend convention)
-        extract_kwargs.setdefault("onset_fwd_snap_ms", 100.0)
-    elif pitch_backend != "pyin":
-        raise ValueError(f"unknown pitch backend: {pitch_backend!r}")
-    elif mesh is None and jax.device_count() == 1:
+        # to the attack rise (the engine facade's backend convention; the
+        # financial facade applies it via the pitch_backend marker below)
+        if not financial:
+            extract_kwargs.setdefault("onset_fwd_snap_ms", 100.0)
+    elif single_chip:
         # single chip: the fused whole-track program beats the tiled path
         # (no halo recompute, better pyin shapes).  Dispatch ALL tracks
         # before fetching any — JAX dispatch is async, so track i+1's
@@ -294,32 +371,71 @@ def transcribe_folder(
         from aegis_tpu.core.analyze import dispatch_analyze, fetch_analyze
 
         handles = [dispatch_analyze(y, audio, pyin_cfg, rake_sensitivity,
-                                    fetch_mel=False) for y in batch]
+                                    financial=financial, fetch_mel=False)
+                   for y in tracks]
         per_track = [fetch_analyze(h) for h in handles]
-        out = {k: np.stack([r[k] for r in per_track])
-               for k in per_track[0]}
     else:
+        max_len = max(lengths)
+        batch = np.stack([np.pad(y, (0, max_len - len(y))) for y in tracks])
         out = run_analyze_batch(batch, audio, pyin_cfg, rake_sensitivity,
-                                turbo=turbo, mesh=mesh, fetch_mel=False)
+                                turbo=turbo, mesh=mesh, fetch_mel=False,
+                                financial=financial)
+        per_track = _mesh_batch_slices(out)
+
+    results = []
+    if engine == "poly":
+        for i, p in enumerate(paths):
+            mid_path = os.path.join(
+                output_dir,
+                os.path.splitext(os.path.basename(p))[0] + ".mid")
+            events = peng.extract_events(per_track[i], output_mid=mid_path,
+                                         **extract_kwargs)
+            results.append((p, mid_path, len(events)))
+            log.info(f"  {os.path.basename(p)}: {len(events)} events")
+        return results
+
+    if financial:
+        from aegis_tpu.engine.financial import AegisFinancialEngine
+        from aegis_tpu.midi.encode import events_to_midi_financial
+
+        feng = AegisFinancialEngine(sample_rate=sample_rate,
+                                    hop_length=audio.hop_length,
+                                    n_fft=audio.n_fft)
+        for i, p in enumerate(paths):
+            r = per_track[i]
+            # backend-conditional extraction marker (neural forward snap),
+            # exactly as AegisFinancialEngine.analyze records it
+            r["pitch_backend"] = pitch_backend
+            events, info = feng.extract_events(r, **extract_kwargs)
+            mid_path = os.path.join(
+                output_dir,
+                os.path.splitext(os.path.basename(p))[0] + ".mid")
+            events_to_midi_financial(events, sample_rate, audio.hop_length,
+                                     bpm=info.get("bpm"), output=mid_path)
+            results.append((p, mid_path, len(events)))
+            log.info(f"  {os.path.basename(p)}: {len(events)} events")
+        return results
 
     # onset refinement on by default — the library default (engine.py's
     # extract_events, CLAUDE.md invariant); use_onsets=False restores the
     # reference's merge/lag semantics for the golden-comparison mode
     use_onsets = extract_kwargs.pop("use_onsets", True)
-    results = []
     for i, p in enumerate(paths):
+        # no-op on the dispatch-ahead paths (fetch already truncated to the
+        # track's own frame count); trims the common-pad tail on the mesh path
         true_frames = audio.n_frames(lengths[i])
+        r = per_track[i]
         onset_env = None
-        if use_onsets and "onset_env" in out:
-            onset_env = np.asarray(out["onset_env"][i],
+        if use_onsets and "onset_env" in r:
+            onset_env = np.asarray(r["onset_env"],
                                    np.float64)[:true_frames]
         events = extract_events_v1(
-            rake_mask=np.asarray(out["rake_mask"][i])[:true_frames],
-            f0=np.nan_to_num(np.asarray(out["f0"][i], np.float64))[:true_frames],
-            voiced_flag=np.asarray(out["voiced_flag"][i])[:true_frames],
-            active_probs=np.asarray(out["voiced_probs"][i],
+            rake_mask=np.asarray(r["rake_mask"])[:true_frames],
+            f0=np.nan_to_num(np.asarray(r["f0"], np.float64))[:true_frames],
+            voiced_flag=np.asarray(r["voiced_flag"])[:true_frames],
+            active_probs=np.asarray(r["voiced_probs"],
                                     np.float64)[:true_frames],
-            rms=np.asarray(out["rms"][i], np.float64)[:true_frames],
+            rms=np.asarray(r["rms"], np.float64)[:true_frames],
             sr=sample_rate, hop_length=audio.hop_length,
             onset_env=onset_env,
             **extract_kwargs,

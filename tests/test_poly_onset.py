@@ -153,6 +153,102 @@ def test_transcribe_folder(tmp_path):
         assert expected[os.path.basename(wav_path)] in notes
 
 
+def test_transcribe_folder_mixed_lengths(tmp_path):
+    """Tracks in DIFFERENT length buckets: the dispatch-ahead path sends
+    each track unpadded at its own bucket (per-track frame counts), and
+    each track's events match the per-track engine facade exactly."""
+    from aegis_tpu.engine.engine import AegisEngine
+    from aegis_tpu.engine.poly import transcribe_folder
+    from aegis_tpu.io.wav import write_wav
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    rng = np.random.default_rng(11)
+    clips = {}
+    # 1.0 s -> MIN_BUCKET; 4.0 s -> a larger bucket
+    for name, midi, dur in (("short.wav", 55, 1.0), ("long.wav", 62, 4.0)):
+        f = 440.0 * 2 ** ((midi - 69) / 12)
+        y = np.concatenate([karplus_strong(f, 1.0, SR, rng=rng)
+                            for _ in range(int(dur))])[: int(SR * dur)]
+        write_wav(str(tmp_path / name), y.astype(np.float32), SR)
+        clips[name] = midi
+
+    out_dir = tmp_path / "mid"
+    results = transcribe_folder(str(tmp_path), str(out_dir), sample_rate=SR,
+                                confidence_threshold=0.3)
+    assert len(results) == 2
+
+    eng = AegisEngine(sample_rate=SR)
+    for wav_path, mid_path, n_events in results:
+        raw = eng.audio_to_midi(wav_path, None, fetch_mel=False)
+        expected = eng.extract_events(raw, None, confidence_threshold=0.3)
+        assert n_events == len(expected), (wav_path, n_events, len(expected))
+        notes = {n["note"] for n in midi_to_notes(open(mid_path, "rb").read())}
+        assert clips[os.path.basename(wav_path)] in notes
+
+
+def test_transcribe_folder_financial(tmp_path):
+    """engine='financial' folder sweep == the per-track financial facade
+    (same events, same adaptive threshold, same MIDI notes)."""
+    from aegis_tpu.engine.financial import AegisFinancialEngine
+    from aegis_tpu.engine.poly import transcribe_folder
+    from aegis_tpu.io.wav import write_wav
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    rng = np.random.default_rng(13)
+    expected = {"a.wav": 57, "b.wav": 64}
+    for name, midi in expected.items():
+        f = 440.0 * 2 ** ((midi - 69) / 12)
+        y = karplus_strong(f, 1.2, SR, rng=rng)
+        write_wav(str(tmp_path / name), y.astype(np.float32), SR)
+
+    out_dir = tmp_path / "mid"
+    results = transcribe_folder(str(tmp_path), str(out_dir), sample_rate=SR,
+                                engine="financial")
+    assert len(results) == 2
+
+    feng = AegisFinancialEngine(sample_rate=SR)
+    for wav_path, mid_path, n_events in results:
+        analysis = feng.analyze(wav_path, fetch_mel=False)
+        ev, _ = feng.extract_events(analysis)
+        assert n_events == len(ev), (wav_path, n_events, len(ev))
+        notes = {n["note"] for n in midi_to_notes(open(mid_path, "rb").read())}
+        assert expected[os.path.basename(wav_path)] in notes
+
+
+def test_transcribe_folder_poly(tmp_path):
+    """engine='poly' folder sweep == the per-track poly facade on chords."""
+    from aegis_tpu.engine.poly import AegisPolyEngine, transcribe_folder
+    from aegis_tpu.io.wav import write_wav
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    rng = np.random.default_rng(3)
+    chords = {"c.wav": [60, 64, 67], "d.wav": [57, 60, 64]}
+    for name, midis in chords.items():
+        write_wav(str(tmp_path / name),
+                  _chord_clip(midis, rng=rng), SR)
+
+    out_dir = tmp_path / "mid"
+    results = transcribe_folder(str(tmp_path), str(out_dir), sample_rate=SR,
+                                engine="poly")
+    assert len(results) == 2
+
+    peng = AegisPolyEngine(sample_rate=SR)
+    for wav_path, mid_path, n_events in results:
+        analysis = peng.analyze(wav_path)
+        ev = peng.extract_events(analysis)
+        assert n_events == len(ev), (wav_path, n_events, len(ev))
+        notes = {n["note"] for n in midi_to_notes(open(mid_path, "rb").read())}
+        want = set(chords[os.path.basename(wav_path)])
+        assert want <= notes, (wav_path, want, notes)
+
+    with pytest.raises(ValueError):
+        transcribe_folder(str(tmp_path), str(out_dir), sample_rate=SR,
+                          engine="poly", pitch_backend="neural")
+    with pytest.raises(ValueError):
+        transcribe_folder(str(tmp_path), str(out_dir), sample_rate=SR,
+                          engine="bogus")
+
+
 def test_v1_engine_onset_split():
     """Two same-pitch re-attacks merged by sustain are split by onsets."""
     from aegis_tpu.engine.engine import AegisEngine
