@@ -79,6 +79,9 @@ def generate_tabs_chords(events: List[dict], sr: int = 22050,
     fret_center = 5.0
     for chord in group_chords(events, sr, hop_length, window_ms):
         used: set = set()
+        # one shared column time per chord (render_ascii_tab stacks
+        # equal-time entries); per-note frame bounds stay in m_start/m_end
+        anchor = min(e["start"] for e in chord["events"])
         # fingering from the highest pitch down: high notes have the fewest
         # playable strings, so they get first pick
         for evt in sorted(chord["events"], key=lambda e: -e["note"]):
@@ -95,7 +98,7 @@ def generate_tabs_chords(events: List[dict], sr: int = 22050,
             used.add(string)
             fret_center = fret_center * 0.7 + fret * 0.3
             tab_data.append({
-                "time": evt["start"],
+                "time": anchor,
                 "string": string,
                 "fret": fret,
                 "note": evt["note"],
@@ -108,14 +111,29 @@ def generate_tabs_chords(events: List[dict], sr: int = 22050,
 
 
 def render_ascii_tab(tab_data: List[dict], width: int = 72) -> str:
-    """Six-line ASCII tablature with technique symbols."""
+    """Six-line ASCII tablature with technique symbols.
+
+    Entries sharing an onset time (chord fingering from
+    generate_tabs_chords) stack in ONE column — real tab convention —
+    instead of spilling into consecutive columns; monophonic output is
+    unchanged."""
     lines = []
-    columns: List[List[str]] = []
+    groups: List[List[dict]] = []
     for t in tab_data:
-        cell = str(t["fret"])
-        sym = TECHNIQUE_SYMBOLS.get(t.get("technique") or "", "")
-        entry = cell + sym
-        columns.append([entry if s == t["string"] else "-" * len(entry)
+        if groups and groups[-1][0]["time"] == t["time"]:
+            groups[-1].append(t)
+        else:
+            groups.append([t])
+
+    columns: List[List[str]] = []
+    for g in groups:
+        entries: dict = {}
+        for t in g:
+            cell = str(t["fret"])
+            sym = TECHNIQUE_SYMBOLS.get(t.get("technique") or "", "")
+            entries.setdefault(t["string"], cell + sym)
+        w = max(len(e) for e in entries.values())
+        columns.append([entries.get(s, "").ljust(w, "-")
                         for s in range(1, 7)])
 
     blocks = []

@@ -118,6 +118,33 @@ def test_chord_tabs_distinct_strings(c_major_clip):
         assert max(frets) - min(frets) <= 5
 
 
+def test_chord_ascii_single_column():
+    """Chord notes stack in ONE tab column; lines stay aligned."""
+    from aegis_tpu.midi.tabs import generate_tabs_chords, render_ascii_tab
+
+    events = [
+        {"note": 60, "start": 0, "end": 50, "technique": None},
+        {"note": 64, "start": 1, "end": 50, "technique": None},
+        {"note": 67, "start": 2, "end": 50, "technique": None},
+        {"note": 62, "start": 40, "end": 90, "technique": None},
+    ]
+    tabs = generate_tabs_chords(events, SR, 512)
+    # the chord's three entries share one column time; the late note doesn't
+    assert sorted(set(t["time"] for t in tabs)) == [0, 40]
+    # per-note frame bounds are preserved for the UIs
+    assert sorted(t["m_start"] for t in tabs) == [0, 1, 2, 40]
+
+    text = render_ascii_tab(tabs)
+    block = [ln for ln in text.splitlines() if ln]
+    assert len(block) == 6
+    assert len({len(ln) for ln in block}) == 1, block  # aligned columns
+    # exactly two columns: strings with no note in a column show dashes,
+    # so each line contains at most two digit runs
+    import re
+    for ln in block:
+        assert len(re.findall(r"\d+", ln)) <= 2, ln
+
+
 def test_split_events_at_onsets():
     from aegis_tpu.core.cqt import split_events_at_onsets
 
