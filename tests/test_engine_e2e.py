@@ -371,3 +371,50 @@ def test_truth_f1_under_delay_effects(ks_track):
                                 confidence_threshold=0.3)
         m = note_event_f1(truth, events_to_seconds(ev, SR, 512))
         assert m["f1"] >= 0.99, (preset, m)
+
+
+# --------------------------------------------------------------------------
+# Technique ground truth: audio with a KNOWN articulation -> event label
+# --------------------------------------------------------------------------
+
+def _fm_tone(sr, dur, f_of_t, decay=0.6):
+    t = np.arange(int(sr * dur)) / sr
+    f = f_of_t(t)
+    ph = 2 * np.pi * np.cumsum(f) / sr
+    return (0.5 * np.sin(ph) * np.exp(-decay * t)).astype(np.float32)
+
+
+def test_articulation_truth_from_audio():
+    """Synthesized vibrato / bend / steady tones, through the FULL pipeline,
+    must come out labeled vibrato / bend / unornamented — the audio-level
+    truth gate for detect_articulations_v1 (the unit tests feed it f0
+    arrays; this feeds it the pipeline's own pitch track)."""
+    eng = AegisEngine(sample_rate=SR, backend="device")
+
+    def run(y):
+        raw = eng.audio_to_midi(y, None, fetch_mel=False)
+        return eng.extract_events(raw, None, confidence_threshold=0.3)
+
+    # vibrato: +-0.45 semitone LFO at 5.5 Hz around A3
+    vib = run(_fm_tone(SR, 1.2,
+                       lambda t: 220.0 * 2 ** (0.45 / 12 * np.sin(
+                           2 * np.pi * 5.5 * t))))
+    assert any(e["technique"] == "vibrato" for e in vib), vib
+
+    # bend: a real bend gesture — up 1.0 semitone within 0.3 s, then hold
+    # (the rising constant-note segment's slope ~0.08 st/frame clears the
+    # 0.05 bend threshold)
+    bend = run(_fm_tone(SR, 0.9,
+                        lambda t: 220.0 * 2 ** (
+                            1.0 / 12 * np.minimum(t / 0.3, 1.0))))
+    assert any(e["technique"] == "bend" and e["slope"] > 0 for e in bend), bend
+
+    # slide: a slow 0.9-semitone glide over 0.8 s (slope ~0.026 st/frame —
+    # above the 0.02 slide threshold, below the bend one)
+    slide = run(_fm_tone(SR, 0.8,
+                         lambda t: 220.0 * 2 ** (0.9 / 12 * t / 0.8)))
+    assert any(e["technique"] == "slide" for e in slide), slide
+
+    # steady tone: no articulation may be invented
+    steady = run(_fm_tone(SR, 1.0, lambda t: 220.0 * np.ones_like(t)))
+    assert steady and all(e["technique"] is None for e in steady), steady
