@@ -268,12 +268,14 @@ def transcribe_folder(
     treatment on a single chip and the sharded batch on a mesh.
 
     pitch_backend="neural" runs PitchNet instead of pYIN (v1 and financial;
-    the poly engine is pYIN-free already and rejects it): every track is
-    dispatched before any fetch (models.pitchnet.dispatch_analyze_neural),
-    so upload/compute of track i+1 overlaps track i's device->host
-    transfer — the neural fused program is the fastest single-track path,
-    which makes this the fastest folder sweep.  There is no sharded-tiles
-    neural mode; the dispatch-ahead path is used regardless of mesh.
+    the poly engine is pYIN-free already and rejects it): on a single chip
+    every track is dispatched before any fetch
+    (models.pitchnet.dispatch_analyze_neural), so upload/compute of track
+    i+1 overlaps track i's device->host transfer — the neural fused
+    program is the fastest single-track path, which makes this the fastest
+    folder sweep.  On a multi-device mesh the batch runs data-parallel in
+    ONE sharded program (models.pitchnet.run_analyze_neural_batch; native
+    22.05 kHz only — other rates keep the per-track dual-rate programs).
     """
     from aegis_tpu.engine.turbo import run_analyze_batch
 
@@ -349,15 +351,30 @@ def transcribe_folder(
                 {k: np.asarray(v[i])[: 1 + lengths[i] // peng.hop_length]
                  for k, v in out.items()} for i in range(len(tracks))]
     elif pitch_backend == "neural":
-        from aegis_tpu.models.pitchnet import default_params_device, \
-            dispatch_analyze_neural, fetch_analyze_neural
+        from aegis_tpu.models.pitchnet import (SR_NATIVE,
+                                               default_params_device,
+                                               dispatch_analyze_neural,
+                                               fetch_analyze_neural,
+                                               run_analyze_neural_batch)
 
         params = default_params_device()
-        handles = [dispatch_analyze_neural(
-            y, sample_rate, audio.hop_length, params, rake_sensitivity,
-            n_fft=audio.n_fft, n_mels=audio.n_mels, fetch_mel=False,
-            financial=financial) for y in tracks]
-        per_track = [fetch_analyze_neural(h) for h in handles]
+        if not single_chip and sample_rate == SR_NATIVE:
+            # multi-device: ONE data-parallel batch over the mesh (PitchNet
+            # is embarrassingly data-parallel; params replicate)
+            max_len = max(lengths)
+            batch = np.stack([np.pad(y, (0, max_len - len(y)))
+                              for y in tracks])
+            out = run_analyze_neural_batch(
+                batch, sample_rate, audio.hop_length, params,
+                rake_sensitivity, n_fft=audio.n_fft, n_mels=audio.n_mels,
+                financial=financial, mesh=mesh)
+            per_track = _mesh_batch_slices(out)
+        else:
+            handles = [dispatch_analyze_neural(
+                y, sample_rate, audio.hop_length, params, rake_sensitivity,
+                n_fft=audio.n_fft, n_mels=audio.n_mels, fetch_mel=False,
+                financial=financial) for y in tracks]
+            per_track = [fetch_analyze_neural(h) for h in handles]
         # PitchNet fires up to ~a window early; forward-snap such starts
         # to the attack rise (the engine facade's backend convention; the
         # financial facade applies it via the pitch_backend marker below)

@@ -1015,3 +1015,84 @@ def run_analyze_neural(
     return fetch_analyze_neural(dispatch_analyze_neural(
         y, sr, hop_length, params, rake_sensitivity, n_fft, n_mels,
         fetch_mel, financial, use_guitar_filters, transport))
+
+
+def run_analyze_neural_batch(
+    ys: np.ndarray,
+    sr: int,
+    hop_length: int,
+    params,
+    rake_sensitivity: float = 0.6,
+    n_fft: int = 2048,
+    n_mels: int = 128,
+    fetch_mel: bool = False,
+    financial: bool = False,
+    use_guitar_filters: bool = True,
+    mesh=None,
+) -> Dict[str, np.ndarray]:
+    """Sharded neural batch: data-parallel PitchNet inference over a mesh.
+
+    The (B, n_samples) track batch shards over EVERY mesh axis flattened
+    (PitchNet inference is embarrassingly data-parallel: all rows are
+    frame-local and the net itself is tiny, so unlike pYIN's Viterbi there
+    is nothing to time-tile — per-track programs on per-device track
+    subsets are the whole story; params replicate and XLA inserts no
+    collectives).  Output schema matches engine.turbo.run_analyze_batch:
+    _V1_ROWS (or _FIN_ROWS with financial=True) batched on axis 0.
+
+    Native rate (22.05 kHz) only: other rates use the per-track dual-rate
+    resample programs via dispatch_analyze_neural, which a caller can
+    dispatch-ahead instead.  Tracks quantize per-track int16 (the batched
+    transport convention, engine.turbo.quantize_tracks)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from aegis_tpu.config import AudioConfig
+    from aegis_tpu.core.analyze import (_FIN_ROWS, _V1_ROWS, _pack, _unpack,
+                                        bucket_length, financial_tail)
+    from aegis_tpu.engine.turbo import quantize_tracks
+
+    if sr != SR_NATIVE:
+        raise ValueError(
+            f"run_analyze_neural_batch is native-rate ({SR_NATIVE}) only; "
+            f"got sr={sr} — dispatch the dual-rate per-track programs "
+            "instead (dispatch_analyze_neural)")
+    ys2 = np.asarray(ys, np.float32)
+    if ys2.ndim != 2:
+        raise ValueError(f"expected a (B, n_samples) batch, got {ys2.shape}")
+
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs.reshape(len(devs), 1), ("data", "time"))
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    B = ys2.shape[0]
+    true_frames = 1 + ys2.shape[1] // hop_length
+    n_samp = bucket_length(ys2.shape[1])
+    y16, scales = quantize_tracks(ys2, n_samp)
+    pad = (-B) % n_dev
+    if pad:  # silent filler tracks shard-align the batch; dropped on fetch
+        y16 = np.concatenate([y16, np.zeros((pad, n_samp), np.int16)])
+        scales = np.concatenate([scales, np.ones(pad, np.float32)])
+
+    rows = _FIN_ROWS if financial else _V1_ROWS
+    audio = AudioConfig(sample_rate=sr, hop_length=hop_length, n_fft=n_fft,
+                        n_mels=n_mels)
+    dp = NamedSharding(mesh, P(("data", "time")))
+    rep = NamedSharding(mesh, P())
+
+    def one(y16_i, scale_i, params_):
+        out = _neural_native_rows(y16_i, scale_i,
+                                  jnp.float32(rake_sensitivity), params_,
+                                  sr, hop_length, n_fft, n_mels)
+        if financial:
+            out = financial_tail(out, audio, use_guitar_filters)
+        return _pack(out, rows, fetch_mel)
+
+    batch_prog = jax.jit(
+        lambda yb, sb, p: jax.vmap(lambda yy, ss: one(yy, ss, p))(yb, sb),
+        in_shardings=(dp, dp, rep), out_shardings=dp)
+    buf = np.asarray(batch_prog(y16, scales, params))[:B, :true_frames]
+    return _unpack(buf, rows, n_mels if fetch_mel else 0)

@@ -578,3 +578,36 @@ def test_neural_folder_sweep_matches_engine(tmp_path):
     with pytest.raises(ValueError):
         transcribe_folder(str(tmp_path), str(out_dir), sample_rate=sr,
                           pitch_backend="bogus")
+
+
+def test_neural_batch_sharded_matches_fused():
+    """run_analyze_neural_batch over the full 8-device mesh == the fused
+    per-track program (data-parallel sharding must not change any row)."""
+    from jax.sharding import Mesh
+
+    if not pn.have_default_weights():
+        pytest.skip("no committed checkpoint")
+    sr = 22050
+    t = np.arange(sr) / sr
+    ys = np.stack([(0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+                   for f in (196.0, 261.63, 329.63)])  # 3 tracks, 8 devices
+    params = pn.load_params()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "time"))
+    out = pn.run_analyze_neural_batch(ys, sr, 512, params, financial=True,
+                                      mesh=mesh)
+    for i in range(len(ys)):
+        ref = pn.run_analyze_neural(ys[i], sr, 512, params, fetch_mel=False,
+                                    financial=True, transport="int16")
+        assert (out["voiced_flag"][i] == ref["voiced_flag"]).all()
+        m = ref["voiced_flag"]
+        np.testing.assert_allclose(np.asarray(out["f0"][i])[m],
+                                   np.asarray(ref["f0"])[m], rtol=1e-4)
+        np.testing.assert_allclose(out["trend"][i], ref["trend"],
+                                   rtol=1e-4, atol=1e-3)
+        assert np.isclose(out["adaptive_threshold"][i],
+                          ref["adaptive_threshold"], atol=1e-5)
+
+    with pytest.raises(ValueError):
+        pn.run_analyze_neural_batch(ys, 44100, 1024, params, mesh=mesh)
+    with pytest.raises(ValueError):
+        pn.run_analyze_neural_batch(ys[0], sr, 512, params, mesh=mesh)
