@@ -53,7 +53,8 @@ def _median_time(fn, n: int) -> float:
     return sorted(times)[n // 2]
 
 
-def _probe_device(timeout_s: float = 300.0) -> bool:
+def _probe_device(timeout_s: float = 300.0, attempts: int = 3,
+                  retry_wait_s: float = 150.0) -> bool:
     """True if the tunneled TPU backend is reachable.
 
     When the axon device service is down, jax backend init HANGS instead of
@@ -62,16 +63,29 @@ def _probe_device(timeout_s: float = 300.0) -> bool:
     probe passes.  (Killing a child stuck in backend *init* is safe; the
     CLAUDE.md orphaned-compile hazard applies to in-flight XLA compiles,
     which a down service never starts.)
+
+    The tunnel FLAPS (observed 2026-08-19: init hung >300 s, succeeded in
+    20 s eight minutes later, hung again two minutes after that), so a
+    single failed probe must not demote the round's bench artifact to the
+    CPU fallback — retry a few times with a wait between attempts.
     """
     code = ("import jax, jax.numpy as jnp, numpy as np; "
             "np.asarray(jnp.add(jnp.float32(1), jnp.float32(1)))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            print(f"# TPU probe attempt {attempt} failed; retrying in "
+                  f"{retry_wait_s:.0f}s (tunnel flap?)", file=sys.stderr)
+            time.sleep(retry_wait_s)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def _cpu_fallback_bench() -> None:
