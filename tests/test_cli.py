@@ -92,6 +92,24 @@ def test_batch(tmp_path, capsys):
     assert len(glob.glob(str(tmp_path / "*.mid"))) == 2
 
 
+def test_batch_engines(tmp_path, capsys):
+    """batch --engine financial|poly runs those pipelines per track."""
+    write_wav(str(tmp_path / "t.wav"), two_tone(sr=22050), 22050)
+    for eng in ("financial", "poly"):
+        out_dir = tmp_path / eng
+        rc = main(["batch", str(tmp_path), "--output-dir", str(out_dir),
+                   "--engine", eng])
+        assert rc == 0, eng
+        import glob
+
+        mids = glob.glob(str(out_dir / "*.mid"))
+        assert len(mids) == 1, eng
+        from aegis_tpu.midi.decode import midi_to_notes
+
+        notes = {n["note"] for n in midi_to_notes(open(mids[0], "rb").read())}
+        assert notes & {55, 62}, (eng, notes)
+
+
 def test_invalid_bpm_and_range_rejected(wav_path, tmp_path, capsys):
     """Review findings: --bpm 0 used to crash deep in the MIDI tick math;
     --end < --start silently transcribed the wrong region."""
