@@ -228,6 +228,29 @@ class AegisPolyEngine:
     def generate_tabs(self, events: List[dict]) -> List[dict]:
         return generate_tabs_chords(events, self.sr, self.hop_length)
 
+    def label_chords(self, events: List[dict],
+                     window_ms: float = 50.0) -> List[dict]:
+        return label_chords(events, self.sr, self.hop_length, window_ms)
+
+
+def label_chords(events: List[dict], sr: int, hop_length: int,
+                 window_ms: float = 50.0) -> List[dict]:
+    """Name each simultaneous note group as a chord symbol
+    (beyond-reference: the reference's HarmonicAnalyzer estimates a
+    windowed progression internally but never surfaces chord names).
+    Returns [{time_sec, name, notes}] in onset order."""
+    from aegis_tpu.core.poly import group_chords
+    from aegis_tpu.harmony.key import name_chord
+
+    spf = hop_length / sr
+    out = []
+    for chord in group_chords(events, sr, hop_length, window_ms):
+        notes = sorted(e["note"] for e in chord["events"])
+        start = min(e["start"] for e in chord["events"])
+        out.append({"time_sec": round(start * spf, 4),
+                    "name": name_chord(notes), "notes": notes})
+    return out
+
 
 # --------------------------------------------------------------------------
 # Folder batch sweep (driver config 5)

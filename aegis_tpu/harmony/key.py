@@ -151,6 +151,50 @@ class HarmonicAnalyzer:
         return adjusted
 
 
+# chord spelling templates: pitch-class intervals relative to the root,
+# most-specific first (a m7 set must not read as its relative-major triad)
+_CHORD_TEMPLATES = [
+    ((0, 4, 7, 11), "maj7"),
+    ((0, 3, 7, 10), "m7"),
+    ((0, 4, 7, 10), "7"),
+    ((0, 3, 6, 9), "dim7"),
+    ((0, 4, 7), ""),
+    ((0, 3, 7), "m"),
+    ((0, 3, 6), "dim"),
+    ((0, 4, 8), "aug"),
+    ((0, 5, 7), "sus4"),
+    ((0, 2, 7), "sus2"),
+    ((0, 7), "5"),
+    ((0, 4), ""),     # rootless third: spell as major dyad
+    ((0, 3), "m"),
+]
+
+
+def name_chord(midis) -> str:
+    """Spell a simultaneous note group as a chord symbol ("C", "Am", "E5",
+    "Gmaj7", ...).  Octave doublings collapse; the bass pitch class wins a
+    tie between candidate roots (a first-inversion C major still reads as
+    C rather than Em-something).  Falls back to the bass note name when no
+    template matches."""
+    notes = [int(m) for m in midis]
+    if not notes:
+        return ""
+    bass_pc = min(notes) % 12
+    pcs = frozenset(n % 12 for n in notes)
+    if len(pcs) == 1:
+        return CHROMATIC[bass_pc]
+    candidates = []
+    for intervals, quality in _CHORD_TEMPLATES:
+        if len(intervals) != len(pcs):
+            continue
+        for root in pcs:
+            if frozenset((root + iv) % 12 for iv in intervals) == pcs:
+                candidates.append((root != bass_pc, CHROMATIC[root] + quality))
+    if candidates:  # bass-rooted spelling first, then template order
+        return sorted(candidates, key=lambda c: c[0])[0][1]
+    return CHROMATIC[bass_pc]
+
+
 def apply_harmonic_filter(
     midi_notes: np.ndarray,
     confidences: np.ndarray,

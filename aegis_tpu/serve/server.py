@@ -878,23 +878,31 @@ class AegisServer:
                                              generate_tabs_chords,
                                              render_ascii_tab)
 
+            chords = None
             if sess.get("poly_analysis") is not None:
                 # chord-aware fingering: simultaneous notes on distinct
                 # strings, grouped on the SESSION's frame grid (live-poly
                 # streams run an sr-scaled hop)
                 tab_data = generate_tabs_chords(
                     sess["events"], self.engine.sr, self._sess_hop(sess))
+                from aegis_tpu.engine.poly import label_chords
+
+                chords = label_chords(sess["events"], self.engine.sr,
+                                      self._sess_hop(sess))
             else:
                 tab_data = generate_tabs(sess["events"])
             spf = self._sess_hop(sess) / self.engine.sr
             for t in tab_data:
                 t["time_sec"] = round(t["m_start"] * spf, 4)
                 t["end_sec"] = round(t["m_end"] * spf, 4)
-            return json_response({
+            resp = {
                 "tabs": tab_data,
                 "total_notes": len(tab_data),
                 "ascii": render_ascii_tab(tab_data),
-            })
+            }
+            if chords is not None:
+                resp["chords"] = chords
+            return json_response(resp)
 
 
 def main(host: str = "0.0.0.0", port: int = 8508) -> None:

@@ -91,3 +91,18 @@ def test_validate_device_tool():
 
     result = validate()
     assert result["pass"], result
+
+
+def test_name_chord():
+    from aegis_tpu.harmony.key import name_chord
+
+    assert name_chord([60, 64, 67]) == "C"
+    assert name_chord([57, 60, 64]) == "Am"
+    assert name_chord([40, 47, 52]) == "E5"          # power chord + octave
+    assert name_chord([62, 66, 69, 72]) == "D7"
+    assert name_chord([60, 63, 67]) == "Cm"
+    assert name_chord([64, 67, 72]) == "C"           # first inversion -> C
+    assert name_chord([55]) == "G"
+    assert name_chord([60, 72]) == "C"               # octave pair collapses
+    assert name_chord([]) == ""
+    assert name_chord([60, 61, 62, 63]) == "C"       # cluster: bass fallback

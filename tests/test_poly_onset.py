@@ -118,6 +118,18 @@ def test_chord_tabs_distinct_strings(c_major_clip):
         assert max(frets) - min(frets) <= 5
 
 
+def test_label_chords(c_major_clip):
+    """Poly events -> named chord groups."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+
+    eng = AegisPolyEngine(sample_rate=SR)
+    events = eng.extract_events(eng.analyze(c_major_clip))
+    chords = eng.label_chords(events)
+    assert chords and chords[0]["name"] == "C", chords
+    assert set(chords[0]["notes"]) >= {60, 64, 67}
+    assert chords[0]["time_sec"] < 0.3
+
+
 def test_chord_ascii_single_column():
     """Chord notes stack in ONE tab column; lines stay aligned."""
     from aegis_tpu.midi.tabs import generate_tabs_chords, render_ascii_tab

@@ -558,10 +558,14 @@ def test_streaming_poly_endpoints(server_url):
     assert got_notes & truth_notes, (got_notes, truth_notes)
     assert j["midi_base64"]
 
-    # chord-aware tabs work on the live poly session
+    # chord-aware tabs work on the live poly session, with chord labels
     status, _, data = _req(f"{server_url}/api/tabs/{sid}")
     assert status == 200
-    assert json.loads(data)["total_notes"] >= len(j["events"]) // 2
+    tabs_j = json.loads(data)
+    assert tabs_j["total_notes"] >= len(j["events"]) // 2
+    assert tabs_j["chords"], tabs_j  # named chord groups ride along
+    assert all("name" in c and "time_sec" in c and c["notes"]
+               for c in tabs_j["chords"])
 
     # re-filter endpoints reject live poly sessions cleanly
     try:
