@@ -327,8 +327,34 @@ def cmd_stems(args) -> int:
 
 
 def cmd_tabs(args) -> int:
-    from aegis_tpu.engine.engine import AegisEngine
     from aegis_tpu.midi.tabs import generate_tabs, render_ascii_tab
+
+    if getattr(args, "engine", "v1") == "poly":
+        if args.pitch_backend != "pyin":
+            print("error: the polyphonic engine has no neural backend",
+                  file=sys.stderr)
+            return 2
+        from aegis_tpu.engine.poly import AegisPolyEngine
+
+        peng = AegisPolyEngine(sample_rate=args.sr)
+        analysis = peng.analyze(args.input, start_time=args.start,
+                                end_time=args.end, turbo_mode=args.turbo)
+        if analysis is None:
+            print("error: empty audio", file=sys.stderr)
+            return 1
+        events = peng.extract_events(analysis, args.output,
+                                     **_extract_kwargs(args))
+        chords = peng.label_chords(events)
+        if chords:
+            print("  ".join(f"{c['time_sec']:.2f}s {c['name']}"
+                            for c in chords))
+            print()
+        print(render_ascii_tab(peng.generate_tabs(events)))
+        if args.output:
+            print(f"# wrote {args.output}", file=sys.stderr)
+        return 0
+
+    from aegis_tpu.engine.engine import AegisEngine
 
     eng = AegisEngine(sample_rate=args.sr)
     raw = eng.audio_to_midi(args.input, None, start_time=args.start,
@@ -372,6 +398,11 @@ def main(argv=None) -> int:
                                 "the consensus trend (the reference's v2 "
                                 "semantics; smooths across note boundaries "
                                 "— see VALIDATION.md)")
+        if name == "tabs":
+            p.add_argument("--engine", default="v1",
+                           choices=["v1", "poly"],
+                           help="poly = chord-capable engine: chord-aware "
+                                "fingering + named chord line")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("batch")

@@ -47,6 +47,25 @@ def test_tabs(wav_path, capsys):
     assert "e|" in text and "E|" in text
 
 
+def test_tabs_poly_chords(tmp_path, capsys):
+    """tabs --engine poly prints the named chord line above the tab."""
+    from aegis_tpu.tools.signal_gen import karplus_strong
+
+    sr, dur = 22050, 1.2
+    rng = np.random.default_rng(0)
+    n = int(sr * dur)
+    y = np.zeros(n, np.float32)
+    for m in (60, 64, 67):
+        f = 440.0 * 2 ** ((m - 69) / 12)
+        y[:n] += karplus_strong(f, dur, sr, rng=rng)[:n]
+    p = str(tmp_path / "chord.wav")
+    write_wav(p, (y / np.abs(y).max() * 0.8).astype(np.float32), sr)
+
+    assert main(["tabs", p, "--sr", "22050", "--engine", "poly"]) == 0
+    text = capsys.readouterr().out
+    assert "0.00s C" in text and "e|" in text, text
+
+
 def test_stems_hpss(wav_path, tmp_path, monkeypatch):
     from aegis_tpu.synth import stems
 
