@@ -134,7 +134,8 @@ def cmd_batch(args) -> int:
                                 pattern=args.pattern,
                                 sample_rate=args.sr,
                                 pitch_backend=args.pitch_backend,
-                                engine=args.engine, **kw)
+                                engine=args.engine,
+                                transport=args.transport, **kw)
     if not results:
         print("no matching audio files", file=sys.stderr)
         return 1
@@ -422,6 +423,10 @@ def main(argv=None) -> int:
                    choices=["v1", "financial", "poly"],
                    help="pipeline per track: v1 two-phase (default), "
                         "financial 5-phase, or polyphonic CQT")
+    p.add_argument("--transport", default="int8",
+                   choices=["int8", "int4", "int16", "float32"],
+                   help="audio upload packing (int4 = throughput-over-"
+                        "fidelity, see VALIDATION.md; poly ignores this)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("warmup", description=cmd_warmup.__doc__)

@@ -267,6 +267,7 @@ def transcribe_folder(
     mesh=None,
     pitch_backend: str = "pyin",
     engine: str = "v1",
+    transport: str = "int8",
     **extract_kwargs,
 ) -> List[Tuple[str, str, int]]:
     """Batch-transcribe every matching file through the device.
@@ -290,6 +291,13 @@ def transcribe_folder(
     peeling via AegisPolyEngine).  Every engine gets the dispatch-ahead
     treatment on a single chip and the sharded batch on a mesh.
 
+    ``transport`` is the dispatch-ahead audio upload packing
+    (core.analyze.run_analyze: "int8" default, "int4" opt-in for
+    throughput-over-fidelity sweeps, "int16"/"float32" conservative; the
+    neural backend takes int8/int16/float32).  The sharded mesh paths and
+    the poly engine keep their own conventions (per-track int16, or
+    float32 when requested on the pYIN mesh path).
+
     pitch_backend="neural" runs PitchNet instead of pYIN (v1 and financial;
     the poly engine is pYIN-free already and rejects it): on a single chip
     every track is dispatched before any fetch
@@ -308,6 +316,9 @@ def transcribe_folder(
         raise ValueError("the polyphonic engine has no neural backend")
     if pitch_backend not in ("pyin", "neural"):
         raise ValueError(f"unknown pitch backend: {pitch_backend!r}")
+    if transport not in ("int8", "int4", "int16", "float32"):
+        raise ValueError(f"unknown transport {transport!r} "
+                         "(int8 | int4 | int16 | float32)")
 
     paths = sorted(glob.glob(os.path.join(folder, pattern)))
     if not paths:
@@ -396,7 +407,7 @@ def transcribe_folder(
             handles = [dispatch_analyze_neural(
                 y, sample_rate, audio.hop_length, params, rake_sensitivity,
                 n_fft=audio.n_fft, n_mels=audio.n_mels, fetch_mel=False,
-                financial=financial) for y in tracks]
+                financial=financial, transport=transport) for y in tracks]
             per_track = [fetch_analyze_neural(h) for h in handles]
         # PitchNet fires up to ~a window early; forward-snap such starts
         # to the attack rise (the engine facade's backend convention; the
@@ -411,15 +422,18 @@ def transcribe_folder(
         from aegis_tpu.core.analyze import dispatch_analyze, fetch_analyze
 
         handles = [dispatch_analyze(y, audio, pyin_cfg, rake_sensitivity,
-                                    financial=financial, fetch_mel=False)
+                                    financial=financial, fetch_mel=False,
+                                    transport=transport)
                    for y in tracks]
         per_track = [fetch_analyze(h) for h in handles]
     else:
         max_len = max(lengths)
         batch = np.stack([np.pad(y, (0, max_len - len(y))) for y in tracks])
-        out = run_analyze_batch(batch, audio, pyin_cfg, rake_sensitivity,
-                                turbo=turbo, mesh=mesh, fetch_mel=False,
-                                financial=financial)
+        out = run_analyze_batch(
+            batch, audio, pyin_cfg, rake_sensitivity, turbo=turbo, mesh=mesh,
+            fetch_mel=False, financial=financial,
+            # the tiled batch programs take per-track int16 or float32 only
+            transport="float32" if transport == "float32" else "int16")
         per_track = _mesh_batch_slices(out)
 
     results = []

@@ -224,6 +224,14 @@ def test_transcribe_folder_mixed_lengths(tmp_path):
         notes = {n["note"] for n in midi_to_notes(open(mid_path, "rb").read())}
         assert clips[os.path.basename(wav_path)] in notes
 
+    # transport plumbing: float32 works everywhere, bogus rejected up front
+    assert transcribe_folder(str(tmp_path), str(out_dir), sample_rate=SR,
+                             transport="float32",
+                             confidence_threshold=0.3)
+    with pytest.raises(ValueError):
+        transcribe_folder(str(tmp_path), str(out_dir), sample_rate=SR,
+                          transport="int7")
+
 
 def test_transcribe_folder_financial(tmp_path):
     """engine='financial' folder sweep == the per-track financial facade
