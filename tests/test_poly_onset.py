@@ -261,6 +261,23 @@ def test_transcribe_folder_financial(tmp_path):
         notes = {n["note"] for n in midi_to_notes(open(mid_path, "rb").read())}
         assert expected[os.path.basename(wav_path)] in notes
 
+    # neural financial folder (the sharded neural batch path on the
+    # virtual mesh) == the per-track neural financial facade
+    from aegis_tpu.models.pitchnet import have_default_weights
+
+    if have_default_weights():
+        results_n = transcribe_folder(str(tmp_path), str(tmp_path / "n"),
+                                      sample_rate=SR, engine="financial",
+                                      pitch_backend="neural")
+        for wav_path, mid_path, n_events in results_n:
+            analysis = feng.analyze(wav_path, fetch_mel=False,
+                                    pitch_backend="neural")
+            ev, _ = feng.extract_events(analysis)
+            assert n_events == len(ev), (wav_path, n_events, len(ev))
+            notes = {n["note"]
+                     for n in midi_to_notes(open(mid_path, "rb").read())}
+            assert expected[os.path.basename(wav_path)] in notes
+
 
 def test_transcribe_folder_poly(tmp_path):
     """engine='poly' folder sweep == the per-track poly facade on chords."""
