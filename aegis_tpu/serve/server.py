@@ -20,7 +20,9 @@ Same endpoint surface as the reference FastAPI backend (server.py, port
   POST /api/events/{sid}            sync client piano-roll edits
   POST /api/stream-start | /api/stream-feed/{sid} | GET /api/stream-events/
        {sid} | POST /api/stream-finalize/{sid}   live-source streaming
-       (stream-start?engine=v1|financial|poly)
+       (stream-start?engine=v1|financial|poly&sr=<client rate> — the
+       session runs at the CLIENT's PCM rate; every frame->time consumer
+       converts through the session's own sr+hop grid)
   GET  /api/tabs/{sid}
 
 Fixed vs the reference (SURVEY.md Appendix A): /api/fret-filter regenerates
@@ -38,6 +40,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from aegis_tpu.config import AudioConfig
 from aegis_tpu.engine.engine import AegisEngine
 from aegis_tpu.io.audio import load_audio
 from aegis_tpu.io.wav import read_wav, write_wav
@@ -136,6 +139,12 @@ class AegisServer:
         per-note optimizer) must convert with THIS, not the engine hop
         (review finding: live-poly tabs/edits came out at half speed)."""
         return int(sess.get("hop_length") or self.engine.hop_length)
+
+    def _sess_sr(self, sess: Dict) -> int:
+        """Sample rate of the session's event grid: live streaming sessions
+        may run at a client-chosen rate (/api/stream-start?sr=...); every
+        other producer uses the server engine's rate."""
+        return int(sess.get("sample_rate") or self.engine.sr)
 
     def _load_original(self, sess: Dict,
                        duration: Optional[float] = None) -> np.ndarray:
@@ -585,7 +594,7 @@ class AegisServer:
             from aegis_tpu.midi.fret_filter import apply_fret_filter
 
             filtered, report = apply_fret_filter(
-                sess["events"], sr=self.engine.sr,
+                sess["events"], sr=self._sess_sr(sess),
                 hop_length=self._sess_hop(sess),
                 max_fret_speed=coerce(query, "max_fret_speed", 40.0),
                 protect_long_notes_ms=coerce(query, "protect_long_notes_ms",
@@ -594,7 +603,7 @@ class AegisServer:
             # regenerate MIDI from the FILTERED events (reference bug fixed)
             params = sess.get("params", {})
             midi_data = events_to_midi(
-                filtered, self.engine.sr, self._sess_hop(sess),
+                filtered, self._sess_sr(sess), self._sess_hop(sess),
                 midi_program=params.get("midi_program", 27),
                 bpm=params.get("bpm"), output=None,
             )
@@ -699,7 +708,7 @@ class AegisServer:
             # 44.1 kHz) with program 25 — re-encoding with the engine's
             # defaults halved every note time and switched instruments
             midi_data = events_to_midi(
-                events, self.engine.sr, self._sess_hop(sess),
+                events, self._sess_sr(sess), self._sess_hop(sess),
                 midi_program=params.get("midi_program", 27),
                 bpm=params.get("bpm"), output=None,
             )
@@ -752,9 +761,15 @@ class AegisServer:
             if engine_kind not in ("v1", "financial", "poly"):
                 raise HTTPError(400,
                                 "engine must be 'v1', 'financial' or 'poly'")
+            # client-chosen session rate: a live source at 22.05/16/48 kHz
+            # must not be forced onto the server engine's rate (feeding
+            # mismatched PCM pitch-shifts everything by the rate ratio)
+            sess_sr = coerce(query, "sr", self.engine.sr)
+            if not 8000 <= sess_sr <= 96000:
+                raise HTTPError(400, "sr must be within 8000..96000")
             if engine_kind == "poly":
                 rt = StreamingPolyTranscriber(
-                    sample_rate=self.engine.sr,
+                    sample_rate=sess_sr,
                     tile_frames=coerce(query, "tile_frames", 64),
                     halo_frames=coerce(query, "halo_frames", 8),
                     confidence_threshold=coerce(query, "confidence_threshold",
@@ -772,7 +787,8 @@ class AegisServer:
                     kw["confidence_threshold"] = coerce(
                         query, "confidence_threshold", 0.5)
                 rt = StreamingTranscriber(
-                    audio=self.engine.audio,
+                    audio=(self.engine.audio if sess_sr == self.engine.sr
+                           else AudioConfig(sample_rate=sess_sr)),
                     tile_frames=coerce(query, "tile_frames", 64),
                     halo_frames=coerce(query, "halo_frames", 32),
                     rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
@@ -782,11 +798,13 @@ class AegisServer:
             sid = self.sessions.create(file_name="<live>", raw_data=None,
                                        events=None, midi_data=None,
                                        stream=rt,
-                                       # the transcriber's frame grid: the
+                                       # the session's OWN frame grid: the
                                        # poly streamer scales its hop with
-                                       # sr (1024 at 44.1 kHz)
+                                       # sr (1024 at 44.1 kHz), and live
+                                       # sessions may run a client rate
                                        hop_length=(getattr(rt, "hop", None)
                                                    or rt.audio.hop_length),
+                                       sample_rate=sess_sr,
                                        # poly sessions render chord-aware
                                        # tabs (see /api/tabs)
                                        poly_analysis=(
@@ -794,7 +812,7 @@ class AegisServer:
                                            else None))
             return json_response({"session_id": sid,
                                   "engine": engine_kind,
-                                  "sample_rate": self.engine.sr,
+                                  "sample_rate": sess_sr,
                                   "lookahead_s": round(rt.lookahead_s, 3)})
 
         @r.post("/api/stream-feed/{sid}")
@@ -818,7 +836,7 @@ class AegisServer:
                 "seconds_analyzed": round(
                     rt.frames_analyzed
                     * (getattr(rt, "hop", None) or rt.audio.hop_length)
-                    / self.engine.sr, 3),
+                    / self._sess_sr(sess), 3),
             })
 
         @r.get("/api/stream-events/{sid}")
@@ -828,8 +846,16 @@ class AegisServer:
             if rt is None:
                 raise HTTPError(400, "Not a streaming session.")
             events = rt.poll_events()
-            return json_response({"num_events": len(events),
-                                  "events": _events_json(events)})
+            resp = {"num_events": len(events),
+                    "events": _events_json(events)}
+            if sess.get("poly_analysis") is not None:
+                # live chord symbols for the notes heard so far
+                from aegis_tpu.engine.poly import label_chords
+
+                resp["chords"] = label_chords(events,
+                                              self._sess_sr(sess),
+                                              self._sess_hop(sess))
+            return json_response(resp)
 
         @r.post("/api/stream-finalize/{sid}")
         def stream_finalize(sid, query, **kw):
@@ -851,13 +877,13 @@ class AegisServer:
                 from aegis_tpu.midi.encode import events_to_midi_financial
 
                 midi_data = events_to_midi_financial(
-                    events, self.engine.sr, rt_hop, output=None)
+                    events, self._sess_sr(sess), rt_hop, output=None)
             else:
                 default_prog = 25 if isinstance(
                     rt, StreamingPolyTranscriber) else 27
                 prog = coerce(query, "midi_program", default_prog)
                 midi_data = events_to_midi(
-                    events, self.engine.sr, rt_hop,
+                    events, self._sess_sr(sess), rt_hop,
                     midi_program=prog, output=None)
                 # edit-sync re-encodes must keep the stream's instrument
                 sess["params"] = {**sess.get("params", {}),
@@ -884,14 +910,15 @@ class AegisServer:
                 # strings, grouped on the SESSION's frame grid (live-poly
                 # streams run an sr-scaled hop)
                 tab_data = generate_tabs_chords(
-                    sess["events"], self.engine.sr, self._sess_hop(sess))
+                    sess["events"], self._sess_sr(sess),
+                    self._sess_hop(sess))
                 from aegis_tpu.engine.poly import label_chords
 
-                chords = label_chords(sess["events"], self.engine.sr,
+                chords = label_chords(sess["events"], self._sess_sr(sess),
                                       self._sess_hop(sess))
             else:
                 tab_data = generate_tabs(sess["events"])
-            spf = self._sess_hop(sess) / self.engine.sr
+            spf = self._sess_hop(sess) / self._sess_sr(sess)
             for t in tab_data:
                 t["time_sec"] = round(t["m_start"] * spf, 4)
                 t["end_sec"] = round(t["m_end"] * spf, 4)

@@ -550,6 +550,10 @@ def test_streaming_poly_endpoints(server_url):
 
     status, _, data = _req(f"{server_url}/api/stream-events/{sid}")
     assert status == 200  # live view callable mid-stream
+    live = json.loads(data)
+    assert "chords" in live  # live chord symbols ride the poly poll
+    if live["events"]:
+        assert all("name" in c for c in live["chords"])
 
     status, _, data = _req(f"{server_url}/api/stream-finalize/{sid}", "POST")
     j = json.loads(data)
@@ -681,3 +685,41 @@ def test_session_store_update_touches_and_ids_unique():
     assert store.get(sid)["events"] == [1]
     _time.sleep(0.25)
     assert store.sweep() == 1       # now genuinely idle
+
+
+def test_stream_client_rate(server_url):
+    """stream-start?sr= runs the session at the CLIENT's PCM rate: a
+    44.1 kHz source against a 22.05 kHz server engine must come out at
+    true pitch (feeding mismatched PCM used to pitch-shift an octave),
+    with frame->time conversion on the session's own sr+hop grid."""
+    sr = 44100
+    status, _, data = _req(f"{server_url}/api/stream-start?engine=v1&sr={sr}",
+                           "POST")
+    j = json.loads(data)
+    assert j["sample_rate"] == sr
+    sid = j["session_id"]
+
+    t = np.arange(int(sr * 1.5)) / sr
+    y = (0.4 * np.sin(2 * np.pi * 196.0 * t) * np.exp(-0.5 * t))
+    pcm = (y * 32767).astype("<i2").tobytes()
+    half = (len(pcm) // 4) * 2
+    for i in range(0, len(pcm), half):
+        _req(f"{server_url}/api/stream-feed/{sid}", "POST", pcm[i:i + half])
+    status, _, data = _req(f"{server_url}/api/stream-finalize/{sid}", "POST")
+    j = json.loads(data)
+    notes = {e["note"] for e in j["events"]}
+    assert 55 in notes, j["events"]  # G3, not the octave-shifted 67
+    # MIDI times encode through the session grid: ~0 s start, ~1 s+ length
+    from aegis_tpu.midi.decode import midi_to_notes
+    import base64
+
+    parsed = midi_to_notes(base64.b64decode(j["midi_base64"]))
+    g3 = [n for n in parsed if n["note"] == 55][0]
+    assert g3["start"] < 0.3 and g3["end"] > 0.7, g3
+
+    # out-of-range client rate -> 400
+    try:
+        _req(f"{server_url}/api/stream-start?engine=v1&sr=4000", "POST")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
