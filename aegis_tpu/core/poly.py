@@ -33,8 +33,10 @@ is a TPU-first design from scratch:
     overlapping note events (same event-dict currency as the monophonic
     engines), refines them against the onset envelope / RMS attack
     physics (refine_poly_events — the polyphonic sibling of the v1
-    engine's onset refinement), and groups simultaneous notes into chords
-    for the chord-aware tab fingering in midi.tabs.
+    engine's onset refinement), recovers octave-doubled voices the comb
+    masking erased via temporal envelope cues on the raw CQT plane
+    (recover_octave_doublings), and groups simultaneous notes into
+    chords for the chord-aware tab fingering in midi.tabs.
 
 Every matmul in the peel runs at Precision.HIGHEST: voice picking is an
 argmax over near-tied saliences, and TPU bf16 default-precision drift
@@ -222,6 +224,34 @@ def roll_and_confidence(bins: jnp.ndarray, sals: jnp.ndarray,
     return roll, conf, salience
 
 
+def cqt_plane_cols(n_bins: int) -> int:
+    """float32 columns used by the f16-packed CQT magnitude plane."""
+    return (n_bins + 1) // 2
+
+
+def pack_cqt_f16(mag: jnp.ndarray) -> jnp.ndarray:
+    """(..., n_bins) f32 magnitudes -> (..., ceil(n_bins/2)) f32 columns
+    holding f16 pairs (bitcast).  The octave-recovery pass
+    (recover_octave_doublings) reads dB envelopes off this plane on host;
+    f16's ~0.004 dB relative error is far below the pass's 0.25 dB
+    residual threshold, at half the f32 transport bytes on the tunneled
+    backend."""
+    n_bins = mag.shape[-1]
+    if n_bins % 2:
+        mag = jnp.concatenate(
+            [mag, jnp.zeros(mag.shape[:-1] + (1,), mag.dtype)], axis=-1)
+    halves = mag.astype(jnp.float16).reshape(mag.shape[:-1] + (-1, 2))
+    return jax.lax.bitcast_convert_type(halves, jnp.float32)
+
+
+def unpack_cqt_f16(cols: np.ndarray, n_bins: int) -> np.ndarray:
+    """Host twin of pack_cqt_f16: (T, ceil(n_bins/2)) f32 -> (T, n_bins)
+    f32 magnitudes."""
+    cols = np.ascontiguousarray(np.asarray(cols, np.float32))
+    mag16 = cols.view(np.float16).reshape(cols.shape[0], -1)
+    return mag16[:, :n_bins].astype(np.float32)
+
+
 def reconstruct_confidence(salience: np.ndarray) -> np.ndarray:
     """The confidence↔salience identity: ``salience / max(salience over
     MIDI bins)`` (last axis, so (T, 128) and batched (B, T, 128) both
@@ -260,7 +290,8 @@ def analyze_poly_program(y: jnp.ndarray, sr: int, n_fft: int = 2048,
     mel = dsp.melspectrogram_t(y, sr, n_fft, hop_length, 128)
     onset_env = onset_strength_t(mel)
     return {"roll": roll, "confidence": conf, "salience": salience,
-            "rms": rms_, "onset_env": onset_env}
+            "rms": rms_, "onset_env": onset_env,
+            "cqt_mag": jnp.sqrt(jnp.maximum(cqt, 0.0))}
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",
@@ -271,8 +302,9 @@ def analyze_poly_program_packed(y: jnp.ndarray, scale: jnp.ndarray,
                                 hop_length: int = 512, n_bins: int = 84,
                                 bins_per_octave: int = 12,
                                 max_voices: int = 6) -> jnp.ndarray:
-    """One packed (T, 2*max_voices + 2) buffer of the peel's RAW VOICES:
-    [bins(V) | saliences(V) | rms | onset_env].
+    """One packed (T, 2*max_voices + 2 + ceil(n_bins/2)) buffer of the
+    peel's RAW VOICES plus the raw CQT magnitude plane:
+    [bins(V) | saliences(V) | rms | onset_env | cqt_mag(f16-packed)].
 
     The tunneled backend pays ~25 ms PER device->host transfer and ~44 MB/s
     bandwidth, so the poly program ships the peel's (T, V) voice picks
@@ -282,8 +314,13 @@ def analyze_poly_program_packed(y: jnp.ndarray, scale: jnp.ndarray,
     is the parity twin of the device roll_and_confidence; the acceptance
     thresholds compare float32 values that arrive losslessly, and the
     track-global salience peak is just max(sals)).  CQT bin indices are
-    ≤ n_bins < 2^24, exact in float32.  ``y`` may be int16 PCM (half the
-    upload bytes); ``scale`` dequantizes on device."""
+    ≤ n_bins < 2^24, exact in float32.  The raw pre-peel CQT magnitudes
+    ride along as f16 pairs (pack_cqt_f16): the host octave-recovery pass
+    needs per-bin dB envelopes the peel's masking erases, and f16's
+    ~0.004 dB error is negligible at half the f32 bytes (total 56 vs the
+    old 14 columns — still 4.6x smaller than shipping the planes).  ``y``
+    may be int16 PCM (half the upload bytes); ``scale`` dequantizes on
+    device."""
     yf = y.astype(jnp.float32) * scale
     cqt = pseudo_cqt_t(yf, sr, n_fft, hop_length, n_bins, bins_per_octave)
     supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
@@ -295,15 +332,18 @@ def analyze_poly_program_packed(y: jnp.ndarray, scale: jnp.ndarray,
     return jnp.concatenate(
         [bins.astype(jnp.float32), sals.astype(jnp.float32),
          rms_.astype(jnp.float32)[:, None],
-         onset_env.astype(jnp.float32)[:, None]], axis=1)
+         onset_env.astype(jnp.float32)[:, None],
+         pack_cqt_f16(jnp.sqrt(jnp.maximum(cqt, 0.0)))], axis=1)
 
 
 def unpack_poly_voices(buf: np.ndarray, max_voices: int = 6,
                        bins_per_octave: int = 12,
                        global_peak: float | None = None) -> dict:
-    """Host twin of the packed layout: (T, 2V+2) rows -> the analysis dict
-    {roll, confidence, salience, rms, onset_env} via the oracle's
-    roll_and_confidence_ref (exact device parity, tests/test_poly_truth.py).
+    """Host twin of the packed layout: (T, 2V+2+ceil(n_bins/2)) rows ->
+    the analysis dict {roll, confidence, salience, rms, onset_env,
+    cqt_mag} via the oracle's roll_and_confidence_ref (exact device
+    parity, tests/test_poly_truth.py).  Plain (T, 2V+2) buffers (no CQT
+    plane) unpack without the cqt_mag key — octave recovery then skips.
 
     ``global_peak`` overrides the acceptance floor's reference (a streaming
     caller passes the running maximum; None = max over this buffer, which
@@ -316,9 +356,13 @@ def unpack_poly_voices(buf: np.ndarray, max_voices: int = 6,
     sals = buf[:, V: 2 * V].astype(np.float32)
     roll, conf, salience = roll_and_confidence_ref(
         bins, sals, bins_per_octave, global_peak=global_peak)
-    return {"roll": roll, "confidence": conf, "salience": salience,
-            "rms": buf[:, 2 * V].astype(np.float64),
-            "onset_env": buf[:, 2 * V + 1].astype(np.float64)}
+    out = {"roll": roll, "confidence": conf, "salience": salience,
+           "rms": buf[:, 2 * V].astype(np.float64),
+           "onset_env": buf[:, 2 * V + 1].astype(np.float64)}
+    if buf.shape[1] > 2 * V + 2:
+        n_bins = 2 * (buf.shape[1] - 2 * V - 2)
+        out["cqt_mag"] = unpack_cqt_f16(buf[:, 2 * V + 2:], n_bins)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -520,6 +564,121 @@ def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
     return out
 
 
+def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
+                             sr: int, hop_length: int,
+                             resid_thr: float = 0.25,
+                             curv_thr: float = 1.0,
+                             rel_factor: float = 4.0,
+                             attack_skip_s: float = 0.12,
+                             min_frames: int = 10,
+                             level_floor_db: float = 55.0) -> List[dict]:
+    """Recover octave-doubled voices the peel's comb masking erased.
+
+    The peel's KNOWN-WEAK family (VALIDATION.md): a chord voicing with an
+    exact octave (power chords [40,47,52], octave pairs [48,60]) loses the
+    doubled voice — the mask weight at +12 semitones is 1.33*0.75 >= 1, and
+    the -12 sub-harmonic redirect merges the pair before masking even runs.
+    Three alternative comb shapes were measured in round 2 and all traded
+    the standard chord family down; the conclusion was "disambiguating
+    needs temporal envelope cues, not another comb shape".  This pass is
+    that cue, applied on host to the raw (pre-peel) CQT magnitude plane:
+
+    PHYSICS.  A plucked string's partial at frequency v loses energy to
+    the string's loop filter once per PERIOD, so its dB/s decay rate is
+    proportional to the string's own fundamental.  At bin n+12, the lower
+    string's 2nd harmonic therefore decays at ~the lower string's rate,
+    while an independent octave string's fundamental decays ~2x faster —
+    and the two components are never exactly in tune (any quantized or
+    physical string differs by a fraction of a Hz), so their sum BEATS.
+    A pure h2 bin is a single decaying exponential: its dB envelope is a
+    straight line (measured linear-fit RMS residual <= 0.05 dB and
+    curvature <= 0.06 dB/s over 108 pure-h2 chord bins).  A doubled bin's
+    envelope carries beat nulls and two-rate curvature (residual median
+    1.4 dB, curvature tens of dB/s over 36 doubled bins) — four orders of
+    magnitude of separation on the probe families.
+
+    DECISION per detected event (note n, no concurrent event at n+12):
+    the n+12 bin's dB envelope over the event's sustain (attack skipped)
+    must deviate from a single exponential — linear-fit RMS residual >=
+    ``resid_thr`` dB or |late slope - early slope| >= ``curv_thr`` dB/s,
+    both also >= ``rel_factor`` x the parent bin's own value (a parent
+    wobbling from vibrato/bend excuses the octave bin).  Guards, each
+    measured on the probe families:
+      * bass only — a non-bass parent's +12 bin can be fed by an
+        UNDETECTED lower note's higher harmonic (two strings beat
+        regardless of doubling; recovering 52+12=64 in [40,47,52] when 40
+        went undetected minted a false 64);
+      * ghost guards — a parent (or a lower blocker) below half the
+        chord's max salience is likely itself a ghost: recovering from
+        ghosts compounded errors, and ghost "basses" blocked true
+        recoveries;
+      * harmonic collision — skip when n+12 is a harmonic interval above
+        any other concurrent event (its bin legitimately beats);
+      * level floor — the bin must sit within ``level_floor_db`` of the
+        track's CQT peak (noise-floor wiggle is not a beat).
+
+    Measured (tests/test_poly_truth.py, VALIDATION.md): octave family
+    mean truth F1 0.67 -> 0.88 at 22.05 kHz (seeds 1-6: 0.88, fresh seeds
+    7-12: 0.88), 0.66 -> 0.85 at 44.1 kHz, NO seed worse; the standard
+    22.05 kHz family stays 1.0/precision 1.0 on all 12 seeds and the
+    44.1 kHz family exactly unchanged (mean 0.960).
+    """
+    fps = sr / hop_length
+    fmin = int(round(CQT_FMIN_MIDI))
+    n_bins = cqt_mag.shape[1]
+    out = list(events)
+    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+
+    def env_shape(env_db):
+        T = len(env_db)
+        t = np.arange(T, dtype=np.float64)
+        A = np.vstack([t, np.ones(T)]).T
+        coef, *_ = np.linalg.lstsq(A, env_db, rcond=None)
+        resid = float(np.sqrt(np.mean((env_db - A @ coef) ** 2)))
+        h = T // 2
+        s_early = np.polyfit(t[:h], env_db[:h], 1)[0] * fps
+        s_late = np.polyfit(t[h:], env_db[h:], 1)[0] * fps
+        return resid, abs(s_late - s_early)
+
+    for e in events:
+        n = e["note"]
+        b0, b12 = n - fmin, n + 12 - fmin
+        if not (0 <= b0 < n_bins and b12 < n_bins):
+            continue
+        concurrent = [o for o in events if o is not e
+                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+        if any(o["note"] == n + 12 for o in concurrent):
+            continue
+        sal = e.get("salience", 0.0)
+        peers = [o.get("salience", 0.0) for o in concurrent] + [sal]
+        if sal < 0.5 * max(peers):
+            continue
+        if any(o["note"] < n and o.get("salience", 0.0) >= 0.5 * sal
+               for o in concurrent):
+            continue
+        if any((n + 12 - o["note"]) in HARMONIC_INTERVALS
+               for o in concurrent if o["note"] != n):
+            continue
+        lo = e["start"] + int(attack_skip_s * fps)
+        hi = min(e["end"] - 1, cqt_mag.shape[0])
+        if hi - lo < min_frames:
+            continue
+        env12 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b12], 1e-12))
+        if np.median(env12) < track_max_db - level_floor_db:
+            continue
+        env0 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b0], 1e-12))
+        r12, c12 = env_shape(env12)
+        r0, c0 = env_shape(env0)
+        if (r12 >= max(resid_thr, rel_factor * r0)
+                or c12 >= max(curv_thr, rel_factor * c0)):
+            lvl = float(np.median(env12) - np.median(env0))
+            out.append({**e, "note": n + 12,
+                        "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
+                        "recovered_octave": True})
+    out.sort(key=lambda ev: (ev["start"], ev["note"]))
+    return out
+
+
 def refine_poly_events(events: List[dict], onsets: np.ndarray,
                        rms_db: np.ndarray, salience: np.ndarray,
                        sr: int, hop_length: int,
@@ -528,9 +687,11 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
                        birth_tol_ms: float = 80.0,
                        rise_db: float = 2.0,
                        sal_ratio: float = 0.55,
-                       decay_frac: float = 0.5) -> List[dict]:
+                       decay_frac: float = 0.5,
+                       cqt_mag: np.ndarray | None = None) -> List[dict]:
     """The composed polyphonic refinement: salience attach -> start snap ->
-    decay prune -> onset birth gate -> attack-rise gate -> harmonic dedup.
+    decay prune -> onset birth gate -> attack-rise gate -> harmonic dedup
+    -> octave-doubling recovery (when the raw CQT plane is available).
 
     Snap runs FIRST so every gate judges the corrected start (a voice
     masked during a chord attack is first accepted late; gating on the raw
@@ -561,6 +722,12 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         win_frames=max(int(round(4 * fps / _GATE_REF_FPS)), 1),
         min_rise_db=rise_db * min(1.0, _GATE_REF_FPS / fps))
     events = harmonic_dedup(events, sal_ratio=sal_ratio)
+    if cqt_mag is not None:
+        # runs LAST: it judges the surviving (refined) events, and the
+        # events it adds must not re-enter the gates (their start/end are
+        # inherited from an already-gated parent)
+        events = recover_octave_doublings(events, np.asarray(cqt_mag),
+                                          sr, hop_length)
     return events
 
 

@@ -206,7 +206,10 @@ class AegisPolyEngine:
                     birth_tol_ms=kwargs.get("birth_tol_ms", 80.0),
                     rise_db=kwargs.get("rise_db", 2.0),
                     sal_ratio=kwargs.get("sal_ratio", 0.55),
-                    decay_frac=kwargs.get("decay_frac", 0.5))
+                    decay_frac=kwargs.get("decay_frac", 0.5),
+                    # octave-doubling recovery off the raw CQT plane
+                    # (absent on pre-round-3 cached analyses: skip)
+                    cqt_mag=analysis.get("cqt_mag"))
         if output_mid is not None:
             bpm = kwargs.get("bpm")
             if bpm == "auto":

@@ -349,7 +349,10 @@ def _poly_tile_program(sr: int, n_fft: int, hop: int, n_mels: int,
                        n_bins: int, bins_per_octave: int, max_voices: int,
                        tile: int, halo: int):
     """One jitted poly tile program per config: (STFT slab, RMS slab,
-    running mel ref) -> raw-voice rows [bins|sals|rms|onset] + updated ref.
+    running mel ref) -> raw-voice rows [bins|sals|rms|onset|cqt_f16]
+    + updated ref (the trailing columns are the f16-packed raw CQT
+    magnitude plane feeding the host octave-recovery pass, same layout as
+    the offline packed program).
 
     Mirrors engine.turbo.analyze_poly_sharded's per-tile work with the
     realtime adaptations of the v1 _tile_program: the onset envelope's dB
@@ -401,9 +404,12 @@ def _poly_tile_program(sr: int, n_fft: int, hop: int, n_mels: int,
                   - 10.0 * jnp.log10(jnp.maximum(amin, new_ref)))
         mel_db = jnp.maximum(mel_db, -80.0)
         onset = onset_from_db(mel_db)[sl]
+        from aegis_tpu.core.poly import pack_cqt_f16
+
         rows = jnp.concatenate(
             [bins_v[sl].astype(jnp.float32), sals_v[sl].astype(jnp.float32),
-             rms_[sl, None], onset[:, None]], axis=1)
+             rms_[sl, None], onset[:, None],
+             pack_cqt_f16(jnp.sqrt(jnp.maximum(cqt_p[sl], 0.0)))], axis=1)
         return rows, new_ref
 
     return program
@@ -447,7 +453,7 @@ class StreamingPolyTranscriber:
         self._buf = np.zeros(0, np.float32)   # raw samples, trimmed
         self._buf_off = 0                     # absolute index of _buf[0]
         self._tile_idx = 0
-        self._rows: List[np.ndarray] = []     # per-tile (tile, 2V+2)
+        self._rows: List[np.ndarray] = []     # per-tile (tile, 2V+2+cqt/2)
         self._ref_power = 0.0
         self._n_fed = 0
         self._finalized = False

@@ -518,8 +518,10 @@ def analyze_poly_sharded(
     local to a haloed tile; the only cross-tile state is one per-track
     scalar — the mel-power dB reference (onset envelope) — a ``pmax``
     over the time axis riding ICI.  Returns ONE packed
-    (B, n_tiles, tile, 2*max_voices + 2) buffer of RAW VOICES:
-    [bins(V) | saliences(V) | rms | onset_env] — the host reconstructs
+    (B, n_tiles, tile, 2*max_voices + 2 + ceil(n_bins/2)) buffer of RAW
+    VOICES plus the f16-packed raw CQT magnitude plane (the host
+    octave-recovery input, core.poly.pack_cqt_f16):
+    [bins(V) | saliences(V) | rms | onset_env | cqt] — the host reconstructs
     the roll/confidence/salience planes through the NumPy oracle with the
     track-global acceptance peak (max over the shipped saliences), so no
     salience pmax is needed on device and the transport shrinks 18x
@@ -587,9 +589,11 @@ def analyze_poly_sharded(
             frz = _frame_slab(slab_z, t2, hop, n_fft, 0)
             rms_ = jnp.sqrt(jnp.mean(frz * frz, axis=-1))
             bins_v, sals_v = peel_voices(cqt_p, supp, subm, max_voices)
-            return bins_v, sals_v, mel_p, rms_
+            return bins_v, sals_v, mel_p, rms_, \
+                jnp.sqrt(jnp.maximum(cqt_p, 0.0))
 
-        bins_v, sals_v, mel_p, rms_ = jax.vmap(tilefn)(slabs(y_s), slabs(y_z))
+        bins_v, sals_v, mel_p, rms_, cqtm = jax.vmap(tilefn)(slabs(y_s),
+                                                             slabs(y_z))
         sl = slice(halo, halo + tile)
 
         # per-track global scalar over the time axis only (NOT data);
@@ -608,12 +612,16 @@ def analyze_poly_sharded(
         onset = jax.vmap(onset_from_db)(
             mel_db.reshape(b * k_local, t2, n_mels))[:, sl]
 
+        from aegis_tpu.core.poly import cqt_plane_cols, pack_cqt_f16
+
         packed = jnp.concatenate(
             [bins_v.reshape(b * k_local, t2, -1)[:, sl].astype(jnp.float32),
              sals_v.reshape(b * k_local, t2, -1)[:, sl].astype(jnp.float32),
              rms_.reshape(b * k_local, t2)[:, sl, None],
-             onset[..., None]], axis=-1)
-        assert packed.shape[-1] == 2 * max_voices + 2
+             onset[..., None],
+             pack_cqt_f16(cqtm.reshape(b * k_local, t2, -1)[:, sl])],
+            axis=-1)
+        assert packed.shape[-1] == 2 * max_voices + 2 + cqt_plane_cols(n_bins)
         return packed.reshape((b, k_local) + packed.shape[1:])
 
     from jax import shard_map

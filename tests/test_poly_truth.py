@@ -144,12 +144,15 @@ def test_poly_refined_beats_unrefined():
 
 
 def test_poly_octave_family_floor():
-    """Octave-doubled voicings are the peel's KNOWN-WEAK family: comb
-    masking erases the doubled voice's fundamental, so recall is bounded
-    (measured mean F1 0.67; three masking alternatives all traded the
-    standard family down to ~0.93 — full data in VALIDATION.md).  This
-    pins the measured floor so a future attempt at octave recovery is
-    judged against BOTH families."""
+    """Octave-doubled voicings were the peel's KNOWN-WEAK family: comb
+    masking erases the doubled voice's fundamental (measured mean F1 0.67;
+    three masking alternatives all traded the standard family down to
+    ~0.93).  The temporal-envelope octave recovery
+    (core.poly.recover_octave_doublings) lifts the family to measured
+    mean 0.88 at 22.05 kHz / 0.85 at 44.1 kHz with the standard family
+    exactly unchanged — this pins the recovered floor on the same four
+    probe clips (measured 0.875/0.842/1.0/0.857; full sweep data in
+    VALIDATION.md)."""
     from aegis_tpu.engine.poly import AegisPolyEngine
     from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
 
@@ -165,7 +168,61 @@ def test_poly_octave_family_floor():
             events = eng.extract_events(eng.analyze(y))
             r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
             f1s.append(r["f1"])
-    assert np.mean(f1s) >= 0.55, f1s  # the honest, measured floor
+    assert np.mean(f1s) >= 0.80, f1s
+    assert min(f1s) >= 0.70, f1s
+
+
+def test_octave_recovery_beat_vs_pure():
+    """The recovery discriminator on constructed physics: a single
+    exponential h2 envelope (straight dB line) must NOT recover; a
+    two-component mixture with a beat (the doubled-voice signature) must."""
+    from aegis_tpu.core.poly import recover_octave_doublings
+
+    fps = SR / HOP
+    T = 120
+    t = np.arange(T) / fps
+    fmin = 24  # CQT_FMIN_MIDI
+    mag = np.full((T, NBINS), 1e-7, np.float32)
+    parent = {"note": 45, "start": 10, "end": 110, "confidence": 0.9,
+              "velocity": 100, "track": "main", "technique": None,
+              "slope": 0.0, "rms_energy": -10.0, "salience": 1.0}
+    b0, b12 = 45 - fmin, 57 - fmin
+    mag[:, b0] = 1.0 * np.exp(-0.5 * t)
+    # pure h2: single exponential, slightly faster
+    mag[:, b12] = 0.5 * np.exp(-0.6 * t)
+    out = recover_octave_doublings([dict(parent)], mag, SR, HOP)
+    assert len(out) == 1, [e["note"] for e in out]
+    # doubled: add an independent 2x-rate component detuned by 0.6 Hz
+    mix = (0.5 * np.exp(-0.6 * t)
+           + 0.5 * np.exp(-1.2 * t) * np.cos(2 * np.pi * 0.6 * t))
+    mag[:, b12] = np.abs(mix).astype(np.float32) + 1e-7
+    out = recover_octave_doublings([dict(parent)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [45, 57], out
+    assert out[1].get("recovered_octave") is True
+
+
+def test_packed_buffer_ships_cqt_plane():
+    """The packed poly transport carries the f16 raw CQT magnitude plane;
+    unpack must reproduce the device's own cqt within f16 precision, and
+    the analysis dict must expose it to the refinement."""
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.analyze import bucket_length
+    from aegis_tpu.core.poly import analyze_poly_program
+    from aegis_tpu.engine.poly import AegisPolyEngine
+
+    y, _ = chord_progression_clip(4)
+    eng = AegisPolyEngine(sample_rate=SR)
+    analysis = eng.analyze(y)
+    assert "cqt_mag" in analysis
+    T = analysis["roll"].shape[0]
+    assert analysis["cqt_mag"].shape == (T, NBINS)
+    y_pad = np.pad(y, (0, bucket_length(len(y)) - len(y)))
+    direct = np.asarray(analyze_poly_program(
+        jnp.asarray(y_pad), SR, NFFT, HOP, NBINS, 12, 6)["cqt_mag"])[:T]
+    # int16 audio transport + f16 plane quantization
+    np.testing.assert_allclose(analysis["cqt_mag"], direct,
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_poly_hot_start_keeps_opening_chord():
