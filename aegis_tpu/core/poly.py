@@ -33,9 +33,10 @@ is a TPU-first design from scratch:
     overlapping note events (same event-dict currency as the monophonic
     engines), refines them against the onset envelope / RMS attack
     physics (refine_poly_events — the polyphonic sibling of the v1
-    engine's onset refinement), recovers octave-doubled voices the comb
-    masking erased via temporal envelope cues on the raw CQT plane
-    (recover_octave_doublings), and groups simultaneous notes into
+    engine's onset refinement), recovers voices the peel erased via
+    temporal envelope cues on the raw CQT plane (the recovery chain:
+    repitch_suboctave_ghosts, recover_octave_doublings,
+    recover_missing_fifths), and groups simultaneous notes into
     chords for the chord-aware tab fingering in midi.tabs.
 
 Every matmul in the peel runs at Precision.HIGHEST: voice picking is an
@@ -571,7 +572,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                              rel_factor: float = 4.0,
                              attack_skip_s: float = 0.12,
                              min_frames: int = 10,
-                             level_floor_db: float = 55.0) -> List[dict]:
+                             level_floor_db: float = 55.0,
+                             parent_ghost_ratio: float = 0.3) -> List[dict]:
     """Recover octave-doubled voices the peel's comb masking erased.
 
     The peel's KNOWN-WEAK family (VALIDATION.md): a chord voicing with an
@@ -608,20 +610,26 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
         UNDETECTED lower note's higher harmonic (two strings beat
         regardless of doubling; recovering 52+12=64 in [40,47,52] when 40
         went undetected minted a false 64);
-      * ghost guards — a parent (or a lower blocker) below half the
-        chord's max salience is likely itself a ghost: recovering from
-        ghosts compounded errors, and ghost "basses" blocked true
-        recoveries;
+      * ghost guards — a parent below ``parent_ghost_ratio`` x the
+        chord's max salience, or a lower blocker below half the parent's,
+        is likely itself a ghost: recovering from ghosts compounded
+        errors, and ghost "basses" blocked true recoveries.  The parent
+        ratio was originally 0.5; the 2026-08-19 re-sweep (0.25/0.3/0.4/
+        0.5 over all six truth families) measured 0.3 strictly better —
+        a peel-eroded REAL bass like 45 in [45,52,57] carries ~1/3 of
+        the top voice's salience, and 0.5 blocked its true +12 recovery
+        (oct22A 0.805 -> 0.868, oct44A +0.045, nothing down anywhere);
       * harmonic collision — skip when n+12 is a harmonic interval above
         any other concurrent event (its bin legitimately beats);
       * level floor — the bin must sit within ``level_floor_db`` of the
         track's CQT peak (noise-floor wiggle is not a beat).
 
     Measured (tests/test_poly_truth.py, VALIDATION.md): octave family
-    mean truth F1 0.67 -> 0.88 at 22.05 kHz (seeds 1-6: 0.88, fresh seeds
-    7-12: 0.88), 0.66 -> 0.85 at 44.1 kHz, NO seed worse; the standard
-    22.05 kHz family stays 1.0/precision 1.0 on all 12 seeds and the
-    44.1 kHz family exactly unchanged (mean 0.960).
+    mean truth F1 0.67 -> 0.88 at 22.05 kHz, 0.66 -> 0.85 at 44.1 kHz,
+    NO seed worse, standard families unchanged.  With the full recovery
+    chain (repitch_suboctave_ghosts + parent_ghost_ratio=0.3 +
+    recover_missing_fifths, swept 2026-08-19): 0.92 at 22.05 kHz /
+    0.90 at 44.1 kHz design seeds, 0.91/0.89 fresh seeds.
     """
     fps = sr / hop_length
     fmin = int(round(CQT_FMIN_MIDI))
@@ -651,7 +659,7 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
             continue
         sal = e.get("salience", 0.0)
         peers = [o.get("salience", 0.0) for o in concurrent] + [sal]
-        if sal < 0.5 * max(peers):
+        if sal < parent_ghost_ratio * max(peers):
             continue
         if any(o["note"] < n and o.get("salience", 0.0) >= 0.5 * sal
                for o in concurrent):
@@ -679,6 +687,165 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     return out
 
 
+def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
+                             sr: int, hop_length: int,
+                             margin_db: float = 15.0,
+                             abs_floor_db: float = 28.0,
+                             attack_skip_s: float = 0.12,
+                             min_frames: int = 6) -> List[dict]:
+    """Re-pitch sub-octave decodes of the peel's -12 redirect up an octave.
+
+    The peel's sub-harmonic preference redirects a pick at bin n to n-12
+    when the comb there looks plausible; on power chords it can OVERSHOOT —
+    the true fifth 47 in [40,47,52] lands as a phantom 35 BELOW the real
+    bass (measured: the 35 event's own raw-CQT bin sits at -30 dB vs track
+    peak while bin 47 carries the real string at -15 dB).  Such an event is
+    the upper note decoded an octave low: move it up instead of letting the
+    ghost guard block every later recovery from the false "bass".
+
+    Guards, each against a measured failure (2026-08-19 sweep over all six
+    truth families, margins 10-18 dB x floors 22-30 dB):
+      * lowest voice only — redirect overshoot mints BELOW the true bass;
+        a mid-chord true note with a weak fundamental matches the level
+        test otherwise (a real 60 in [57,60,64] with dead fundamental was
+        re-pitched to a false 72 until this guard);
+      * own bin dead in absolute terms (>= ``abs_floor_db`` under the
+        track CQT peak) — true fundamentals measured -6..-20 dB, redirect
+        ghosts -30 dB;
+      * +12 bin >= ``margin_db`` louder — KS harmonics routinely run a few
+        dB above a weak fundamental (true 48's h2 measured +10 dB), so the
+        margin must clear that;
+      * drop instead of re-pitch when the +12 note already exists.
+
+    Runs BEFORE recover_octave_doublings/recover_missing_fifths so the
+    corrected event (not the phantom) anchors their bass/ghost guards.
+    Measured effect (with the other two passes): oct44A family mean F1
+    0.826 -> 0.881 design seeds / 0.838 fresh seeds, min 0.71 -> 0.82;
+    every other family unchanged."""
+    fps = sr / hop_length
+    fmin = int(round(CQT_FMIN_MIDI))
+    n_bins = cqt_mag.shape[1]
+    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+    out = []
+    for e in events:
+        n = e["note"]
+        b0, b12 = n - fmin, n + 12 - fmin
+        if not (0 <= b0 < n_bins and b12 < n_bins):
+            out.append(e)
+            continue
+        concurrent = [o for o in events if o is not e
+                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+        if any(o["note"] < n for o in concurrent):
+            out.append(e)
+            continue
+        lo = e["start"] + int(attack_skip_s * fps)
+        hi = min(e["end"] - 1, cqt_mag.shape[0])
+        if hi - lo < min_frames:
+            out.append(e)
+            continue
+        own = float(np.median(20.0 * np.log10(
+            np.maximum(cqt_mag[lo:hi, b0], 1e-12))))
+        up = float(np.median(20.0 * np.log10(
+            np.maximum(cqt_mag[lo:hi, b12], 1e-12))))
+        if own < track_max_db - abs_floor_db and up - own >= margin_db:
+            dup = any(o is not e and o["note"] == n + 12
+                      and o["start"] <= e["end"] and e["start"] <= o["end"]
+                      for o in events)
+            if not dup:
+                out.append({**e, "note": n + 12, "repitched_octave": True})
+            continue
+        out.append(e)
+    return out
+
+
+def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
+                           sr: int, hop_length: int,
+                           level_floor_db: float = 45.0,
+                           rel_parent_db: float = 25.0,
+                           max_resid: float = 1.0,
+                           attack_skip_s: float = 0.12,
+                           min_frames: int = 10) -> List[dict]:
+    """Recover a power chord's out-competed FIFTH from the raw CQT plane.
+
+    The round-2 residual failure (VALIDATION.md): in [40,47,52] the fifth
+    (47, B2) stays alive in the raw CQT at ~-14 dB but the peel's argmax
+    never picks it — composite harmonic bins (71 = B2's h4 = E3's h3)
+    out-salience it and the -19/-12 redirects can't reach 47 from them.
+    Generic masked-voice recovery (mint any unexplained straight-decay
+    bin) was measured and rejected — rim-adjacent FPs outweighed the
+    recovered fifth at every rim width.  The targeted version works
+    because a perfect fifth is NOT in the bass's harmonic series: +7
+    semitones (3:2) falls between h1 (+0) and h2 (+12), and the
+    pseudo-CQT triangle (~±2 semitones) cannot leak either into bin n+7.
+    Direct sustained energy there is therefore a real voice.
+
+    DECISION per detected bass event (note n): recover n+7 iff the bin's
+    sustain envelope (attack skipped) sits within ``level_floor_db`` of
+    the track CQT peak AND within ``rel_parent_db`` of the parent's own
+    bin AND is a clean decaying pluck (linear-fit RMS residual <=
+    ``max_resid`` dB, fitted slope <= 0).  Guards shared with
+    recover_octave_doublings (bass only, salience ghost guards) plus:
+      * note-rim guard — skip when any concurrent event lies within ±2
+        semitones of n+7 (its triangle leaks into the bin);
+      * harmonic-collision guard — skip when any concurrent event's
+        harmonic (h2..h8) lands within ±2 semitones of n+7.
+
+    Measured (2026-08-19 sweep, floors 35-55 x rel 15-35 x resid 0.6-1.5
+    over all six truth families): with the re-pitch + ghost-ratio fixes,
+    oct22A mean F1 0.805 -> 0.868 design / 0.822 -> 0.880 fresh seeds,
+    std44 0.960 -> 0.964 (a true fifth recovered there too), std22 stays
+    1.0/precision 1.0 on all 12 seeds, B families bit-identical — zero
+    false fifths on 48 non-power-chord clips."""
+    fps = sr / hop_length
+    fmin = int(round(CQT_FMIN_MIDI))
+    n_bins = cqt_mag.shape[1]
+    out = list(events)
+    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+    for e in events:
+        n = e["note"]
+        b0, b7 = n - fmin, n + 7 - fmin
+        if not (0 <= b0 < n_bins and b7 < n_bins):
+            continue
+        concurrent = [o for o in out if o is not e
+                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+        if any(abs(o["note"] - (n + 7)) <= 2 for o in concurrent):
+            continue
+        sal = e.get("salience", 0.0)
+        peers = [o.get("salience", 0.0) for o in concurrent] + [sal]
+        if sal < 0.5 * max(peers):
+            continue
+        if any(o["note"] < n and o.get("salience", 0.0) >= 0.5 * sal
+               for o in concurrent):
+            continue
+        if any(abs((o["note"] + h) - (n + 7)) <= 2
+               for o in concurrent for h in HARMONIC_INTERVALS):
+            continue
+        lo = e["start"] + int(attack_skip_s * fps)
+        hi = min(e["end"] - 1, cqt_mag.shape[0])
+        if hi - lo < min_frames:
+            continue
+        env7 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b7], 1e-12))
+        env0 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b0], 1e-12))
+        med7 = float(np.median(env7))
+        if med7 < track_max_db - level_floor_db:
+            continue
+        if med7 < float(np.median(env0)) - rel_parent_db:
+            continue
+        T = len(env7)
+        t = np.arange(T, dtype=np.float64)
+        A = np.vstack([t, np.ones(T)]).T
+        coef, *_ = np.linalg.lstsq(A, env7, rcond=None)
+        resid = float(np.sqrt(np.mean((env7 - A @ coef) ** 2)))
+        if resid > max_resid or coef[0] * fps > 0.0:
+            continue
+        lvl = med7 - float(np.median(env0))
+        out.append({**e, "note": n + 7,
+                    "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
+                    "recovered_fifth": True})
+    out.sort(key=lambda ev: (ev["start"], ev["note"]))
+    return out
+
+
 def refine_poly_events(events: List[dict], onsets: np.ndarray,
                        rms_db: np.ndarray, salience: np.ndarray,
                        sr: int, hop_length: int,
@@ -691,7 +858,9 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
                        cqt_mag: np.ndarray | None = None) -> List[dict]:
     """The composed polyphonic refinement: salience attach -> start snap ->
     decay prune -> onset birth gate -> attack-rise gate -> harmonic dedup
-    -> octave-doubling recovery (when the raw CQT plane is available).
+    -> raw-CQT recovery chain (sub-octave re-pitch, octave-doubling
+    recovery, missing-fifth recovery — when the raw CQT plane is
+    available).
 
     Snap runs FIRST so every gate judges the corrected start (a voice
     masked during a chord attack is first accepted late; gating on the raw
@@ -723,11 +892,17 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         min_rise_db=rise_db * min(1.0, _GATE_REF_FPS / fps))
     events = harmonic_dedup(events, sal_ratio=sal_ratio)
     if cqt_mag is not None:
-        # runs LAST: it judges the surviving (refined) events, and the
-        # events it adds must not re-enter the gates (their start/end are
-        # inherited from an already-gated parent)
-        events = recover_octave_doublings(events, np.asarray(cqt_mag),
-                                          sr, hop_length)
+        # the raw-CQT recovery chain runs LAST: it judges the surviving
+        # (refined) events, and the events it adds/corrects must not
+        # re-enter the gates (start/end are inherited from an
+        # already-gated parent).  Order matters and is measured: the
+        # re-pitch first (a sub-octave phantom below the true bass blocks
+        # every later bass-anchored recovery), then octave doublings,
+        # then the fifth (whose collision guards read the recovered set).
+        cqt_mag = np.asarray(cqt_mag)
+        events = repitch_suboctave_ghosts(events, cqt_mag, sr, hop_length)
+        events = recover_octave_doublings(events, cqt_mag, sr, hop_length)
+        events = recover_missing_fifths(events, cqt_mag, sr, hop_length)
     return events
 
 

@@ -147,11 +147,12 @@ def test_poly_octave_family_floor():
     """Octave-doubled voicings were the peel's KNOWN-WEAK family: comb
     masking erases the doubled voice's fundamental (measured mean F1 0.67;
     three masking alternatives all traded the standard family down to
-    ~0.93).  The temporal-envelope octave recovery
-    (core.poly.recover_octave_doublings) lifts the family to measured
-    mean 0.88 at 22.05 kHz / 0.85 at 44.1 kHz with the standard family
-    exactly unchanged — this pins the recovered floor on the same four
-    probe clips (measured 0.875/0.842/1.0/0.857; full sweep data in
+    ~0.93).  The raw-CQT recovery chain (sub-octave re-pitch + octave
+    recovery at parent_ghost_ratio 0.3 + missing-fifth recovery,
+    core/poly.py) lifts the family to measured mean 0.92 at 22.05 kHz /
+    0.90 at 44.1 kHz (fresh seeds 0.91/0.89) with the standard family
+    same-or-better — this pins the recovered floor on the same four
+    probe clips (measured 1.0/0.9/1.0/0.857; full sweep data in
     VALIDATION.md)."""
     from aegis_tpu.engine.poly import AegisPolyEngine
     from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
@@ -168,8 +169,8 @@ def test_poly_octave_family_floor():
             events = eng.extract_events(eng.analyze(y))
             r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
             f1s.append(r["f1"])
-    assert np.mean(f1s) >= 0.80, f1s
-    assert min(f1s) >= 0.70, f1s
+    assert np.mean(f1s) >= 0.90, f1s
+    assert min(f1s) >= 0.85, f1s
 
 
 def test_octave_recovery_beat_vs_pure():
@@ -199,6 +200,67 @@ def test_octave_recovery_beat_vs_pure():
     out = recover_octave_doublings([dict(parent)], mag, SR, HOP)
     assert [e["note"] for e in out] == [45, 57], out
     assert out[1].get("recovered_octave") is True
+
+
+def _mk_event(note, start=10, end=110, salience=1.0):
+    return {"note": note, "start": start, "end": end, "confidence": 0.9,
+            "velocity": 100, "track": "main", "technique": None,
+            "slope": 0.0, "rms_energy": -10.0, "salience": salience}
+
+
+def test_repitch_suboctave_ghost():
+    """Constructed -12-redirect overshoot: the event's own bin is dead
+    (>= 28 dB under track peak) while +12 carries the real string — the
+    event must re-pitch up an octave.  A mid-chord weak-fundamental note
+    (a lower concurrent voice exists) must NOT re-pitch, and neither must
+    an event whose own bin is live."""
+    from aegis_tpu.core.poly import repitch_suboctave_ghosts
+
+    fps = SR / HOP
+    T = 120
+    t = np.arange(T) / fps
+    fmin = 24
+    mag = np.full((T, NBINS), 1e-7, np.float32)
+    mag[:, 35 - fmin] = 0.01 * np.exp(-0.5 * t)   # dead own bin (-40 dB)
+    mag[:, 47 - fmin] = 0.30 * np.exp(-0.6 * t)   # the real string
+    mag[:, 40 - fmin] = 1.00 * np.exp(-0.4 * t)   # track peak (true bass)
+    ghost = _mk_event(35, salience=1.2)
+    out = repitch_suboctave_ghosts([ghost], mag, SR, HOP)
+    assert [e["note"] for e in out] == [47], out
+    assert out[0].get("repitched_octave") is True
+    # lowest-voice guard: same levels, but a concurrent lower note exists
+    out = repitch_suboctave_ghosts([_mk_event(35), _mk_event(33)],
+                                   mag, SR, HOP)
+    assert 35 in [e["note"] for e in out]
+    # live own bin: a true bass never re-pitches even when h2 is louder
+    mag[:, 40 - fmin] = 0.50 * np.exp(-0.4 * t)
+    mag[:, 52 - fmin] = 1.00 * np.exp(-0.4 * t)   # h2 louder than own
+    out = repitch_suboctave_ghosts([_mk_event(40)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [40], out
+
+
+def test_fifth_recovery_present_vs_absent():
+    """Constructed power chord: sustained clean-decay energy at the bass's
+    +7 bin (not in the bass's harmonic series, rim cannot leak there) must
+    recover the fifth; a quiet +7 bin must not."""
+    from aegis_tpu.core.poly import recover_missing_fifths
+
+    fps = SR / HOP
+    T = 120
+    t = np.arange(T) / fps
+    fmin = 24
+    mag = np.full((T, NBINS), 1e-7, np.float32)
+    bass = _mk_event(40)
+    mag[:, 40 - fmin] = 1.0 * np.exp(-0.4 * t)
+    out = recover_missing_fifths([dict(bass)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [40], out  # quiet bin: no mint
+    mag[:, 47 - fmin] = 0.25 * np.exp(-0.55 * t)  # the real fifth (-12 dB)
+    out = recover_missing_fifths([dict(bass)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [40, 47], out
+    assert out[1].get("recovered_fifth") is True
+    # note-rim guard: a concurrent event within 2 semitones of n+7 blocks
+    out = recover_missing_fifths([dict(bass), _mk_event(45)], mag, SR, HOP)
+    assert 47 not in [e["note"] for e in out], out
 
 
 def test_packed_buffer_ships_cqt_plane():
