@@ -689,7 +689,7 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
 
 def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
                              sr: int, hop_length: int,
-                             margin_db: float = 15.0,
+                             margin_db: float = 13.0,
                              abs_floor_db: float = 28.0,
                              attack_skip_s: float = 0.12,
                              min_frames: int = 6) -> List[dict]:
@@ -714,7 +714,11 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
         ghosts -30 dB;
       * +12 bin >= ``margin_db`` louder — KS harmonics routinely run a few
         dB above a weak fundamental (true 48's h2 measured +10 dB), so the
-        margin must clear that;
+        margin must clear that.  Margins 10/12 without the lowest-voice
+        guard nicked std22/oct22B; with the guard, 12-14 measured
+        equivalent and strictly better than 15 (a phantom 35 with
+        margin 14.9 dB on oct22A seed 6) — 13 ships as the midpoint,
+        fresh-seed identical to 15;
       * drop instead of re-pitch when the +12 note already exists.
 
     Runs BEFORE recover_octave_doublings/recover_missing_fifths so the
