@@ -544,6 +544,28 @@ def attack_rise_gate(events: List[dict], rms_db: np.ndarray,
 #: semitone intervals of harmonics 2..8 above a fundamental
 HARMONIC_INTERVALS = frozenset((12, 19, 24, 28, 31, 34, 36))
 
+#: harmonics 3..8 only — the +12 octave is handled separately (it is the
+#: one harmonic interval real chord voicings routinely occupy)
+HIGH_HARMONIC_INTERVALS = frozenset((19, 24, 28, 31, 34, 36))
+
+
+def _env_shape(env_db: np.ndarray, fps: float) -> tuple:
+    """(linear-fit RMS residual [dB], |late slope - early slope| [dB/s])
+    of a bin's dB envelope — the pure-partial vs independent-voice
+    discriminator shared by the raw-CQT recovery/drop passes.  A single
+    decaying exponential fits a straight dB line (residual ~0.05 dB over
+    measured pure-h2 bins); two detuned components beat (residual ~1.4 dB
+    median, curvature tens of dB/s)."""
+    T = len(env_db)
+    t = np.arange(T, dtype=np.float64)
+    A = np.vstack([t, np.ones(T)]).T
+    coef, *_ = np.linalg.lstsq(A, env_db, rcond=None)
+    resid = float(np.sqrt(np.mean((env_db - A @ coef) ** 2)))
+    h = T // 2
+    s_early = np.polyfit(t[:h], env_db[:h], 1)[0] * fps
+    s_late = np.polyfit(t[h:], env_db[h:], 1)[0] * fps
+    return resid, abs(s_late - s_early)
+
 
 def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
                    start_tol: int = 4) -> List[dict]:
@@ -638,15 +660,7 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
 
     def env_shape(env_db):
-        T = len(env_db)
-        t = np.arange(T, dtype=np.float64)
-        A = np.vstack([t, np.ones(T)]).T
-        coef, *_ = np.linalg.lstsq(A, env_db, rcond=None)
-        resid = float(np.sqrt(np.mean((env_db - A @ coef) ** 2)))
-        h = T // 2
-        s_early = np.polyfit(t[:h], env_db[:h], 1)[0] * fps
-        s_late = np.polyfit(t[h:], env_db[h:], 1)[0] * fps
-        return resid, abs(s_late - s_early)
+        return _env_shape(env_db, fps)
 
     for e in events:
         n = e["note"]
@@ -850,6 +864,91 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
     return out
 
 
+def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
+                                  sr: int, hop_length: int,
+                                  intervals: frozenset = HARMONIC_INTERVALS,
+                                  resid_thr: float = 0.25,
+                                  curv_thr: float = 1.0,
+                                  rel_factor: float = 4.0,
+                                  attack_skip_s: float = 0.12,
+                                  min_frames: int = 10,
+                                  sal_guard: float | None = None
+                                  ) -> List[dict]:
+    """Drop harmonic GHOSTS by envelope physics — the INVERSE of
+    recover_octave_doublings.
+
+    The peel's residual false positives are events a harmonic interval
+    above a concurrent lower voice (e.g. a phantom 79 = 60 + 19, the
+    bass's h3) whose salience the comb could not separate.  The same
+    string-physics discriminator that recovers doubled octaves judges
+    them in reverse: if the candidate's own raw-CQT bin over its sustain
+    is a SINGLE clean exponential (straight dB line — linear-fit RMS
+    residual < ``resid_thr`` dB AND |late-early slope| < ``curv_thr``
+    dB/s, both also < ``rel_factor`` x the lowest parent's own values,
+    so a vibrato/bend parent excuses wobble), the bin holds exactly one
+    component: the parent's partial.  An independent voice at that pitch
+    would add a detuned component and the envelope would beat.
+
+    ``intervals`` selects which harmonic offsets are candidate ghosts;
+    ``sal_guard`` keeps any event whose salience >= sal_guard x the max
+    overlapping parent's (a voice with its own comb).  The measured
+    shipping configuration (2026-08-20 sweep, six truth families x
+    design AND fresh seeds) is TWO passes after the recovery chain:
+    h3..h8 intervals (+19..+36) on straightness alone — those pitches
+    are rarely real chord voices and the straight/beating separation is
+    clean — then +12 with sal_guard=1.0, because a true octave voice
+    whose bin is dominated by its own fundamental and a pure h2 ghost
+    can BOTH read straight (measured degenerate pair: true 52 under a
+    40-bass vs false 67 over a 55-bass); salience separates most.
+
+    Measured (tests/test_poly_truth.py, VALIDATION.md): design seeds
+    oct22B 0.963 -> 1.0, std44 0.964 -> 0.986, oct44B 0.927 -> 0.987,
+    oct44A 0.881 -> 0.894, oct22A 0.886 -> 0.894, std22 1.0 unchanged;
+    fresh seeds std22 0.979 -> 0.986, oct22A 0.880 -> 0.888, oct44A
+    0.838 -> 0.891, oct44B 0.949 -> 0.959, std44 1.0 / oct22B 0.936
+    unchanged — no family or seed worse on either set.  Recovered
+    octave events re-enter the +12 pass by design: their bins measured
+    beating (that is why they were recovered), so the same physics that
+    minted them keeps them."""
+    fps = sr / hop_length
+    fmin = int(round(CQT_FMIN_MIDI))
+    n_bins = cqt_mag.shape[1]
+    out = []
+    for e in events:
+        n = e["note"]
+        b0 = n - fmin
+        if not (0 <= b0 < n_bins):
+            out.append(e)
+            continue
+        parents = [o for o in events if o is not e
+                   and o["start"] <= e["end"] and e["start"] <= o["end"]
+                   and (n - o["note"]) in intervals]
+        if not parents:
+            out.append(e)
+            continue
+        if sal_guard is not None and e.get("salience", 0.0) >= sal_guard * \
+                max(o.get("salience", 0.0) for o in parents):
+            out.append(e)
+            continue
+        lo = e["start"] + int(attack_skip_s * fps)
+        hi = min(e["end"] - 1, cqt_mag.shape[0])
+        if hi - lo < min_frames:
+            out.append(e)
+            continue
+        env = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b0], 1e-12))
+        r, c = _env_shape(env, fps)
+        # the parent's own envelope excuses wobble (vibrato/bend parents)
+        p = min(parents, key=lambda o: o["note"])
+        bp = p["note"] - fmin
+        envp = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, bp], 1e-12))
+        rp, cp = _env_shape(envp, fps)
+        if r < max(resid_thr, rel_factor * rp) and c < max(curv_thr,
+                                                           rel_factor * cp):
+            continue  # straight single exponential: a partial, drop
+        out.append(e)
+    return out
+
+
 def refine_poly_events(events: List[dict], onsets: np.ndarray,
                        rms_db: np.ndarray, salience: np.ndarray,
                        sr: int, hop_length: int,
@@ -902,11 +1001,20 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         # already-gated parent).  Order matters and is measured: the
         # re-pitch first (a sub-octave phantom below the true bass blocks
         # every later bass-anchored recovery), then octave doublings,
-        # then the fifth (whose collision guards read the recovered set).
+        # then the fifth (whose collision guards read the recovered set),
+        # then the straightness ghost drop (which must judge the FULL
+        # recovered set — a recovered octave's beating bin survives its
+        # +12 pass by the same physics that minted it).
         cqt_mag = np.asarray(cqt_mag)
         events = repitch_suboctave_ghosts(events, cqt_mag, sr, hop_length)
         events = recover_octave_doublings(events, cqt_mag, sr, hop_length)
         events = recover_missing_fifths(events, cqt_mag, sr, hop_length)
+        events = drop_straight_harmonic_ghosts(
+            events, cqt_mag, sr, hop_length,
+            intervals=HIGH_HARMONIC_INTERVALS)
+        events = drop_straight_harmonic_ghosts(
+            events, cqt_mag, sr, hop_length,
+            intervals=frozenset((12,)), sal_guard=1.0)
     return events
 
 
