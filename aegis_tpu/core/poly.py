@@ -54,6 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aegis_tpu.config import midi_to_hz
 from aegis_tpu.core import dsp
 from aegis_tpu.core.cqt import CQT_FMIN_MIDI, onset_strength_t, pseudo_cqt_t
 from aegis_tpu.core.events import velocity_from_db
@@ -549,21 +550,95 @@ HARMONIC_INTERVALS = frozenset((12, 19, 24, 28, 31, 34, 36))
 HIGH_HARMONIC_INTERVALS = frozenset((19, 24, 28, 31, 34, 36))
 
 
-def _env_shape(env_db: np.ndarray, fps: float) -> tuple:
+def _foreign_line_near(pitch: float, events, exclude_notes,
+                       tol_semis: float = 1.5, hmax: int = 13,
+                       parent_note: int | None = None,
+                       rim_tol_semis: float = 1.2,
+                       med_env=None, evidence_db: float | None = None,
+                       contrib_margin_db: float = 10.0) -> bool:
+    """Does any event OUTSIDE ``exclude_notes`` place a partial line
+    (h2..hmax) within ``tol_semis`` of MIDI ``pitch``?  Beat-evidence
+    guards must reason in FREQUENCY lines, not the semitone grid: h5
+    sits at +27.86, h7 at +33.69 and h10 at +39.86 semitones, so an
+    exact-interval check misses real feeders a rim away (measured round
+    3: a 52-string's h5 line 0.85 semitones from bin 79 faked octave
+    beat evidence that exact intervals could not see).
+
+    ``parent_note`` marks the expected-component string: a "foreign"
+    event sitting within ``rim_tol_semis`` of one of ITS partial lines
+    is most likely that line's rim phantom, not an independent string —
+    treating it as a feeder would let a phantom veto the very beat
+    evidence that could expose it (measured round 3: a rim pick at 63,
+    0.97 semitones under the bass's h4 line, blocked the doubled
+    octave's h4 beat at bin 76).
+
+    With ``med_env`` (bin-level callback) and ``evidence_db`` set, a
+    geometrically-near line only blocks when it is LOUD enough to
+    matter: its estimated contribution to the evidence bin — the line's
+    own-bin level minus the pseudo-CQT triangle attenuation at its
+    semitone offset — must reach within ``contrib_margin_db`` of the
+    evidence bin's level.  A −30 dB rolled-off h5 a semitone away
+    cannot fake a beat on a −15 dB bin (measured round 3: the
+    47-string's quiet h5 line wrongly vetoed the doubled 52's h4 beat,
+    while the loud h5/h6 lines that DO fake beats sat within 10 dB)."""
+    f_b = midi_to_hz(pitch)
+    f_p = midi_to_hz(parent_note) if parent_note is not None else None
+    for o in events:
+        if o["note"] in exclude_notes:
+            continue
+        f_o = midi_to_hz(o["note"])
+        if f_p is not None and any(
+                abs(12.0 * np.log2(f_o / (h * f_p))) <= rim_tol_semis
+                for h in range(2, hmax + 1)):
+            continue
+        for h in range(2, hmax + 1):
+            d = abs(12.0 * np.log2(f_b / (h * f_o)))
+            if d > tol_semis:
+                continue
+            if med_env is None or evidence_db is None:
+                return True
+            line_bin = int(round(pitch - d)) if h * f_o < f_b \
+                else int(round(pitch + d))
+            line_db = med_env(line_bin)
+            if line_db is None:
+                return True
+            atten = 20.0 * np.log10(max(1.0 - d / 2.0, 0.05))
+            if line_db + atten >= evidence_db - contrib_margin_db:
+                return True
+    return False
+
+
+def _env_shape(env_db: np.ndarray, fps: float,
+               trim_frac: float = 0.15) -> tuple:
     """(linear-fit RMS residual [dB], |late slope - early slope| [dB/s])
     of a bin's dB envelope — the pure-partial vs independent-voice
     discriminator shared by the raw-CQT recovery/drop passes.  A single
     decaying exponential fits a straight dB line (residual ~0.05 dB over
     measured pure-h2 bins); two detuned components beat (residual ~1.4 dB
-    median, curvature tens of dB/s)."""
+    median, curvature tens of dB/s).
+
+    The fit is OUTLIER-TRIMMED (fit, drop the ``trim_frac`` worst-residual
+    frames, refit on the keepers): a release cliff or a neighbouring
+    chord's attack caught by an overhanging event span poisons a handful
+    of frames by 20–200 dB and swamped every threshold (measured round 3:
+    a straight 44.1 kHz bass read residual 51 dB because its span ran two
+    frames into the inter-chord gap).  A beat is periodic and spans the
+    window, so trimming barely moves it; span-overhang poison is
+    concentrated and gets dropped."""
     T = len(env_db)
     t = np.arange(T, dtype=np.float64)
     A = np.vstack([t, np.ones(T)]).T
     coef, *_ = np.linalg.lstsq(A, env_db, rcond=None)
-    resid = float(np.sqrt(np.mean((env_db - A @ coef) ** 2)))
-    h = T // 2
-    s_early = np.polyfit(t[:h], env_db[:h], 1)[0] * fps
-    s_late = np.polyfit(t[h:], env_db[h:], 1)[0] * fps
+    keep = np.arange(T)
+    n_trim = int(T * trim_frac)
+    if n_trim > 0 and T - n_trim >= 4:
+        err = np.abs(env_db - A @ coef)
+        keep = np.sort(np.argsort(err)[: T - n_trim])
+        coef, *_ = np.linalg.lstsq(A[keep], env_db[keep], rcond=None)
+    resid = float(np.sqrt(np.mean((env_db[keep] - A[keep] @ coef) ** 2)))
+    h = len(keep) // 2
+    s_early = np.polyfit(t[keep[:h]], env_db[keep[:h]], 1)[0] * fps
+    s_late = np.polyfit(t[keep[h:]], env_db[keep[h:]], 1)[0] * fps
     return resid, abs(s_late - s_early)
 
 
@@ -573,9 +648,15 @@ def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
     event with much higher ABSOLUTE salience — a partial that survived the
     peel.  Ratio-gated so true octave/fifth chord voices (which carry
     their own comb and hence comparable salience) are kept.  Requires
-    attach_salience."""
+    attach_salience.  Events tagged ``rescued_root`` are exempt: their
+    direct-energy evidence is envelope-measured (rescue_dead_fundamentals)
+    and their weak-fundamental salience is exactly what this ratio would
+    re-kill."""
     out = []
     for e in events:
+        if e.get("rescued_root"):
+            out.append(e)
+            continue
         dominated = any(
             (o is not e)
             and (e["note"] - o["note"]) in HARMONIC_INTERVALS
@@ -587,6 +668,301 @@ def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
     return out
 
 
+def _default_n_fft(sr: int) -> int:
+    """The engine's sr-proportional analysis window (engine/poly.py): the
+    FFT bin width sr/n_fft is 10.77 Hz at every supported rate, which is
+    what the leakage-physics passes below depend on."""
+    return 2048 * max(1, round(sr / 22050))
+
+
+def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
+                             sr: int, hop_length: int,
+                             n_fft: int | None = None,
+                             live_floor_db: float = 33.0,
+                             max_resid: float = 0.5,
+                             max_curv: float = 1.0,
+                             max_slope: float = 0.5,
+                             leak_bins: float = 3.5,
+                             attack_skip_s: float = 0.12,
+                             min_frames: int = 10) -> List[dict]:
+    """Mint voices whose FUNDAMENTAL the peel never picked because random
+    string rolloff killed the bin's geometric-mean salience — the root
+    cause behind the octave-family residuals (measured round 3): a chord
+    voice with a −28..−31 dB fundamental is invisible to the peel (the
+    ``mag**alpha`` factor zeroes its salience), so the peel picks the
+    string's HARMONICS instead, and every later host pass — anchored to
+    detected events only — then compounds the miss (orphan harmonic FPs
+    survive the straightness drop for lack of a parent; false octave
+    recoveries mint off the undetected string's partials).
+
+    DECISION.  Runs BEFORE harmonic_dedup so the peel's harmonic picks
+    still exist as evidence.  Each event e VOTES for candidate roots
+    f = e.note − h, h ∈ harmonics 2..8: a voter at a harmonic interval is
+    exactly the "attributed to the wrong bin" signature (measured: in
+    [52,64] with a dead 52, the peel minted 71 = h3 and 80 = h5 of the
+    52-string).  A candidate is rescued iff its own raw-CQT bin carries
+    direct evidence of a string:
+      * live — median dB over the voter's sustain within ``live_floor_db``
+        of the track peak (measured dead-fundamental range −28..−31 dB);
+      * a clean decaying pluck — linear-fit residual ≤ ``max_resid`` dB,
+        slope ≤ ``max_slope`` dB/s (measured 0.00–0.05 dB on all true
+        rescues);
+      * not window leakage — no concurrent event within ``leak_bins``
+        FFT bins (|Δf| ≤ leak_bins·sr/n_fft) whose own bin is louder (at
+        MIDI ≤ ~55 a semitone is under one FFT bin and a string's main
+        lobe lights its neighbors; see drop_leakage_ghosts);
+      * not a detected string's partial — f a harmonic interval above any
+        concurrent event is rejected, EXCEPT f = parent+12 when bin f+12
+        BEATS (resid ≥ max(0.25, 4× f's own)): a lone bass's h2 lights
+        bin f but then its h4 at f+12 is a SINGLE component (measured
+        resid 0.00 on a mono pluck), while a true octave string adds its
+        detuned h2 there (measured resid 3.63 on the same voicing) — the
+        same physics as recover_octave_doublings, read one octave up.
+
+    The minted event inherits the +12 voter's span when present (its h2
+    tracks the string exactly), else the strongest voter's, carries the
+    max voter salience (the voters' salience IS this string's energy,
+    misattributed), and is tagged ``rescued_root`` — exempt from
+    harmonic_dedup and repitch_suboctave_ghosts, whose level heuristics
+    would re-kill exactly the weak-fundamental voice this pass proved by
+    envelope physics.  Measured (VALIDATION.md round 3): the pass closes
+    the undetected-bass cascades on oct22A s5/s6 and oct22B s11 with the
+    standard family untouched."""
+    fps = sr / hop_length
+    n_fft = n_fft or _default_n_fft(sr)
+    binw = sr / n_fft
+    fmin = int(round(CQT_FMIN_MIDI))
+    n_bins = cqt_mag.shape[1]
+    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+
+    def med_env(b, lo, hi):
+        return float(np.median(20.0 * np.log10(
+            np.maximum(cqt_mag[lo:hi, b], 1e-12))))
+
+    out = list(events)
+    minted: set = set()
+    for e in events:
+        concurrent = [o for o in events if o is not e
+                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+        group = concurrent + [e]
+        lo = e["start"] + int(attack_skip_s * fps)
+        hi = min(e["end"] - 1, cqt_mag.shape[0])
+        if hi - lo < min_frames:
+            continue
+        for h in sorted(HARMONIC_INTERVALS):
+            f = e["note"] - h
+            bf = f - fmin
+            if bf < 0 or f in minted:
+                continue
+            if any(o["note"] == f for o in group):
+                continue
+            own = med_env(bf, lo, hi)
+            if own < track_max_db - live_floor_db:
+                continue
+            env = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, bf], 1e-12))
+            r, c = _env_shape(env, fps)
+            t = np.arange(len(env), dtype=np.float64)
+            slope = float(np.polyfit(t, env, 1)[0] * fps)
+            if r > max_resid or c > max_curv or slope > max_slope:
+                continue
+            # leakage guard: bin f lit by the main lobe of ANY nearby
+            # spectral line of the group — an event's fundamental or one
+            # of its harmonics (measured: in [53,57] the 53-string's h2
+            # at bin 65 lights bin 64 and minted a false 64 before
+            # harmonic bins were checked).  A line within a third of a
+            # bin is the SAME bin, not leakage — that collision is what
+            # the +12-beat exception below adjudicates.
+            f_hz = midi_to_hz(f)
+
+            def _line_leaks(note):
+                d = abs(f_hz - midi_to_hz(note)) / binw
+                if not (0.3 < d <= leak_bins):
+                    return False
+                b = note - fmin
+                if not (0 <= b < n_bins):
+                    return False
+                # inside ~one bin the main lobe is full-strength: leakage
+                # can even exceed a weak source bin's own reading
+                # (measured +0.4 dB on a phantom 44 beside a 45-string)
+                need = -2.0 if d <= 0.9 else 1.0
+                return own <= med_env(b, lo, hi) - need
+
+            if any(_line_leaks(o["note"] + k) for o in group
+                   for k in (0, *sorted(HARMONIC_INTERVALS))):
+                continue
+            parents = [o for o in group
+                       if (f - o["note"]) in HARMONIC_INTERVALS]
+            if parents:
+                # only the +12-with-beating-harmonic exception survives:
+                # f's own bin collides with the parent's h2, but if a
+                # string at f exists, its harmonics beat against the
+                # parent's even partials at the SAME bins.  Scan f's
+                # h2/h3/h4 bins (+12/+19/+24): the two components' Hz
+                # offset scales with harmonic number, so a detuning too
+                # slow to beat inside the chord at h2 shows at h3/h4
+                # (measured at 44.1 kHz, where string quantization is
+                # twice as fine as 22.05 kHz and h2 beats take >2 s).
+                if not all(f - o["note"] == 12 for o in parents):
+                    continue
+                beat = False
+                for up in (12, 19, 24):
+                    b2 = f + up - fmin
+                    if b2 >= n_bins:
+                        continue
+                    # the beat evidence must come from a LIVE bin — at
+                    # the noise floor every residual is large (measured:
+                    # a false 69 minted off its h2's −35 dB noise wobble)
+                    if med_env(b2, lo, hi) < track_max_db - live_floor_db:
+                        continue
+                    # ... and not from a bin any FOREIGN string's partial
+                    # line feeds: its beat then proves nothing (measured:
+                    # in [53,57] bin 81 = 53's h5 ≡ 57's h4 beats with no
+                    # 69-string anywhere; in [48,52,55] the 48-string's
+                    # h10 LINE a rim off bin 88 faked evidence an exact
+                    # interval check missed).  The candidate and its +12
+                    # parent are the expected components.
+                    if _foreign_line_near(
+                            float(f + up), group,
+                            {f} | {o["note"] for o in parents},
+                            parent_note=f - 12,
+                            med_env=lambda note: (
+                                med_env(note - fmin, lo, hi)
+                                if 0 <= note - fmin < n_bins else None),
+                            evidence_db=med_env(b2, lo, hi)):
+                        continue
+                    env2 = 20.0 * np.log10(
+                        np.maximum(cqt_mag[lo:hi, b2], 1e-12))
+                    r2, _ = _env_shape(env2, fps)
+                    if r2 >= max(0.25, 4.0 * r):
+                        beat = True
+                        break
+                if not beat:
+                    continue
+            voters = [o for o in group if (o["note"] - f) in
+                      HARMONIC_INTERVALS]
+            v12 = [o for o in voters if o["note"] - f == 12]
+            src = v12[0] if v12 else max(
+                voters, key=lambda o: o.get("salience", 0.0))
+            minted.add(f)
+            out.append({**src, "note": f,
+                        "salience": max(o.get("salience", 0.0)
+                                        for o in voters),
+                        "rescued_root": True})
+    out.sort(key=lambda ev: (ev["start"], ev["note"]))
+    return out
+
+
+def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
+                        sr: int, hop_length: int,
+                        n_fft: int | None = None,
+                        leak_bins: float = 2.0,
+                        margin_db: float = 4.0,
+                        attack_skip_s: float = 0.12,
+                        min_frames: int = 6) -> List[dict]:
+    """Drop low-register WINDOW-LEAKAGE phantoms: at MIDI ≲ 55 a semitone
+    is narrower than one FFT bin (10.77 Hz at the engine's sr-proportional
+    window), so a string's Hann main lobe lights CQT bins 1–3 semitones
+    away and the peel mints an event there (measured round 3: a phantom 42
+    next to a 45-string in 6 of 12 power-chord seeds, phantoms 44/38/35
+    next to a 40-string; levels −5..−19 dB under the source, envelopes
+    mirroring it).
+
+    DECISION per untagged event e: drop iff a concurrent event o exists
+    with |f_e − f_o| ≤ ``leak_bins``·(sr/n_fft) AND e's own-bin median dB
+    (attack-skipped) ≤ o's − margin(Δ), where margin(Δ) =
+    max(1, ``margin_db``·(Δbins − 0.5)/1.5) ramps with FFT-bin distance:
+    main-lobe leakage is nearly full-strength inside half a bin (measured
+    −1.7 dB at Δ0.43 on a phantom 38 beside a 40-string) and ~−9 dB by
+    Δ1.6 (the phantom-42 family).  Physics-tagged events
+    (recovered/repitched/rescued — each minted by an explicit envelope
+    measurement) are exempt.  The margin is deliberately small (measured
+    phantoms sit ≥5 dB under; a REAL string within two FFT bins and under
+    the margin is genuinely unresolvable by this window — the documented
+    ceiling for sub-semitone-spacing voicings at the low end of the
+    fretboard)."""
+    fps = sr / hop_length
+    n_fft = n_fft or _default_n_fft(sr)
+    binw = sr / n_fft
+    fmin = int(round(CQT_FMIN_MIDI))
+    n_bins = cqt_mag.shape[1]
+
+    def med_env(b, lo, hi):
+        return float(np.median(20.0 * np.log10(
+            np.maximum(cqt_mag[lo:hi, b], 1e-12))))
+
+    out = []
+    for e in events:
+        if (e.get("recovered_octave") or e.get("recovered_fifth")
+                or e.get("repitched_octave") or e.get("rescued_root")):
+            out.append(e)
+            continue
+        be = e["note"] - fmin
+        lo = e["start"] + int(attack_skip_s * fps)
+        hi = min(e["end"] - 1, cqt_mag.shape[0])
+        if not (0 <= be < n_bins) or hi - lo < min_frames:
+            out.append(e)
+            continue
+        own = med_env(be, lo, hi)
+        f_e = midi_to_hz(e["note"])
+
+        def _leaks(o):
+            d = abs(f_e - midi_to_hz(o["note"])) / binw
+            if d > leak_bins:
+                return False
+            need = max(1.0, margin_db * (d - 0.5) / 1.5)
+            return own <= med_env(o["note"] - fmin, lo, hi) - need
+
+        leaked = any(
+            o is not e and o["note"] != e["note"]
+            and o["start"] <= e["end"] and e["start"] <= o["end"]
+            and 0 <= o["note"] - fmin < n_bins and _leaks(o)
+            for o in events)
+        if not leaked:
+            out.append(e)
+    return out
+
+
+def drop_composite_harmonic_ghosts(events: List[dict],
+                                   sal_guard: float = 1.0,
+                                   line_harmonics: tuple = tuple(
+                                       range(2, 11)),
+                                   line_tol_semis: float = 1.2
+                                   ) -> List[dict]:
+    """Drop events sitting on a COMPOSITE harmonic bin — a pitch within
+    ``line_tol_semis`` of partials of TWO OR MORE distinct concurrent
+    lower voices (e.g. 69 = bass 45's h4 ≡ octave-voice 57's h2 in
+    [45,52,57]; or a 44.1 kHz rim ghost at 90 between 57's h6.3 and 60's
+    h5.6 lines).  Such bins carry two detuned partial components, so they
+    BEAT and the straightness ghost drop cannot touch them (measured
+    round 3: resid 2.3 dB — indistinguishable by envelope from a true
+    voice).  But a bin whose beat is fully explained by two detected
+    parents' partials needs no third string: drop unless the event's
+    salience ≥ ``sal_guard`` × the strongest parent's (a true
+    triple-octave-stack voice carries its own comb).  Parent matching is
+    frequency-line proximity, not the semitone grid — h5 sits at +27.86
+    and h7 at +33.69, each lighting two neighboring bins.  The recovery
+    passes' own collision guards mean a physics-minted event never has
+    two detected parent lines, so this judges peel picks only in
+    practice."""
+    out = []
+    for e in events:
+        f_e = midi_to_hz(e["note"])
+        parents = {o["note"] for o in events if o is not e
+                   and o["note"] < e["note"]
+                   and o["start"] <= e["end"] and e["start"] <= o["end"]
+                   and any(abs(12.0 * np.log2(
+                       f_e / (h * midi_to_hz(o["note"])))) <= line_tol_semis
+                           for h in line_harmonics)}
+        if len(parents) >= 2:
+            psal = max(o.get("salience", 0.0) for o in events
+                       if o is not e and o["note"] in parents
+                       and o["start"] <= e["end"] and e["start"] <= o["end"])
+            if e.get("salience", 0.0) < sal_guard * psal:
+                continue
+        out.append(e)
+    return out
+
+
 def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                              sr: int, hop_length: int,
                              resid_thr: float = 0.25,
@@ -595,7 +971,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                              attack_skip_s: float = 0.12,
                              min_frames: int = 10,
                              level_floor_db: float = 55.0,
-                             parent_ghost_ratio: float = 0.3) -> List[dict]:
+                             parent_ghost_ratio: float = 0.15,
+                             feeder_floor_db: float = 35.0) -> List[dict]:
     """Recover octave-doubled voices the peel's comb masking erased.
 
     The peel's KNOWN-WEAK family (VALIDATION.md): a chord voicing with an
@@ -673,7 +1050,10 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
             continue
         sal = e.get("salience", 0.0)
         peers = [o.get("salience", 0.0) for o in concurrent] + [sal]
-        if sal < parent_ghost_ratio * max(peers):
+        # a rescued root IS a proven weak-fundamental voice — judging it
+        # by salience ratio would re-apply exactly the bias that hid it
+        if sal < parent_ghost_ratio * max(peers) \
+                and not e.get("rescued_root"):
             continue
         if any(o["note"] < n and o.get("salience", 0.0) >= 0.5 * sal
                for o in concurrent):
@@ -685,14 +1065,86 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
         hi = min(e["end"] - 1, cqt_mag.shape[0])
         if hi - lo < min_frames:
             continue
+        # clip the window to the parent string's LIVE tail: an event span
+        # that runs past the string's death into silence poisons every
+        # envelope statistic (a −120 dB floor frame adds ~50 dB of
+        # linear-fit residual, swamping the 0.25 dB beat threshold —
+        # measured round 3 on a fast-decaying 44.1 kHz bass)
+        env_parent = 20.0 * np.log10(
+            np.maximum(cqt_mag[lo:hi, b0], 1e-12))
+        live = np.where(env_parent >= env_parent.max() - 25.0)[0]
+        if len(live) >= min_frames:
+            hi = lo + int(live[-1]) + 1
+        if hi - lo < min_frames:
+            continue
+        # feeder guard (round 3): the collision guard above only knows
+        # DETECTED events, but an UNDETECTED sounding string whose
+        # harmonic lands on bin n+12 makes the bin beat regardless of
+        # doubling (measured: a rolled-off 48 in [48,55,60] fed 67 =
+        # 48+19 and minted a false octave over the 55; same with a dead
+        # 52 feeding 83 = 52+31 in [52,64]).  Any LIVE raw-CQT bin a
+        # harmonic interval (h3..h8) below n+12 is such a feeder: skip.
+        feeders = [n + 12 - h - fmin for h in HIGH_HARMONIC_INTERVALS]
+        if any(0 <= bf < n_bins and float(np.median(
+                20.0 * np.log10(np.maximum(cqt_mag[lo:hi, bf], 1e-12))))
+               >= track_max_db - feeder_floor_db
+               for bf in feeders):
+            continue
         env12 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b12], 1e-12))
         if np.median(env12) < track_max_db - level_floor_db:
             continue
         env0 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b0], 1e-12))
-        r12, c12 = env_shape(env12)
         r0, c0 = env_shape(env0)
-        if (r12 >= max(resid_thr, rel_factor * r0)
-                or c12 >= max(curv_thr, rel_factor * c0)):
+
+        def _beats_at(b, floor_db=level_floor_db):
+            """Two detuned components at bin b (vs the parent's own
+            wobble)?  The beat scan extends past n+12 to n+31/n+36 — the
+            octave string's h3/h4 against the parent's h6/h8 — because
+            the components' Hz offset scales with harmonic number: at
+            44.1 kHz the string quantization is twice as fine as at
+            22.05 kHz and the h2 pair can beat slower than the chord
+            lasts (measured: the doubled 52 over a 40-bass reads
+            straight at n+12 but beats at n+36).  The aux bins use a
+            TIGHTER 40 dB floor than the n+12 bin: near the noise floor
+            every residual is large and a rolled-off h8's wiggle minted
+            false octaves into standard chords (measured round 3)."""
+            env = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b], 1e-12))
+            if np.median(env) < track_max_db - floor_db:
+                return False
+            rb, cb = env_shape(env)
+            return (rb >= max(resid_thr, rel_factor * r0)
+                    or cb >= max(curv_thr, rel_factor * c0))
+
+        beat = _beats_at(b12)
+        if not beat:
+            for up in (31, 36):
+                b = n + up - fmin
+                if b >= n_bins:
+                    continue
+                # the higher bin must not be fed by ANOTHER concurrent
+                # event's partial LINE (the parent itself legitimately
+                # feeds it — that collision is exactly what the beat
+                # measures; foreign lines fake it, measured round 3 on a
+                # 52-string's h5 a rim away from bin 79)
+                env_up = 20.0 * np.log10(
+                    np.maximum(cqt_mag[lo:hi, b], 1e-12))
+
+                def _med(note, _lo=lo, _hi=hi):
+                    bb = note - fmin
+                    if not (0 <= bb < n_bins):
+                        return None
+                    return float(np.median(20.0 * np.log10(
+                        np.maximum(cqt_mag[_lo:_hi, bb], 1e-12))))
+
+                if _foreign_line_near(float(n + up), concurrent, {n},
+                                      parent_note=n, med_env=_med,
+                                      evidence_db=float(
+                                          np.median(env_up))):
+                    continue
+                if _beats_at(b, floor_db=40.0):
+                    beat = True
+                    break
+        if beat:
             lvl = float(np.median(env12) - np.median(env0))
             out.append({**e, "note": n + 12,
                         "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
@@ -706,7 +1158,10 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
                              margin_db: float = 13.0,
                              abs_floor_db: float = 28.0,
                              attack_skip_s: float = 0.12,
-                             min_frames: int = 6) -> List[dict]:
+                             min_frames: int = 6,
+                             n_fft: int | None = None,
+                             leak_bins: float = 2.0,
+                             leak_margin_db: float = 4.0) -> List[dict]:
     """Re-pitch sub-octave decodes of the peel's -12 redirect up an octave.
 
     The peel's sub-harmonic preference redirects a pick at bin n to n-12
@@ -744,11 +1199,18 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+    n_fft = n_fft or _default_n_fft(sr)
+    binw = sr / n_fft
     out = []
     for e in events:
         n = e["note"]
         b0, b12 = n - fmin, n + 12 - fmin
         if not (0 <= b0 < n_bins and b12 < n_bins):
+            out.append(e)
+            continue
+        if e.get("rescued_root"):
+            # rescue proved the weak fundamental by envelope physics; the
+            # level test here would re-judge exactly that weakness
             out.append(e)
             continue
         concurrent = [o for o in events if o is not e
@@ -765,7 +1227,19 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
             np.maximum(cqt_mag[lo:hi, b0], 1e-12))))
         up = float(np.median(20.0 * np.log10(
             np.maximum(cqt_mag[lo:hi, b12], 1e-12))))
-        if own < track_max_db - abs_floor_db and up - own >= margin_db:
+        # "own bin dead" in absolute terms, OR its level fully explained as
+        # window leakage from a concurrent string within ~2 FFT bins (the
+        # marginal case measured round 3: a phantom 35 at 0.3 dB ABOVE the
+        # absolute floor, lit by the 40-string's main lobe)
+        f_n = midi_to_hz(n)
+        leak_dead = any(
+            o["note"] != n and 0 <= o["note"] - fmin < n_bins
+            and abs(f_n - midi_to_hz(o["note"])) <= leak_bins * binw
+            and own <= float(np.median(20.0 * np.log10(np.maximum(
+                cqt_mag[lo:hi, o["note"] - fmin], 1e-12)))) - leak_margin_db
+            for o in concurrent)
+        dead = own < track_max_db - abs_floor_db or leak_dead
+        if dead and up - own >= margin_db:
             dup = any(o is not e and o["note"] == n + 12
                       and o["start"] <= e["end"] and e["start"] <= o["end"]
                       for o in events)
@@ -779,7 +1253,7 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
 def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
                            sr: int, hop_length: int,
                            level_floor_db: float = 45.0,
-                           rel_parent_db: float = 25.0,
+                           rel_parent_db: float = 30.0,
                            max_resid: float = 1.0,
                            attack_skip_s: float = 0.12,
                            min_frames: int = 10) -> List[dict]:
@@ -872,7 +1346,11 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
                                   rel_factor: float = 4.0,
                                   attack_skip_s: float = 0.12,
                                   min_frames: int = 10,
-                                  sal_guard: float | None = None
+                                  sal_guard: float | None = None,
+                                  line_harmonics: tuple | None = None,
+                                  line_tol_semis: float = 1.2,
+                                  beat_scan: bool = False,
+                                  beat_floor_db: float = 35.0
                                   ) -> List[dict]:
     """Drop harmonic GHOSTS by envelope physics — the INVERSE of
     recover_octave_doublings.
@@ -920,9 +1398,32 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
         if not (0 <= b0 < n_bins):
             out.append(e)
             continue
-        parents = [o for o in events if o is not e
-                   and o["start"] <= e["end"] and e["start"] <= o["end"]
-                   and (n - o["note"]) in intervals]
+        if e.get("rescued_root"):
+            # a rescued root's own bin is straight BY CONSTRUCTION (the
+            # weak-fundamental case); its voice-hood was proven by the
+            # beat at its h2 bin (rescue_dead_fundamentals), which this
+            # pass cannot see
+            out.append(e)
+            continue
+        if line_harmonics is not None:
+            # frequency-line proximity: a parent's h-th PARTIAL within
+            # ``line_tol_semis`` of e's pitch makes e a ghost candidate.
+            # The semitone-interval grid misses real partials — h5 sits
+            # at +27.86 and h7 at +33.69 semitones, each lighting BOTH
+            # neighboring bins (measured 44.1 kHz rim ghosts at +23/+32/
+            # +33 that exact-interval matching could never judge).
+            f_n = midi_to_hz(n)
+            parents = [
+                o for o in events if o is not e
+                and o["note"] < n
+                and o["start"] <= e["end"] and e["start"] <= o["end"]
+                and any(abs(12.0 * np.log2(
+                    f_n / (h * midi_to_hz(o["note"])))) <= line_tol_semis
+                        for h in line_harmonics)]
+        else:
+            parents = [o for o in events if o is not e
+                       and o["start"] <= e["end"] and e["start"] <= o["end"]
+                       and (n - o["note"]) in intervals]
         if not parents:
             out.append(e)
             continue
@@ -944,7 +1445,58 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
         rp, cp = _env_shape(envp, fps)
         if r < max(resid_thr, rel_factor * rp) and c < max(curv_thr,
                                                            rel_factor * cp):
-            continue  # straight single exponential: a partial, drop
+            # straight single exponential: a partial — UNLESS the upper
+            # beat scan (beat_scan=True on the +12 pass) finds the
+            # candidate's own harmonics beating against the parent's even
+            # partials at n+12/n+19/n+24.  A true octave voice whose own
+            # bin reads straight (string quantization at 44.1 kHz is
+            # twice as fine as 22.05 kHz, so the h2 pair can beat slower
+            # than the chord lasts) still betrays itself higher up, where
+            # the components' Hz offset scales with harmonic number
+            # (measured: a true 52 over a 40-bass, straight at bin 52,
+            # beats r=1.0-1.3 at bin 76 = its h4 ≡ the bass's h8).  Scan
+            # bins must be live and free of OTHER events' partial lines
+            # (within 1.5 semitones), else the beat proves nothing.
+            if beat_scan:
+                track_max_db = 20.0 * np.log10(
+                    max(float(np.max(cqt_mag)), 1e-12))
+                others = [o for o in events
+                          if o is not e
+                          and o["start"] <= e["end"]
+                          and e["start"] <= o["end"]]
+                kept = False
+                for up in (12, 19, 24):
+                    b = n + up - fmin
+                    if b >= n_bins:
+                        continue
+                    envb = 20.0 * np.log10(
+                        np.maximum(cqt_mag[lo:hi, b], 1e-12))
+                    if np.median(envb) < track_max_db - beat_floor_db:
+                        continue
+
+                    def _med(note, _lo=lo, _hi=hi):
+                        bb = note - fmin
+                        if not (0 <= bb < n_bins):
+                            return None
+                        return float(np.median(20.0 * np.log10(
+                            np.maximum(cqt_mag[_lo:_hi, bb], 1e-12))))
+
+                    if _foreign_line_near(float(n + up), others,
+                                          {n, p["note"]},
+                                          parent_note=p["note"],
+                                          med_env=_med,
+                                          evidence_db=float(
+                                              np.median(envb))):
+                        continue
+                    rb, cb = _env_shape(envb, fps)
+                    if (rb >= max(resid_thr, rel_factor * rp)
+                            or cb >= max(curv_thr, rel_factor * cp)):
+                        kept = True
+                        break
+                if kept:
+                    out.append(e)
+                    continue
+            continue
         out.append(e)
     return out
 
@@ -958,12 +1510,14 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
                        rise_db: float = 2.0,
                        sal_ratio: float = 0.55,
                        decay_frac: float = 0.5,
-                       cqt_mag: np.ndarray | None = None) -> List[dict]:
+                       cqt_mag: np.ndarray | None = None,
+                       n_fft: int | None = None) -> List[dict]:
     """The composed polyphonic refinement: salience attach -> start snap ->
-    decay prune -> onset birth gate -> attack-rise gate -> harmonic dedup
-    -> raw-CQT recovery chain (sub-octave re-pitch, octave-doubling
-    recovery, missing-fifth recovery — when the raw CQT plane is
-    available).
+    decay prune -> onset birth gate -> attack-rise gate -> dead-fundamental
+    rescue -> harmonic dedup -> raw-CQT recovery chain (sub-octave
+    re-pitch, leakage-ghost drop, octave-doubling recovery, missing-fifth
+    recovery, straightness + composite ghost drops — when the raw CQT
+    plane is available).
 
     Snap runs FIRST so every gate judges the corrected start (a voice
     masked during a chord attack is first accepted late; gating on the raw
@@ -993,6 +1547,15 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         events, rms_db,
         win_frames=max(int(round(4 * fps / _GATE_REF_FPS)), 1),
         min_rise_db=rise_db * min(1.0, _GATE_REF_FPS / fps))
+    if cqt_mag is not None:
+        # the dead-fundamental rescue runs BEFORE harmonic_dedup: the
+        # peel's harmonic picks of an invisible string are its evidence,
+        # and dedup is about to attribute them to the wrong parent
+        # (measured: a dead 52 in [40,47,52] is only witnessed by its h2
+        # pick at 64, which dedup then hands to 40 as "h4").
+        cqt_mag = np.asarray(cqt_mag)
+        events = rescue_dead_fundamentals(events, cqt_mag, sr, hop_length,
+                                          n_fft=n_fft)
     events = harmonic_dedup(events, sal_ratio=sal_ratio)
     if cqt_mag is not None:
         # the raw-CQT recovery chain runs LAST: it judges the surviving
@@ -1000,21 +1563,39 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         # re-enter the gates (start/end are inherited from an
         # already-gated parent).  Order matters and is measured: the
         # re-pitch first (a sub-octave phantom below the true bass blocks
-        # every later bass-anchored recovery), then octave doublings,
-        # then the fifth (whose collision guards read the recovered set),
-        # then the straightness ghost drop (which must judge the FULL
-        # recovered set — a recovered octave's beating bin survives its
-        # +12 pass by the same physics that minted it).
-        cqt_mag = np.asarray(cqt_mag)
-        events = repitch_suboctave_ghosts(events, cqt_mag, sr, hop_length)
+        # every later bass-anchored recovery), then the window-leakage
+        # drop (a leakage phantom below the bass anchors guards too, but
+        # must outlive the re-pitch, which converts one phantom class to
+        # its true note), then octave doublings, then the fifth (whose
+        # collision guards read the recovered set), then the straightness
+        # ghost drop (which must judge the FULL recovered set — a
+        # recovered octave's beating bin survives its +12 pass by the
+        # same physics that minted it), then the composite-bin drop
+        # (beating bins explained by TWO detected parents' partials).
+        events = repitch_suboctave_ghosts(events, cqt_mag, sr, hop_length,
+                                          n_fft=n_fft)
+        events = drop_leakage_ghosts(events, cqt_mag, sr, hop_length,
+                                     n_fft=n_fft)
         events = recover_octave_doublings(events, cqt_mag, sr, hop_length)
         events = recover_missing_fifths(events, cqt_mag, sr, hop_length)
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
-            intervals=HIGH_HARMONIC_INTERVALS)
+            line_harmonics=tuple(range(3, 11)))
+        # composite drop BEFORE the +12 pass: a composite rim phantom
+        # (e.g. a pick at 63 between the bass's h4 and the octave's h2
+        # lines) otherwise survives into the +12 pass's foreign-line
+        # guard and blocks the true octave's beat evidence (measured
+        # round 3 at 44.1 kHz)
+        events = drop_composite_harmonic_ghosts(events)
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
-            intervals=frozenset((12,)), sal_guard=1.0)
+            intervals=frozenset((12,)), sal_guard=1.0, beat_scan=True)
+        # a second leakage pass: rim phantoms of a voice that only ENTERED
+        # the event set via the recovery chain (e.g. a 44.1 kHz pick at
+        # the −1 rim of a dead-fundamental string's h2 line) have no
+        # source event to compare against until the chain has run
+        events = drop_leakage_ghosts(events, cqt_mag, sr, hop_length,
+                                     n_fft=n_fft)
     return events
 
 

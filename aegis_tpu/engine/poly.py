@@ -209,7 +209,9 @@ class AegisPolyEngine:
                     decay_frac=kwargs.get("decay_frac", 0.5),
                     # octave-doubling recovery off the raw CQT plane
                     # (absent on pre-round-3 cached analyses: skip)
-                    cqt_mag=analysis.get("cqt_mag"))
+                    cqt_mag=analysis.get("cqt_mag"),
+                    # the leakage-physics passes need the FFT bin width
+                    n_fft=self.n_fft)
         if output_mid is not None:
             bpm = kwargs.get("bpm")
             if bpm == "auto":

@@ -145,15 +145,14 @@ def test_poly_refined_beats_unrefined():
 
 def test_poly_octave_family_floor():
     """Octave-doubled voicings were the peel's KNOWN-WEAK family: comb
-    masking erases the doubled voice's fundamental (measured mean F1 0.67;
-    three masking alternatives all traded the standard family down to
-    ~0.93).  The raw-CQT recovery chain (sub-octave re-pitch + octave
-    recovery at parent_ghost_ratio 0.3 + missing-fifth recovery,
-    core/poly.py) lifts the family to measured mean 0.92 at 22.05 kHz /
-    0.90 at 44.1 kHz (fresh seeds 0.91/0.89) with the standard family
-    same-or-better — this pins the recovered floor on the same four
-    probe clips (measured 1.0/0.9/1.0/0.857; full sweep data in
-    VALIDATION.md)."""
+    masking erases the doubled voice's fundamental (measured mean F1 0.67
+    in round 2; 0.89-0.92 after the first recovery chain).  The round-3
+    chain — dead-fundamental rescue, window-leakage drop, feeder-guarded
+    octave recovery with the multi-harmonic beat scan, line-proximity
+    straightness/composite drops (core/poly.py) — measures **1.000 on all
+    12 seeds of both octave families at 22.05 kHz** and 0.975/1.0 on the
+    held-out seeds 13-24 (VALIDATION.md round 3).  This pins the floor on
+    the same four probe clips (each measured 1.0)."""
     from aegis_tpu.engine.poly import AegisPolyEngine
     from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
 
@@ -169,7 +168,35 @@ def test_poly_octave_family_floor():
             events = eng.extract_events(eng.analyze(y))
             r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
             f1s.append(r["f1"])
-    assert np.mean(f1s) >= 0.90, f1s
+    assert np.mean(f1s) >= 0.97, f1s
+    assert min(f1s) >= 0.95, f1s
+
+
+def test_poly_octave_family_floor_44k():
+    """The 44.1 kHz octave families after the round-3 chain: B (octave
+    pairs) measures 1.000 on all 24 seeds; A (power chords) 0.95 mean
+    with a MEASURED ceiling — the fifth's partials (3:2) land within the
+    pseudo-CQT triangle of every beat-evidence bin the doubled octave
+    could prove itself at, and the 44.1 kHz string quantization makes the
+    h2 beat slower than the chord (VALIDATION.md round 3).  Pins the
+    measured floor on four probe clips (A s1 0.889, A s3 1.0, B s1/s3
+    1.0)."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    eng = AegisPolyEngine(sample_rate=44100)
+    progs = [
+        [([40, 47, 52], 0.9), ([45, 52, 57], 0.8), ([48, 55, 60], 0.9)],
+        [([52, 64], 0.8), ([48, 60], 0.8), ([55, 67], 0.8)],
+    ]
+    f1s = []
+    for prog in progs:
+        for seed in (1, 3):
+            y, truth = generate_chord_progression(seed, sr=44100, prog=prog)
+            events = eng.extract_events(eng.analyze(y))
+            r = note_event_f1(truth, events_to_seconds(events, 44100, 1024))
+            f1s.append(r["f1"])
+    assert np.mean(f1s) >= 0.94, f1s
     assert min(f1s) >= 0.85, f1s
 
 
@@ -317,6 +344,132 @@ def test_poly_hot_start_keeps_opening_chord():
     r = note_event_f1(truth, events_to_seconds(events, SR, HOP))
     assert r["recall"] == 1.0, r
     assert {48, 52, 55} <= {e["note"] for e in events}
+
+
+def test_rescue_dead_fundamental_consensus():
+    """Constructed dead-fundamental physics: the peel detected only h3
+    (+19) and h5 (+28) of a string whose own bin is live (−25 dB),
+    straight and decaying — the rescue must mint the root, tagged.  With
+    the root bin silent, nothing is minted."""
+    from aegis_tpu.core.poly import rescue_dead_fundamentals
+
+    fps = SR / HOP
+    T = 120
+    t = np.arange(T) / fps
+    fmin = 24
+    mag = np.full((T, NBINS), 1e-9, np.float32)
+    h3, h5 = _mk_event(52 + 19, salience=3.0), _mk_event(52 + 28,
+                                                         salience=2.7)
+    mag[:, 52 + 19 - fmin] = 0.20 * np.exp(-0.5 * t)
+    mag[:, 52 + 28 - fmin] = 0.15 * np.exp(-0.5 * t)
+    out = rescue_dead_fundamentals([dict(h3), dict(h5)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [71, 80], out  # silent root: no mint
+    mag[:, 52 - fmin] = 0.06 * np.exp(-0.5 * t)  # ~-25 dB, straight decay
+    out = rescue_dead_fundamentals([dict(h3), dict(h5)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [52, 71, 80], out
+    assert out[0].get("rescued_root") is True
+    assert out[0]["salience"] == 3.0  # max voter salience
+
+
+def test_rescue_plus12_beat_exception():
+    """A candidate root one octave ABOVE a detected bass collides with the
+    bass's h2 — it may only be rescued when its own h2 bin (the bass's
+    h4) BEATS (two detuned strings); a straight h4 is the mono case and
+    must NOT mint."""
+    from aegis_tpu.core.poly import rescue_dead_fundamentals
+
+    fps = SR / HOP
+    T = 120
+    t = np.arange(T) / fps
+    fmin = 24
+    mag = np.full((T, NBINS), 1e-9, np.float32)
+    bass = _mk_event(40, salience=9.0)
+    voter = _mk_event(64, salience=3.0)  # h2 of the candidate 52
+    mag[:, 40 - fmin] = 1.0 * np.exp(-0.4 * t)
+    mag[:, 52 - fmin] = 0.30 * np.exp(-0.5 * t)   # live straight root bin
+    mag[:, 64 - fmin] = 0.20 * np.exp(-0.6 * t)   # straight h4: mono case
+    out = rescue_dead_fundamentals([dict(bass), dict(voter)], mag, SR, HOP)
+    assert 52 not in [e["note"] for e in out], out
+    # beating h4 (bass h4 x octave-string h2): the octave is real
+    mix = (0.2 * np.exp(-0.6 * t)
+           + 0.2 * np.exp(-1.0 * t) * np.cos(2 * np.pi * 0.9 * t))
+    mag[:, 64 - fmin] = np.abs(mix).astype(np.float32) + 1e-9
+    out = rescue_dead_fundamentals([dict(bass), dict(voter)], mag, SR, HOP)
+    assert 52 in [e["note"] for e in out], out
+
+
+def test_leakage_ghost_drop():
+    """Low-register FFT window leakage: a phantom within two FFT bins of
+    a stronger string, quieter by the distance-ramped margin, is dropped;
+    an event at the same distance but LOUDER than the neighbor is kept."""
+    from aegis_tpu.core.poly import drop_leakage_ghosts
+
+    fps = SR / HOP
+    T = 120
+    t = np.arange(T) / fps
+    fmin = 24
+    mag = np.full((T, NBINS), 1e-9, np.float32)
+    # 42 is 17.5 Hz (1.63 FFT bins) below 45; phantom at -9 dB
+    mag[:, 45 - fmin] = 1.0 * np.exp(-0.4 * t)
+    mag[:, 42 - fmin] = 0.35 * np.exp(-0.4 * t)
+    ev45, ev42 = _mk_event(45, salience=9.0), _mk_event(42, salience=2.0)
+    out = drop_leakage_ghosts([dict(ev42), dict(ev45)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [45], out
+    # comparable level (inside the distance-ramped margin): a genuinely
+    # close pair is unresolvable either way — both kept
+    mag[:, 42 - fmin] = 0.9 * np.exp(-0.4 * t)
+    out = drop_leakage_ghosts([dict(ev42), dict(ev45)], mag, SR, HOP)
+    assert {e["note"] for e in out} == {42, 45}, out
+    # far (>2 FFT bins): untouched even when quiet
+    mag[:, 42 - fmin] = 1e-9
+    mag[:, 52 - fmin] = 0.05 * np.exp(-0.4 * t)
+    out = drop_leakage_ghosts([_mk_event(52), dict(ev45)], mag, SR, HOP)
+    assert {e["note"] for e in out} == {45, 52}, out
+
+
+def test_composite_line_ghost_drop():
+    """A pitch on the partial LINES of two distinct lower voices (69 =
+    45's h4 ≡ 57's h2) with sub-parent salience is a composite-bin ghost;
+    comparable salience (its own comb) keeps it."""
+    from aegis_tpu.core.poly import drop_composite_harmonic_ghosts
+
+    e45 = _mk_event(45, salience=8.0)
+    e57 = _mk_event(57, salience=7.0)
+    ghost = _mk_event(69, salience=2.0)
+    out = drop_composite_harmonic_ghosts([dict(e45), dict(e57),
+                                          dict(ghost)])
+    assert [e["note"] for e in out] == [45, 57], out
+    real = _mk_event(69, salience=9.0)
+    out = drop_composite_harmonic_ghosts([dict(e45), dict(e57), dict(real)])
+    assert [e["note"] for e in out] == [45, 57, 69], out
+    # a single parent line is NOT composite (the straightness pass's job)
+    out = drop_composite_harmonic_ghosts([dict(e45), dict(ghost)])
+    assert 69 in [e["note"] for e in out], out
+
+
+def test_octave_recovery_feeder_guard():
+    """A LIVE raw-CQT bin a harmonic interval below the would-be n+12 —
+    an UNDETECTED sounding string — makes the octave recovery skip: its
+    partial feeds the bin and fakes the beat (measured: a rolled-off 48
+    feeding 67 = 48+19 minted a false octave over a 55 bass)."""
+    from aegis_tpu.core.poly import recover_octave_doublings
+
+    fps = SR / HOP
+    T = 120
+    t = np.arange(T) / fps
+    fmin = 24
+    mag = np.full((T, NBINS), 1e-9, np.float32)
+    parent = _mk_event(55, salience=6.0)
+    mag[:, 55 - fmin] = 1.0 * np.exp(-0.4 * t)
+    mix = (0.3 * np.exp(-0.5 * t)
+           + 0.3 * np.exp(-0.9 * t) * np.cos(2 * np.pi * 0.8 * t))
+    mag[:, 67 - fmin] = np.abs(mix).astype(np.float32) + 1e-9
+    out = recover_octave_doublings([dict(parent)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [55, 67], out  # clean: recovered
+    # light the feeder bin 48 (= 67 - 19): recovery must now skip
+    mag[:, 48 - fmin] = 0.05 * np.exp(-0.45 * t)
+    out = recover_octave_doublings([dict(parent)], mag, SR, HOP)
+    assert [e["note"] for e in out] == [55], out
 
 
 def test_harmonic_dedup_covers_h8():
