@@ -121,6 +121,24 @@ def cmd_poly(args) -> int:
     return 0
 
 
+def cmd_auto(args) -> int:
+    """Polyphony-aware routed transcription: chords through the CQT peel,
+    fast monophonic lines through pYIN, merged on one frame grid
+    (engine/auto.py)."""
+    from aegis_tpu.engine.auto import AegisAutoEngine
+
+    eng = AegisAutoEngine(sample_rate=args.sr)
+    out = _out_path(args)
+    analysis = eng.analyze(args.input, start_time=args.start,
+                           end_time=args.end)
+    if analysis is None:
+        print("error: empty audio", file=sys.stderr)
+        return 1
+    events = eng.extract_events(analysis, out, **_extract_kwargs(args))
+    print(f"{len(events)} events -> {out}")
+    return 0
+
+
 def cmd_batch(args) -> int:
     """Folder sweep: every track as ONE sharded device batch."""
     from aegis_tpu.engine.poly import transcribe_folder
@@ -381,13 +399,14 @@ def main(argv=None) -> int:
 
     for name, fn in (("transcribe", cmd_transcribe),
                      ("financial", cmd_financial),
-                     ("poly", cmd_poly), ("tabs", cmd_tabs)):
+                     ("poly", cmd_poly), ("auto", cmd_auto),
+                     ("tabs", cmd_tabs)):
         p = sub.add_parser(name)
         _add_common(p)
         p.add_argument("--sr", type=int,
                        default=44100 if name in ("transcribe", "tabs")
                        else 22050)
-        if name != "poly":  # the CQT engine has no rake/pitch backend
+        if name not in ("poly", "auto"):  # CQT/routed: no pitch backend
             p.add_argument("--rake", type=float, default=0.6)
             p.add_argument("--pitch-backend", default="pyin",
                            choices=["pyin", "neural"])

@@ -98,6 +98,7 @@ class AegisServer:
                  temp_dir: Optional[str] = None):
         self.engine = engine or AegisEngine(sample_rate=44100)
         self._poly_engine = None  # lazy: chord transcription is optional
+        self._auto_engine = None  # lazy: the polyphony-aware router
         self.sessions = SessionStore(persist_dir=persist_dir)
         self.temp_dir = temp_dir or tempfile.mkdtemp(prefix="aegis_")
         self.router = Router()
@@ -115,6 +116,16 @@ class AegisServer:
             # their own hop (_sess_hop) through every frame->time consumer.
             self._poly_engine = AegisPolyEngine(sample_rate=self.engine.sr)
         return self._poly_engine
+
+    @property
+    def auto_engine(self):
+        if self._auto_engine is None:
+            from aegis_tpu.engine.auto import AegisAutoEngine
+
+            # the polyphony-aware router (mixed chords + fast lines);
+            # runs the poly engine's sr-proportional grid
+            self._auto_engine = AegisAutoEngine(sample_rate=self.engine.sr)
+        return self._auto_engine
 
     # ------------------------------------------------------------------ util
 
@@ -637,6 +648,49 @@ class AegisServer:
                 "sample_rate": self.poly_engine.sr,
                 "hop_length": self.poly_engine.hop_length,
                 "message": f"Polyphonic analysis: {len(events)} notes",
+            })
+
+        @r.post("/api/analyze-auto/{sid}")
+        def analyze_auto(sid, query, **kw):
+            """Polyphony-aware routed transcription (engine/auto.py): one
+            entry point for mixed chords + fast monophonic lines."""
+            sess = self._sess(sid)
+            eng = self.auto_engine
+            y = self._decode_region(sess,
+                                    coerce(query, "start_time", 0.0),
+                                    coerce(query, "end_time", None, float),
+                                    sr=eng.sr)
+            analysis = eng.analyze(y)
+            if analysis is None:
+                raise HTTPError(400, "Analysis failed - empty audio?")
+            analysis.pop("y", None)
+            events = eng.extract_events(analysis)
+            bpm = _parse_bpm_400(query.get("bpm"))
+            if bpm == "auto":
+                from aegis_tpu.core.tempo import estimate_tempo
+
+                bpm = estimate_tempo(analysis["poly"]["onset_env"],
+                                     eng.sr, eng.hop_length)
+            from aegis_tpu.midi.encode import events_to_midi as _etm
+
+            midi_data = _etm(events, eng.sr, eng.hop_length,
+                             midi_program=coerce(query, "midi_program", 25),
+                             bpm=bpm, output=None)
+            # the session's frame grid is the AUTO engine's (CLAUDE.md
+            # invariant: every frame->time consumer reads _sess_sr/_sess_hop)
+            sess["sample_rate"] = eng.sr
+            sess["hop_length"] = eng.hop_length
+            self.sessions.update(sid, events=events, midi_data=midi_data,
+                                 poly_analysis=analysis["poly"])
+            return json_response({
+                "session_id": sid,
+                "num_events": len(events),
+                "events": _events_json(events),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+                "bpm": bpm,
+                "sample_rate": eng.sr,
+                "hop_length": eng.hop_length,
+                "message": f"Auto (routed) analysis: {len(events)} notes",
             })
 
         @r.post("/api/refilter-poly/{sid}")

@@ -175,6 +175,48 @@ _CHORD_PROG = [([48, 52, 55], 0.9), ([53, 57], 0.7), ([55, 59, 62], 0.8),
                ([57], 0.6), ([57, 60, 64], 0.9)]
 
 
+def generate_mixed_clip(seed: int = 1, sr: int = 22050,
+                        run_note_s: float = 0.085
+                        ) -> Tuple[np.ndarray, List[dict]]:
+    """Chords interleaved with fast single-note runs — the routing
+    engine's truth clip (engine/auto.py): chords defeat the monophonic
+    tracker, 85 ms/note runs defeat the CQT peel (measured F1 ≤ 0.18,
+    VALIDATION.md), so only a polyphony-aware router scores both.
+
+    Layout: chord, 8-note pentatonic run, chord, run (descending), chord.
+    Returns (audio, truth) like generate_chord_progression."""
+    rng = np.random.default_rng(seed)
+    run_up = [52, 55, 57, 60, 62, 64, 67, 69]
+    run_dn = list(reversed(run_up))
+    sections = [("chord", [48, 52, 55], 0.8), ("run", run_up, run_note_s),
+                ("chord", [45, 52, 57], 0.8), ("run", run_dn, run_note_s),
+                ("chord", [50, 57, 62], 0.8)]
+    gap = np.zeros(int(0.15 * sr), np.float32)
+    pieces, truth, pos = [gap], [], len(gap)
+    for kind, notes, dur in sections:
+        if kind == "chord":
+            n = int(sr * dur)
+            y = np.zeros(n, np.float32)
+            for m in notes:
+                y[:n] += karplus_strong(midi_to_hz(m), dur, sr, rng=rng)[:n]
+                truth.append({"note": m, "start": pos / sr,
+                              "end": (pos + n) / sr})
+            pieces.append(y)
+            pos += n
+        else:
+            for m in notes:
+                n = int(sr * dur)
+                y = karplus_strong(midi_to_hz(m), dur, sr, rng=rng)[:n]
+                truth.append({"note": m, "start": pos / sr,
+                              "end": (pos + n) / sr})
+                pieces.append(y)
+                pos += n
+        pieces.append(gap)
+        pos += len(gap)
+    y = np.concatenate(pieces)
+    return (y / np.max(np.abs(y)) * 0.85).astype(np.float32), truth
+
+
 def generate_chord_progression(seed: int = 7, sr: int = 22050,
                                prog=None) -> Tuple[np.ndarray, List[dict]]:
     """A plucked chord progression (Karplus-Strong voices summed per chord)

@@ -1,0 +1,118 @@
+"""The polyphony-aware routing engine (engine/auto.py).
+
+Beyond-reference capability (the reference is monophonic-only, SURVEY.md
+§0): one entry point that scores mixed chords + fast arpeggio material
+neither single engine can (poly alone measures ≤0.58 on the mixed clip —
+the 85 ms run is below the CQT window's resolving power; v1 alone loses
+every chord to pYIN's single-voice lock).  Truth anchor: the
+generate_mixed_clip generator family, same methodology as the chord
+families (VALIDATION.md)."""
+
+import numpy as np
+import pytest
+
+from aegis_tpu.tools.signal_gen import (generate_bench_track,
+                                        generate_chord_progression,
+                                        generate_mixed_clip)
+from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+SR, HOP = 22050, 512
+
+
+@pytest.fixture(scope="module")
+def auto_engine():
+    from aegis_tpu.engine.auto import AegisAutoEngine
+
+    return AegisAutoEngine(sample_rate=SR)
+
+
+def _f1(eng, y, truth):
+    ev = eng.extract_events(eng.analyze(y))
+    return note_event_f1(truth, events_to_seconds(ev, SR, HOP))["f1"]
+
+
+def test_mixed_clip_through_one_entry(auto_engine):
+    """The VERDICT-r2 done-criterion: a mixed chords+85 ms-arpeggio clip
+    through ONE entry point.  Measured round 3: mean 0.955 over seeds
+    1-10 (min 0.846); poly alone ≤0.58 on the same clips."""
+    f1s = [
+        _f1(auto_engine, *generate_mixed_clip(seed))
+        for seed in range(1, 11)
+    ]
+    assert np.mean(f1s) >= 0.95, f1s
+    assert min(f1s) >= 0.82, f1s
+
+
+def test_auto_dominates_single_engines_on_mixed(auto_engine):
+    """The router must strictly beat BOTH single engines on mixed
+    material — the whole point of the component."""
+    from aegis_tpu.engine.poly import AegisPolyEngine
+
+    y, truth = generate_mixed_clip(1)
+    auto = _f1(auto_engine, y, truth)
+    peng = AegisPolyEngine(sample_rate=SR)
+    pev = peng.extract_events(peng.analyze(y))
+    poly = note_event_f1(truth, events_to_seconds(pev, SR, HOP))["f1"]
+    assert auto > poly + 0.2, (auto, poly)
+    assert auto >= 0.95
+
+
+def test_pure_chords_keep_poly_quality(auto_engine):
+    """Feeding pure chord progressions through the router must not cost
+    the poly engine's quality (measured 0.96-1.0 on the gated seeds)."""
+    for seed in (1, 3, 7):
+        y, truth = generate_chord_progression(seed, sr=SR)
+        assert _f1(auto_engine, y, truth) >= 0.96, seed
+
+
+def test_pure_mono_floor(auto_engine):
+    """A dense monophonic line through the router: the adjudication +
+    region logic must suppress the peel's harmonic-ghost stream
+    (measured 0.75 before the physics re-adjudication, 0.92 after; the
+    residual is both-streams-miss ghost orphans, documented)."""
+    y, truth = generate_bench_track(duration=20.0, sr=SR,
+                                    return_truth=True)
+    assert _f1(auto_engine, y, truth) >= 0.90
+
+
+def test_polyphony_regions_simultaneity():
+    """Only simultaneous-onset groups mark chordal frames; offset
+    overlaps (a legato mono line's CQT smear) do not, and sub-minimum
+    duration clusters are erased."""
+    from aegis_tpu.engine.auto import polyphony_regions
+
+    def ev(note, s, e):
+        return {"note": note, "start": s, "end": e}
+
+    # strum: two voices, same start -> chordal over the union span
+    ch = polyphony_regions([ev(48, 10, 40), ev(55, 10, 38)], 60)
+    assert ch[12] and ch[39] and not ch[45]
+    # offset overlap (mono smear) -> never chordal
+    ch = polyphony_regions([ev(48, 10, 40), ev(55, 25, 50)], 60)
+    assert not ch.any()
+    # short simultaneous junk cluster -> erased by the opening
+    ch = polyphony_regions([ev(48, 10, 14), ev(55, 10, 13)], 60)
+    assert not ch.any()
+
+
+def test_route_events_regimes():
+    """Span-majority routing with duplicate resolution."""
+    from aegis_tpu.engine.auto import route_events
+
+    chordal = np.zeros(100, bool)
+    chordal[10:50] = True
+
+    def ev(note, s, e, **kw):
+        return {"note": note, "start": s, "end": e, "salience": 1.0, **kw}
+
+    poly = [ev(48, 10, 45), ev(55, 10, 45), ev(60, 60, 70), ev(30, 12, 40)]
+    v1 = [ev(48, 12, 44), ev(64, 60, 70), ev(62, 80, 90)]
+    out = route_events(v1, poly, chordal)
+    got = {(e["note"], e["source"]) for e in out}
+    # chord region: poly voices kept, v1 shadow (48) dropped
+    assert (48, "poly") in got and (55, "poly") in got
+    assert (48, "v1") not in got
+    # mono region: v1 kept, lone poly event dropped; sub-E2 junk dropped
+    assert (64, "v1") in got and (62, "v1") in got
+    assert (60, "poly") not in got
+    assert not any(n == 30 for n, _ in got)

@@ -205,6 +205,13 @@ def test_polyphonic_endpoints(server_url):
     status, _, data = _req(f"{server_url}/api/midi/{sid}")
     assert status == 200 and data[:4] == b"MThd"
 
+    # the routed (auto) endpoint transcribes the same chord session
+    status, _, data = _req(f"{server_url}/api/analyze-auto/{sid}", "POST")
+    assert status == 200
+    j = json.loads(data)
+    assert {60, 64, 67} <= {e["note"] for e in j["events"]}, j["events"]
+    assert j["hop_length"] in (512, 1024)
+
     # refilter-poly without poly analysis -> 400
     status, _, data = _req(f"{server_url}/api/upload?name=x.wav", "POST",
                            buf.getvalue())
