@@ -124,16 +124,77 @@ def html_midi_player_embed(midi_data: bytes, height: int = 360) -> str:
 """
 
 
+#: minimal inline SMF parser (original implementation) — enough for the
+#: canvas renderer: header division, per-track delta decoding with running
+#: status, note_on/note_off pairing, set_tempo metas for tick→seconds.
+#: Replaces the reference's vendored @tonejs/midi bundle
+#: (aegis_engine_core/tonejs_midi.js, component #33) with ~60 lines of
+#: dependency-free JS, so this engine works fully offline.
+_SMF_PARSER_JS = """
+function aegisParseSmf(buf) {
+  const d = new DataView(buf); let p = 0;
+  const u32 = () => { const v = d.getUint32(p); p += 4; return v; };
+  const u16 = () => { const v = d.getUint16(p); p += 2; return v; };
+  const u8 = () => d.getUint8(p++);
+  const varlen = () => { let v = 0, b;
+    do { b = u8(); v = (v << 7) | (b & 0x7f); } while (b & 0x80);
+    return v; };
+  if (u32() !== 0x4d546864) return [];          // "MThd"
+  const hlen = u32(); u16(); const ntrk = u16(); const div = u16();
+  p += hlen - 6;
+  const events = [];                             // {tick, kind, ch, a, b}
+  for (let t = 0; t < ntrk; t++) {
+    if (u32() !== 0x4d54726b) break;             // "MTrk"
+    const end = p + u32(); let tick = 0, status = 0;
+    while (p < end) {
+      tick += varlen(); let b0 = u8();
+      if (b0 < 0x80) { p--; b0 = status; } else status = b0;
+      const type = b0 & 0xf0;
+      if (b0 === 0xff) { const meta = u8(), len = varlen();
+        if (meta === 0x51) { const us = (d.getUint8(p) << 16) |
+            (d.getUint8(p + 1) << 8) | d.getUint8(p + 2);
+          events.push({tick, kind: "tempo", us}); }
+        p += len;
+      } else if (b0 === 0xf0 || b0 === 0xf7) { p += varlen();
+      } else if (type === 0xc0 || type === 0xd0) { u8();
+      } else { const a = u8(), b = u8();
+        if (type === 0x90) events.push({tick, kind: b ? "on" : "off",
+                                        note: a, vel: b});
+        else if (type === 0x80) events.push({tick, kind: "off", note: a});
+      }
+    }
+  }
+  events.sort((x, y) => x.tick - y.tick);
+  let us = 500000, lastTick = 0, sec = 0;
+  const open = {}, notes = [];
+  for (const e of events) {
+    sec += (e.tick - lastTick) / div * us / 1e6; lastTick = e.tick;
+    if (e.kind === "tempo") us = e.us;
+    else if (e.kind === "on") open[e.note] = {time: sec,
+        midi: e.note, velocity: (e.vel || 100) / 127};
+    else if (e.kind === "off" && open[e.note]) {
+      const n = open[e.note]; n.duration = Math.max(sec - n.time, 1e-3);
+      notes.push(n); delete open[e.note];
+    }
+  }
+  return notes;
+}
+"""
+
+
 def tonejs_canvas_embed(midi_data: bytes, height: int = 360) -> str:
+    """Canvas piano roll — fully OFFLINE: the reference's engine pulled
+    @tonejs/midi from a CDN (or its vendored bundle, component #33); this
+    build inlines its own SMF parser instead, so the markup has zero
+    network dependencies."""
     url = _midi_data_url(midi_data)
     return f"""
-<script src="https://cdn.jsdelivr.net/npm/@tonejs/midi@2.0.28/build/Midi.min.js"></script>
 <canvas id="aegisRoll" width="880" height="{height}" style="width:100%;background:#14161c"></canvas>
 <script>
+{_SMF_PARSER_JS}
 fetch("{url}").then(r => r.arrayBuffer()).then(buf => {{
-  const midi = new Midi(buf);
+  const notes = aegisParseSmf(buf);
   const cv = document.getElementById("aegisRoll"), ctx = cv.getContext("2d");
-  const notes = midi.tracks.flatMap(t => t.notes);
   if (!notes.length) return;
   const tMax = Math.max(...notes.map(n => n.time + n.duration));
   const lo = Math.min(...notes.map(n => n.midi)) - 2;
@@ -159,8 +220,25 @@ def webaudiofont_embed(midi_data: bytes) -> str:
 """
 
 
-def render_piano_roll(midi_data: bytes, engine: str = "svg", **kwargs) -> str:
-    """Dispatcher across the four engines; returns SVG or HTML markup."""
+#: engines whose markup needs the network: html_midi_player pulls the
+#: magenta player/soundfont stack (audio synthesis in the browser — not
+#: reimplementable inline), webaudiofont its player script.  svg and
+#: tonejs (inline SMF parser) are fully self-contained.
+ONLINE_ONLY_ENGINES = frozenset({"html_midi_player", "webaudiofont"})
+
+
+def render_piano_roll(midi_data: bytes, engine: str = "svg",
+                      offline: bool = False, **kwargs) -> str:
+    """Dispatcher across the four engines; returns SVG or HTML markup.
+
+    ``offline=True`` guarantees network-free markup: the CDN-backed
+    engines (ONLINE_ONLY_ENGINES) fall back to the SVG renderer — the
+    reference solved this by vendoring the JS bundles (component #33);
+    here svg AND the tonejs canvas are self-contained by construction,
+    and the two audio-playback embeds are explicitly online-only."""
+    if offline and engine in ONLINE_ONLY_ENGINES:
+        engine = "svg"
+        kwargs = {k: v for k, v in kwargs.items() if k == "height"}
     if engine == "svg":
         return midi_to_svg(midi_data, **kwargs)
     if engine == "html_midi_player":
