@@ -321,9 +321,12 @@ def analyze_poly_program_packed(y: jnp.ndarray, scale: jnp.ndarray,
     needs per-bin dB envelopes the peel's masking erases, and f16's
     ~0.004 dB error is negligible at half the f32 bytes (total 56 vs the
     old 14 columns — still 4.6x smaller than shipping the planes).  ``y``
-    may be int16 PCM (half the upload bytes); ``scale`` dequantizes on
-    device."""
-    yf = y.astype(jnp.float32) * scale
+    may be int16 PCM (scalar ``scale``) or int8 block-float (rank-1
+    ``scale``, core.analyze.quantize_pcm8) — dequant_transport selects by
+    rank/dtype on device, each transport tracing its own program."""
+    from aegis_tpu.core.analyze import dequant_transport
+
+    yf = dequant_transport(y, scale)
     cqt = pseudo_cqt_t(yf, sr, n_fft, hop_length, n_bins, bins_per_octave)
     supp = jnp.asarray(harmonic_suppression_matrix(n_bins, bins_per_octave))
     sub = jnp.asarray(harmonic_subtraction_matrix(n_bins, bins_per_octave))

@@ -44,7 +44,7 @@ import numpy as np
 from aegis_tpu.config import AudioConfig, PyinConfig
 from aegis_tpu.core import poly as P
 from aegis_tpu.core.analyze import (_V1_ROWS, _pack, _unpack, bucket_length,
-                                    dequant_transport, quantize_pcm16)
+                                    dequant_transport, quantize_pcm8)
 from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
 from aegis_tpu.core.events import extract_events_v1, velocity_from_db
 from aegis_tpu.io.audio import load_audio
@@ -298,9 +298,12 @@ class AegisAutoEngine:
                  f"pyin + <= {self.max_voices} voices)")
         true_frames = 1 + len(y) // self.hop_length
         n = bucket_length(len(y))
-        y16, s = quantize_pcm16(np.pad(y, (0, n - len(y))))
+        # int8 block-float transport: proven transparent for BOTH halves
+        # (v1 gating clips F1 1.0000, core/analyze.py::quantize_pcm8;
+        # poly 32-case sweep identical F1, engine/poly.py docstring)
+        y8, s = quantize_pcm8(np.pad(y, (0, n - len(y))))
         buf = np.asarray(analyze_auto_program_packed(
-            jnp.asarray(y16), jnp.float32(s),
+            jnp.asarray(y8), jnp.asarray(s),
             jnp.float32(kwargs.get("rake_sensitivity", 0.6)),
             self.audio, self.pyin_cfg, self.n_fft_poly, self.n_bins,
             self.bins_per_octave, self.max_voices))[:true_frames]

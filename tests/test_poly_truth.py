@@ -301,7 +301,10 @@ def test_packed_buffer_ships_cqt_plane():
     from aegis_tpu.engine.poly import AegisPolyEngine
 
     y, _ = chord_progression_clip(4)
-    eng = AegisPolyEngine(sample_rate=SR)
+    # int16 transport: this test's tolerances isolate the f16 PLANE
+    # quantization; the int8 default's (coarser, separately swept)
+    # transport noise would drown it
+    eng = AegisPolyEngine(sample_rate=SR, transport="int16")
     analysis = eng.analyze(y)
     assert "cqt_mag" in analysis
     T = analysis["roll"].shape[0]
@@ -510,7 +513,9 @@ def test_confidence_reconstruction():
     from aegis_tpu.core.analyze import bucket_length
 
     y, _ = chord_progression_clip(2)
-    eng = AegisPolyEngine(sample_rate=SR)
+    # int16: isolate the reconstruction identity from transport noise
+    # (the int8 default is gated by the 32-case truth sweep instead)
+    eng = AegisPolyEngine(sample_rate=SR, transport="int16")
     analysis = eng.analyze(y)
     T = analysis["roll"].shape[0]
     # same padded input as the engine's packed dispatch (tail frames see

@@ -168,7 +168,10 @@ def test_poly_turbo_matches_single_device():
         y[s: s + len(p)] += p[: n - s]
     y = (y / max(np.max(np.abs(y)), 1e-9) * 0.8).astype(np.float32)
 
-    eng = AegisPolyEngine(sample_rate=SR)
+    # int16: the tiled path uploads int16 slabs, so the fused baseline
+    # must too — this test isolates tile-seam effects, not transport
+    # noise (the int8 default is gated by the 32-case truth sweep)
+    eng = AegisPolyEngine(sample_rate=SR, transport="int16")
     ref = eng.analyze(y)
     ref_ev = eng.extract_events(ref)
     assert ref_ev, "fixture produced no polyphonic events"
