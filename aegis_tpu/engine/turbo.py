@@ -815,26 +815,35 @@ def run_analyze_streamed(
                  for s in range(n_slabs)]
     edges_dev = [jnp.asarray(_edge_np(s)) for s in range(n_slabs)]
 
-    # pass 1: track-global mel-power reference (bounded in-flight pipeline)
-    gmax = 0.0
-    pending = []
-    for s in range(n_slabs):
-        pending.append(analyze_audio_sharded(
-            slabs_dev[s], scale_j, rs, audio, pyin_cfg, turbo, mesh,
-            slab_tiles, peak_only=True, edge16=edges_dev[s]))
-        if len(pending) > max_in_flight:
-            gmax = max(gmax, float(np.asarray(pending.pop(0))[0]))
-    for h in pending:
-        gmax = max(gmax, float(np.asarray(h)[0]))
-    gmax_j = jnp.asarray([gmax], jnp.float32)
+    # pass 1: track-global mel-power reference.  The per-slab peaks are
+    # reduced ON DEVICE (jnp.max over the stacked handles) and the result
+    # stays device-resident as pass 2's db_ref input — the old loop
+    # fetched one scalar per slab and re-uploaded the max, paying a
+    # ~27 ms tunnel round trip per slab (the measured 383x-vs-651x gap
+    # was exactly these per-slab latencies; VALIDATION.md round 3).
+    # Queued programs hold only their (already-resident) input refs and
+    # scalar outputs, so memory stays slab-bounded with every slab in
+    # flight.
+    peaks = [analyze_audio_sharded(
+        slabs_dev[s], scale_j, rs, audio, pyin_cfg, turbo, mesh,
+        slab_tiles, peak_only=True, edge16=edges_dev[s])
+        for s in range(n_slabs)]
+    gmax_j = jnp.max(jnp.concatenate(peaks)).reshape(1)
 
-    # pass 2: the full analyze per slab, dispatch-ahead pipelined
+    # pass 2: the full analyze per slab, dispatch-ahead pipelined.  The
+    # per-frame output rows are tiny (~40 B/frame), so slab outputs are
+    # fetched in GROUPS through one device-side concat each — one tunnel
+    # round trip per ``fetch_group`` slabs instead of per slab — while
+    # the big activations stay per-program (freed as each slab's program
+    # retires); bounded memory is unchanged.
     rows = _GTR_ROWS if financial else _V1_ROWS
     n_mels = audio.n_mels if fetch_mel else 0
+    fetch_group = 8
     outs, pending = [], []
 
-    def fetch(h) -> np.ndarray:
-        buf = np.array(h)[0]
+    def fetch_batch(hs) -> np.ndarray:
+        buf = np.asarray(hs[0] if len(hs) == 1
+                         else jnp.concatenate(hs, axis=1))[0]
         return buf.reshape(-1, buf.shape[-1])
 
     for s in range(n_slabs):
@@ -843,9 +852,11 @@ def run_analyze_streamed(
             slab_tiles, include_mel=fetch_mel, guitar_only=financial,
             use_guitar_filters=use_guitar_filters,
             edge16=edges_dev[s], db_ref=gmax_j))
-        if len(pending) > max_in_flight:
-            outs.append(fetch(pending.pop(0)))
-    outs.extend(fetch(h) for h in pending)
+        if len(pending) >= fetch_group:
+            outs.append(fetch_batch(pending))
+            pending = []
+    if pending:
+        outs.append(fetch_batch(pending))
     buf = np.concatenate(outs, axis=0)  # (n_slabs*slab_frames, C)
     del outs
 
