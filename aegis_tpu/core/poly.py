@@ -611,6 +611,45 @@ def _foreign_line_near(pitch: float, events, exclude_notes,
     return False
 
 
+
+def _dbp(cqt_mag: np.ndarray) -> np.ndarray:
+    """The (T, bins) dB plane 20*log10(max(mag, 1e-12)), computed ONCE at
+    each recovery pass's entry.  The passes read dozens of envelope
+    slices per event; converting each slice individually dominated the
+    host-side extract cost (profiled round 3: ~50 ms/call on a 10 s
+    chord clip, much of it repeated log10 overhead).  Slicing a
+    precomputed plane is bit-identical."""
+    return 20.0 * np.log10(np.maximum(cqt_mag, 1e-12))
+
+
+def _med(x: np.ndarray) -> float:
+    """Exact median via partition — np.median's value without its
+    dispatch overhead (the recovery passes call it thousands of times on
+    short envelope slices; profiled round 3).  Same even-length
+    mean-of-two-middles convention."""
+    n = x.size
+    if n == 0:
+        return float("nan")
+    h = n // 2
+    if n % 2:
+        return float(np.partition(x, h)[h])
+    p = np.partition(x, (h - 1, h))
+    return float(p[h - 1] + p[h]) / 2.0
+
+
+def _linefit(t: np.ndarray, y: np.ndarray) -> tuple:
+    """Least-squares line y ~ a·t + b via the centered normal equations —
+    the closed form of the (T, 2) lstsq/polyfit the recovery passes call
+    hundreds of times per clip (profiled round 3: the LAPACK per-call
+    overhead, not the math, dominated).  Agrees with lstsq to ~1e-12
+    relative; every consumer thresholds at 0.05+ dB scales."""
+    tm, ym = t.mean(), y.mean()
+    dt = t - tm
+    denom = float(np.dot(dt, dt))
+    a = float(np.dot(dt, y - ym)) / denom if denom > 0 else 0.0
+    return a, ym - a * tm
+
+
 def _env_shape(env_db: np.ndarray, fps: float,
                trim_frac: float = 0.15) -> tuple:
     """(linear-fit RMS residual [dB], |late slope - early slope| [dB/s])
@@ -630,18 +669,17 @@ def _env_shape(env_db: np.ndarray, fps: float,
     concentrated and gets dropped."""
     T = len(env_db)
     t = np.arange(T, dtype=np.float64)
-    A = np.vstack([t, np.ones(T)]).T
-    coef, *_ = np.linalg.lstsq(A, env_db, rcond=None)
+    a, b = _linefit(t, env_db)
     keep = np.arange(T)
     n_trim = int(T * trim_frac)
     if n_trim > 0 and T - n_trim >= 4:
-        err = np.abs(env_db - A @ coef)
+        err = np.abs(env_db - (a * t + b))
         keep = np.sort(np.argsort(err)[: T - n_trim])
-        coef, *_ = np.linalg.lstsq(A[keep], env_db[keep], rcond=None)
-    resid = float(np.sqrt(np.mean((env_db[keep] - A[keep] @ coef) ** 2)))
+        a, b = _linefit(t[keep], env_db[keep])
+    resid = float(np.sqrt(np.mean((env_db[keep] - (a * t[keep] + b)) ** 2)))
     h = len(keep) // 2
-    s_early = np.polyfit(t[keep[:h]], env_db[keep[:h]], 1)[0] * fps
-    s_late = np.polyfit(t[keep[h:]], env_db[keep[h:]], 1)[0] * fps
+    s_early = _linefit(t[keep[:h]], env_db[keep[:h]])[0] * fps
+    s_late = _linefit(t[keep[h:]], env_db[keep[h:]])[0] * fps
     return resid, abs(s_late - s_early)
 
 
@@ -732,15 +770,15 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
     the undetected-bass cascades on oct22A s5/s6 and oct22B s11 with the
     standard family untouched."""
     fps = sr / hop_length
+    db = _dbp(cqt_mag)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
-    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+    track_max_db = float(np.max(db))
 
     def med_env(b, lo, hi):
-        return float(np.median(20.0 * np.log10(
-            np.maximum(cqt_mag[lo:hi, b], 1e-12))))
+        return _med(db[lo:hi, b])
 
     out = list(events)
     minted: set = set()
@@ -762,10 +800,10 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
             own = med_env(bf, lo, hi)
             if own < track_max_db - live_floor_db:
                 continue
-            env = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, bf], 1e-12))
+            env = db[lo:hi, bf]
             r, c = _env_shape(env, fps)
             t = np.arange(len(env), dtype=np.float64)
-            slope = float(np.polyfit(t, env, 1)[0] * fps)
+            slope = _linefit(t, env)[0] * fps
             if r > max_resid or c > max_curv or slope > max_slope:
                 continue
             # leakage guard: bin f lit by the main lobe of ANY nearby
@@ -833,8 +871,7 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
                                 if 0 <= note - fmin < n_bins else None),
                             evidence_db=med_env(b2, lo, hi)):
                         continue
-                    env2 = 20.0 * np.log10(
-                        np.maximum(cqt_mag[lo:hi, b2], 1e-12))
+                    env2 = db[lo:hi, b2]
                     r2, _ = _env_shape(env2, fps)
                     if r2 >= max(0.25, 4.0 * r):
                         beat = True
@@ -884,14 +921,14 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
     ceiling for sub-semitone-spacing voicings at the low end of the
     fretboard)."""
     fps = sr / hop_length
+    db = _dbp(cqt_mag)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
 
     def med_env(b, lo, hi):
-        return float(np.median(20.0 * np.log10(
-            np.maximum(cqt_mag[lo:hi, b], 1e-12))))
+        return _med(db[lo:hi, b])
 
     out = []
     for e in events:
@@ -1034,10 +1071,11 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     0.90 at 44.1 kHz design seeds, 0.91/0.89 fresh seeds.
     """
     fps = sr / hop_length
+    db = _dbp(cqt_mag)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
-    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+    track_max_db = float(np.max(db))
 
     def env_shape(env_db):
         return _env_shape(env_db, fps)
@@ -1073,8 +1111,7 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
         # envelope statistic (a −120 dB floor frame adds ~50 dB of
         # linear-fit residual, swamping the 0.25 dB beat threshold —
         # measured round 3 on a fast-decaying 44.1 kHz bass)
-        env_parent = 20.0 * np.log10(
-            np.maximum(cqt_mag[lo:hi, b0], 1e-12))
+        env_parent = db[lo:hi, b0]
         live = np.where(env_parent >= env_parent.max() - 25.0)[0]
         if len(live) >= min_frames:
             hi = lo + int(live[-1]) + 1
@@ -1088,15 +1125,14 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
         # 52 feeding 83 = 52+31 in [52,64]).  Any LIVE raw-CQT bin a
         # harmonic interval (h3..h8) below n+12 is such a feeder: skip.
         feeders = [n + 12 - h - fmin for h in HIGH_HARMONIC_INTERVALS]
-        if any(0 <= bf < n_bins and float(np.median(
-                20.0 * np.log10(np.maximum(cqt_mag[lo:hi, bf], 1e-12))))
+        if any(0 <= bf < n_bins and _med(db[lo:hi, bf])
                >= track_max_db - feeder_floor_db
                for bf in feeders):
             continue
-        env12 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b12], 1e-12))
-        if np.median(env12) < track_max_db - level_floor_db:
+        env12 = db[lo:hi, b12]
+        if _med(env12) < track_max_db - level_floor_db:
             continue
-        env0 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b0], 1e-12))
+        env0 = db[lo:hi, b0]
         r0, c0 = env_shape(env0)
 
         def _beats_at(b, floor_db=level_floor_db):
@@ -1111,8 +1147,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
             TIGHTER 40 dB floor than the n+12 bin: near the noise floor
             every residual is large and a rolled-off h8's wiggle minted
             false octaves into standard chords (measured round 3)."""
-            env = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b], 1e-12))
-            if np.median(env) < track_max_db - floor_db:
+            env = db[lo:hi, b]
+            if _med(env) < track_max_db - floor_db:
                 return False
             rb, cb = env_shape(env)
             return (rb >= max(resid_thr, rel_factor * r0)
@@ -1129,26 +1165,24 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                 # feeds it — that collision is exactly what the beat
                 # measures; foreign lines fake it, measured round 3 on a
                 # 52-string's h5 a rim away from bin 79)
-                env_up = 20.0 * np.log10(
-                    np.maximum(cqt_mag[lo:hi, b], 1e-12))
+                env_up = db[lo:hi, b]
 
-                def _med(note, _lo=lo, _hi=hi):
+                def _med_note(note, _lo=lo, _hi=hi):
                     bb = note - fmin
                     if not (0 <= bb < n_bins):
                         return None
-                    return float(np.median(20.0 * np.log10(
-                        np.maximum(cqt_mag[_lo:_hi, bb], 1e-12))))
+                    return _med(db[_lo:_hi, bb])
 
                 if _foreign_line_near(float(n + up), concurrent, {n},
-                                      parent_note=n, med_env=_med,
+                                      parent_note=n, med_env=_med_note,
                                       evidence_db=float(
-                                          np.median(env_up))):
+                                          _med(env_up))):
                     continue
                 if _beats_at(b, floor_db=40.0):
                     beat = True
                     break
         if beat:
-            lvl = float(np.median(env12) - np.median(env0))
+            lvl = float(_med(env12) - _med(env0))
             out.append({**e, "note": n + 12,
                         "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
                         "recovered_octave": True})
@@ -1199,9 +1233,10 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
     0.826 -> 0.881 design seeds / 0.838 fresh seeds, min 0.71 -> 0.82;
     every other family unchanged."""
     fps = sr / hop_length
+    db = _dbp(cqt_mag)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
-    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+    track_max_db = float(np.max(db))
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     out = []
@@ -1226,10 +1261,8 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
         if hi - lo < min_frames:
             out.append(e)
             continue
-        own = float(np.median(20.0 * np.log10(
-            np.maximum(cqt_mag[lo:hi, b0], 1e-12))))
-        up = float(np.median(20.0 * np.log10(
-            np.maximum(cqt_mag[lo:hi, b12], 1e-12))))
+        own = _med(db[lo:hi, b0])
+        up = _med(db[lo:hi, b12])
         # "own bin dead" in absolute terms, OR its level fully explained as
         # window leakage from a concurrent string within ~2 FFT bins (the
         # marginal case measured round 3: a phantom 35 at 0.3 dB ABOVE the
@@ -1238,8 +1271,7 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
         leak_dead = any(
             o["note"] != n and 0 <= o["note"] - fmin < n_bins
             and abs(f_n - midi_to_hz(o["note"])) <= leak_bins * binw
-            and own <= float(np.median(20.0 * np.log10(np.maximum(
-                cqt_mag[lo:hi, o["note"] - fmin], 1e-12)))) - leak_margin_db
+            and own <= _med(db[lo:hi, o["note"] - fmin]) - leak_margin_db
             for o in concurrent)
         dead = own < track_max_db - abs_floor_db or leak_dead
         if dead and up - own >= margin_db:
@@ -1292,10 +1324,11 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
     1.0/precision 1.0 on all 12 seeds, B families bit-identical — zero
     false fifths on 48 non-power-chord clips."""
     fps = sr / hop_length
+    db = _dbp(cqt_mag)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
-    track_max_db = 20.0 * np.log10(max(float(np.max(cqt_mag)), 1e-12))
+    track_max_db = float(np.max(db))
     for e in events:
         n = e["note"]
         b0, b7 = n - fmin, n + 7 - fmin
@@ -1319,21 +1352,20 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
         hi = min(e["end"] - 1, cqt_mag.shape[0])
         if hi - lo < min_frames:
             continue
-        env7 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b7], 1e-12))
-        env0 = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b0], 1e-12))
-        med7 = float(np.median(env7))
+        env7 = db[lo:hi, b7]
+        env0 = db[lo:hi, b0]
+        med7 = _med(env7)
         if med7 < track_max_db - level_floor_db:
             continue
-        if med7 < float(np.median(env0)) - rel_parent_db:
+        if med7 < _med(env0) - rel_parent_db:
             continue
         T = len(env7)
         t = np.arange(T, dtype=np.float64)
-        A = np.vstack([t, np.ones(T)]).T
-        coef, *_ = np.linalg.lstsq(A, env7, rcond=None)
-        resid = float(np.sqrt(np.mean((env7 - A @ coef) ** 2)))
-        if resid > max_resid or coef[0] * fps > 0.0:
+        a, b = _linefit(t, env7)
+        resid = float(np.sqrt(np.mean((env7 - (a * t + b)) ** 2)))
+        if resid > max_resid or a * fps > 0.0:
             continue
-        lvl = med7 - float(np.median(env0))
+        lvl = med7 - _med(env0)
         out.append({**e, "note": n + 7,
                     "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
                     "recovered_fifth": True})
@@ -1392,6 +1424,7 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
     beating (that is why they were recovered), so the same physics that
     minted them keeps them."""
     fps = sr / hop_length
+    db = _dbp(cqt_mag)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = []
@@ -1439,12 +1472,12 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
         if hi - lo < min_frames:
             out.append(e)
             continue
-        env = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, b0], 1e-12))
+        env = db[lo:hi, b0]
         r, c = _env_shape(env, fps)
         # the parent's own envelope excuses wobble (vibrato/bend parents)
         p = min(parents, key=lambda o: o["note"])
         bp = p["note"] - fmin
-        envp = 20.0 * np.log10(np.maximum(cqt_mag[lo:hi, bp], 1e-12))
+        envp = db[lo:hi, bp]
         rp, cp = _env_shape(envp, fps)
         if r < max(resid_thr, rel_factor * rp) and c < max(curv_thr,
                                                            rel_factor * cp):
@@ -1461,8 +1494,7 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
             # bins must be live and free of OTHER events' partial lines
             # (within 1.5 semitones), else the beat proves nothing.
             if beat_scan:
-                track_max_db = 20.0 * np.log10(
-                    max(float(np.max(cqt_mag)), 1e-12))
+                track_max_db = float(np.max(db))
                 others = [o for o in events
                           if o is not e
                           and o["start"] <= e["end"]
@@ -1472,24 +1504,22 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
                     b = n + up - fmin
                     if b >= n_bins:
                         continue
-                    envb = 20.0 * np.log10(
-                        np.maximum(cqt_mag[lo:hi, b], 1e-12))
-                    if np.median(envb) < track_max_db - beat_floor_db:
+                    envb = db[lo:hi, b]
+                    if _med(envb) < track_max_db - beat_floor_db:
                         continue
 
-                    def _med(note, _lo=lo, _hi=hi):
+                    def _med_note(note, _lo=lo, _hi=hi):
                         bb = note - fmin
                         if not (0 <= bb < n_bins):
                             return None
-                        return float(np.median(20.0 * np.log10(
-                            np.maximum(cqt_mag[_lo:_hi, bb], 1e-12))))
+                        return _med(db[_lo:_hi, bb])
 
                     if _foreign_line_near(float(n + up), others,
                                           {n, p["note"]},
                                           parent_note=p["note"],
-                                          med_env=_med,
+                                          med_env=_med_note,
                                           evidence_db=float(
-                                              np.median(envb))):
+                                              _med(envb))):
                         continue
                     rb, cb = _env_shape(envb, fps)
                     if (rb >= max(resid_thr, rel_factor * rp)
