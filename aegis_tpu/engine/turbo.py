@@ -39,7 +39,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aegis_tpu.config import AudioConfig, PyinConfig, TurboConfig
 from aegis_tpu.core import masks
 from aegis_tpu.core.filters import dft_matrices, hann_window, mel_filterbank
-from aegis_tpu.core.analyze import _FIN_ROWS, _GTR_ROWS, _V1_ROWS, _unpack
+from aegis_tpu.core.analyze import (_FIN_ROWS, _GTR_ROWS, _V1_ROWS,
+                                    PCM8_BLOCK, _unpack)
 from aegis_tpu.core.pyin import pyin_from_frames
 
 
@@ -180,6 +181,10 @@ def analyze_audio_sharded(
                                          # zero-fill track-edge convention
     db_ref: jnp.ndarray | None = None,   # (B,) mel-power dB reference; None =
                                          # track-global pmax (ref=max)
+    edge_scale: jnp.ndarray | None = None,  # (B,) per-track int16 scale for
+                                         # edge16 when ``scale`` is the 2-D
+                                         # int8 block-scale plane; None =
+                                         # dequantize edges with ``scale``
 ) -> jnp.ndarray:
     """shard_map over (data, time) with ON-DEVICE halo exchange.
 
@@ -226,9 +231,19 @@ def analyze_audio_sharded(
     has_edge = edge16 is not None
     has_ref = db_ref is not None
 
-    def worker(y_loc, sc, rs, edge, dref):
+    def worker(y_loc, sc, rs, edge, dref, esc):
         b, s_local = y_loc.shape
-        y_f = y_loc.astype(jnp.float32) * sc[:, None]  # per-track dequant
+        if sc.ndim == 2:
+            # int8 block-float slab transport (streamed mode): ``sc`` is
+            # the (B, s_local/PCM8_BLOCK) local slice of the per-block
+            # scale plane, time-sharded alongside the audio; the local
+            # block length is a PCM8_BLOCK multiple by construction
+            # (tile*hop is) so block boundaries never cross devices
+            y_f = (y_loc.astype(jnp.float32)
+                   .reshape(b, -1, PCM8_BLOCK)
+                   * sc[:, :, None]).reshape(b, s_local)
+        else:
+            y_f = y_loc.astype(jnp.float32) * sc[:, None]  # per-track
 
         fwd = [(i, i + 1) for i in range(n_time - 1)]   # tail -> next dev
         bwd = [(i + 1, i) for i in range(n_time - 1)]   # head -> prev dev
@@ -236,11 +251,13 @@ def analyze_audio_sharded(
         right = jax.lax.ppermute(y_f[:, :ctx], time_axis, bwd)
         if has_edge:
             # streamed slabs: the outermost devices splice REAL neighboring
-            # audio (passed replicated, dequantized with the same per-track
-            # scale) instead of the zero-fill track-edge convention
+            # audio (passed replicated, always int16 with a per-track
+            # scale — ``esc`` in block mode, ``sc`` itself otherwise)
+            # instead of the zero-fill track-edge convention
+            e_sc = esc if sc.ndim == 2 else sc
             idx_t = jax.lax.axis_index(time_axis)
-            e_l = edge[:, :ctx].astype(jnp.float32) * sc[:, None]
-            e_r = edge[:, ctx:].astype(jnp.float32) * sc[:, None]
+            e_l = edge[:, :ctx].astype(jnp.float32) * e_sc[:, None]
+            e_r = edge[:, ctx:].astype(jnp.float32) * e_sc[:, None]
             left = jnp.where(idx_t == 0, e_l, left)
             right = jnp.where(idx_t == n_time - 1, e_r, right)
         y_ext = jnp.concatenate([left, y_f, right], axis=1)
@@ -341,27 +358,32 @@ def analyze_audio_sharded(
 
     from jax import shard_map
 
+    # block-scale planes shard with the audio; scalar scales replicate
+    scale_spec = (P(data_axis, time_axis) if getattr(scale, "ndim", 1) == 2
+                  else P(data_axis))
+    args = (y16, scale, rake_sens,
+            edge16 if has_edge
+            else jnp.zeros((y16.shape[0], 2 * ctx), jnp.int16),
+            db_ref if has_ref else jnp.zeros((y16.shape[0],), jnp.float32),
+            edge_scale if edge_scale is not None
+            else jnp.zeros((y16.shape[0],), jnp.float32))
+    in_specs = (P(data_axis, time_axis), scale_spec, P(),
+                P(data_axis), P(data_axis), P(data_axis))
+
     if peak_only:
         return shard_map(
-            worker, mesh=mesh,
-            in_specs=(P(data_axis, time_axis), P(data_axis), P(),
-                      P(data_axis), P(data_axis)),
+            worker, mesh=mesh, in_specs=in_specs,
             out_specs=P(data_axis),
             check_vma=False,
-        )(y16, scale, rake_sens,
-          edge16 if has_edge else jnp.zeros((y16.shape[0], 2 * ctx), jnp.int16),
-          db_ref if has_ref else jnp.zeros((y16.shape[0],), jnp.float32))
+        )(*args)
 
     return shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(data_axis, time_axis), P(data_axis), P(),
-                  P(data_axis), P(data_axis)),
+        in_specs=in_specs,
         out_specs=P(data_axis, time_axis),
         check_vma=False,
-    )(y16, scale, rake_sens,
-      edge16 if has_edge else jnp.zeros((y16.shape[0], 2 * ctx), jnp.int16),
-      db_ref if has_ref else jnp.zeros((y16.shape[0],), jnp.float32))
+    )(*args)
 
 
 def quantize_tracks(ys: np.ndarray, n_samples: int) -> tuple:
@@ -741,6 +763,7 @@ def run_analyze_streamed(
     use_guitar_filters: bool = True,
     fetch_mel: bool = False,
     max_in_flight: int = 2,
+    transport: str = "int8",
 ) -> Dict[str, np.ndarray]:
     """Bounded-memory turbo analyze for multi-minute tracks (VERDICT r1 #7).
 
@@ -765,6 +788,16 @@ def run_analyze_streamed(
 
     The reference handles long tracks by hard caps / manual region slicing
     (aegis_app.py:274-281) — this does it losslessly.
+
+    ``transport``: "int8" (default) ships the slabs as block-float int8 —
+    the measured streamed bottleneck is the audio upload itself (33.6 MB
+    int16 ≈ 0.7 s for a 10-min track at the tunnel's ~48 MB/s; round 3),
+    and the dequantized samples are bit-identical to the fused int8
+    path's (same PCM8_BLOCK grid from sample 0).  Slab edges stay int16
+    with the per-track scale (their length need not divide the block).
+    "int16" preserves the bit-exact-vs-run_analyze_turbo contract the
+    seam tests pin.  Falls back to int16 when the slab length is not a
+    block multiple (tile*hop < 1024 configurations).
     """
     turbo = turbo or TurboConfig()
     mesh = mesh or _default_mesh(time_only=True)
@@ -792,8 +825,29 @@ def run_analyze_streamed(
     n_slabs = max(1, -(-n_tiles_total // slab_tiles))
     n_samp = n_slabs * slab_samp
 
-    y16, scale = quantize_tracks(np.asarray(y, np.float32)[None], n_samp)
-    scale_j = jnp.asarray(scale)
+    if transport == "int8" and slab_samp % PCM8_BLOCK == 0:
+        from aegis_tpu.core.analyze import quantize_pcm8
+
+        y_pad = np.zeros(n_samp, np.float32)
+        y_pad[: len(y)] = np.asarray(y, np.float32)
+        q8, bscales = quantize_pcm8(y_pad)
+        q8, bscales = q8[None], bscales[None]
+        nblk = slab_samp // PCM8_BLOCK
+        peak = float(np.max(np.abs(y_pad)))
+        esc = np.float32(peak / 32767.0 if peak > 0 else 0.0)
+        y16 = (np.round(y_pad * (32767.0 / peak)).astype(np.int16)[None]
+               if peak > 0 else np.zeros((1, n_samp), np.int16))
+        slabs_np = [q8[:, s * slab_samp: (s + 1) * slab_samp]
+                    for s in range(n_slabs)]
+        scales_np = [bscales[:, s * nblk: (s + 1) * nblk]
+                     for s in range(n_slabs)]
+        edge_scale_j = jnp.asarray(np.array([esc], np.float32))
+    else:
+        y16, scale = quantize_tracks(np.asarray(y, np.float32)[None], n_samp)
+        slabs_np = [y16[:, s * slab_samp: (s + 1) * slab_samp]
+                    for s in range(n_slabs)]
+        scales_np = [scale] * n_slabs
+        edge_scale_j = None
     rs = jnp.float32(rake_sensitivity)
 
     def _edge_np(s: int) -> np.ndarray:
@@ -807,12 +861,11 @@ def run_analyze_streamed(
         return np.concatenate([left, right], axis=1)
 
     # upload each slab ONCE and reuse the device buffer in both passes —
-    # H2D rides the tunnel at ~44 MB/s, so the duplicate upload used to
-    # cost as much as the mel pass itself.  Device residency is the int16
-    # input only (~2.6 MB per minute of audio); the big per-frame buffers
-    # stay slab-bounded.
-    slabs_dev = [jnp.asarray(y16[:, s * slab_samp: (s + 1) * slab_samp])
-                 for s in range(n_slabs)]
+    # H2D rides the tunnel at ~44-48 MB/s and the upload IS the streamed
+    # bottleneck (int8 transport halves it).  Device residency is the
+    # quantized input only; the big per-frame buffers stay slab-bounded.
+    slabs_dev = [jnp.asarray(a) for a in slabs_np]
+    scales_dev = [jnp.asarray(a) for a in scales_np]
     edges_dev = [jnp.asarray(_edge_np(s)) for s in range(n_slabs)]
 
     # pass 1: track-global mel-power reference.  The per-slab peaks are
@@ -825,8 +878,9 @@ def run_analyze_streamed(
     # scalar outputs, so memory stays slab-bounded with every slab in
     # flight.
     peaks = [analyze_audio_sharded(
-        slabs_dev[s], scale_j, rs, audio, pyin_cfg, turbo, mesh,
-        slab_tiles, peak_only=True, edge16=edges_dev[s])
+        slabs_dev[s], scales_dev[s], rs, audio, pyin_cfg, turbo, mesh,
+        slab_tiles, peak_only=True, edge16=edges_dev[s],
+        edge_scale=edge_scale_j)
         for s in range(n_slabs)]
     gmax_j = jnp.max(jnp.concatenate(peaks)).reshape(1)
 
@@ -848,10 +902,10 @@ def run_analyze_streamed(
 
     for s in range(n_slabs):
         pending.append(analyze_audio_sharded(
-            slabs_dev[s], scale_j, rs, audio, pyin_cfg, turbo, mesh,
+            slabs_dev[s], scales_dev[s], rs, audio, pyin_cfg, turbo, mesh,
             slab_tiles, include_mel=fetch_mel, guitar_only=financial,
             use_guitar_filters=use_guitar_filters,
-            edge16=edges_dev[s], db_ref=gmax_j))
+            edge16=edges_dev[s], db_ref=gmax_j, edge_scale=edge_scale_j))
         if len(pending) >= fetch_group:
             outs.append(fetch_batch(pending))
             pending = []

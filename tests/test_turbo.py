@@ -220,8 +220,10 @@ def test_streamed_matches_turbo_v1():
     track, _ = generate_test_track(sr=SR)
     tc = TurboConfig(tile_frames=16, halo_frames=8)
     tr = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc)
-    # slab_tiles chosen NOT to divide the track's 12 tiles
-    st = run_analyze_streamed(track, AUDIO, PYIN, 0.6, turbo=tc, slab_tiles=8)
+    # slab_tiles chosen NOT to divide the track's 12 tiles; int16 pins the
+    # bitwise contract (the tiled comparison path uploads int16)
+    st = run_analyze_streamed(track, AUDIO, PYIN, 0.6, turbo=tc, slab_tiles=8,
+                              transport="int16")
     # pYIN rows are bit-exact (identical haloed frames in, identical program)
     assert (st["voiced_flag"] == tr["voiced_flag"]).all()
     m = st["voiced_flag"]
@@ -257,13 +259,61 @@ def test_streamed_financial_events():
 
     tr = run_analyze_turbo(track, AUDIO, PYIN, 0.6, turbo=tc, financial=True)
     st = run_analyze_streamed(track, AUDIO, PYIN, 0.6, turbo=tc,
-                              slab_tiles=8, financial=True)
+                              slab_tiles=8, financial=True,
+                              transport="int16")
     assert (st["mute_mask"] == tr["mute_mask"]).all()
     m = note_event_f1(fin_events(tr), fin_events(st))
     assert m["f1"] == 1.0, m
     # trend rows identical where both voiced
     both = st["voiced_flag"] & tr["voiced_flag"]
     assert np.nanmax(np.abs(st["trend"][both] - tr["trend"][both])) < 1e-3
+
+
+def test_streamed_int8_default():
+    """The int8 streamed default (the upload IS the streamed bottleneck:
+    33.6 MB int16 for a 10-min track): the dequantized slab audio is
+    bit-identical to the fused int8 path's (same PCM8_BLOCK grid from
+    sample 0 — tested directly), and the full streamed pipeline agrees
+    with the int16 stream on voicing/pitch and event-for-event."""
+    import numpy as np
+
+    from aegis_tpu.core.analyze import bucket_length, quantize_pcm8
+    from aegis_tpu.core.events import extract_events_v1
+    from aegis_tpu.engine.turbo import run_analyze_streamed
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    track, _ = generate_test_track(sr=SR)
+    # dequant-grid identity: slab padding vs bucket padding share every
+    # complete block of the true-length prefix
+    n_true = len(track)
+    slab_pad = np.zeros(-(-n_true // 65536) * 65536, np.float32)
+    slab_pad[:n_true] = track
+    buck_pad = np.zeros(bucket_length(n_true), np.float32)
+    buck_pad[:n_true] = track
+    q_s, s_s = quantize_pcm8(slab_pad)
+    q_b, s_b = quantize_pcm8(buck_pad)
+    nfull = (n_true // 1024) * 1024
+    np.testing.assert_array_equal(q_s[:nfull], q_b[:nfull])
+    np.testing.assert_array_equal(s_s[: nfull // 1024], s_b[: nfull // 1024])
+
+    tc = TurboConfig(tile_frames=16, halo_frames=8)
+    st8 = run_analyze_streamed(track, AUDIO, PYIN, 0.6, turbo=tc,
+                               slab_tiles=8)  # int8 default
+    st16 = run_analyze_streamed(track, AUDIO, PYIN, 0.6, turbo=tc,
+                                slab_tiles=8, transport="int16")
+    assert (st8["voiced_flag"] == st16["voiced_flag"]).mean() > 0.99
+    both = st8["voiced_flag"] & st16["voiced_flag"]
+    np.testing.assert_allclose(st8["f0"][both], st16["f0"][both], rtol=1e-3)
+
+    def ev(raw):
+        return events_to_seconds(extract_events_v1(
+            rake_mask=raw["rake_mask"], f0=np.nan_to_num(raw["f0"]),
+            voiced_flag=raw["voiced_flag"], active_probs=raw["voiced_probs"],
+            rms=raw["rms"], sr=SR, hop_length=AUDIO.hop_length,
+            onset_env=raw["onset_env"]), SR, AUDIO.hop_length)
+
+    m = note_event_f1(ev(st16), ev(st8))
+    assert m["f1"] == 1.0, m
 
 
 def test_stream_mode_via_facades():
