@@ -348,6 +348,104 @@ def main() -> None:
         print("# streamed 600s neural:", file=sys.stderr)
         neural_stream_rtf = 600.0 / _median_time(neural_stream_iter, 3)
 
+    # ---------------- device-bound RTF probe (resident buffers) -------------
+    # Everything above is TRANSPORT-bound (CLAUDE.md: ~60 ms upload + 2x
+    # ~27 ms tunnel latency vs ~50 ms device compute on 60 s) — this probe
+    # makes the kernel headroom a tracked number (VERDICT r2 #9): upload
+    # once, enqueue N dispatches against the resident buffer, fetch only
+    # the last output.  Dispatches pipeline through the async runtime, so
+    # (t_N - t_1)/(N-1) isolates per-iteration device compute.
+    import jax.numpy as jnp
+
+    from aegis_tpu.core.analyze import (analyze_financial_program_packed,
+                                        analyze_program_packed,
+                                        pad_to_bucket, quantize_pcm8)
+
+    y_pad = pad_to_bucket(y)
+    y8, s8 = quantize_pcm8(y_pad)
+    y_dev, s_dev = jnp.asarray(y8), jnp.asarray(s8)
+    rs_dev = jnp.float32(0.6)
+
+    def _device_rtf(call, audio_s: float, n: int = 9) -> float:
+        np.asarray(call())  # compile + warm
+
+        def probe(k):
+            outs = [call() for _ in range(k)]
+            np.asarray(outs[-1])
+
+        t1 = _median_time(lambda: probe(1), 3)
+        tn = _median_time(lambda: probe(n), 3)
+        per_iter = max((tn - t1) / (n - 1), 1e-6)
+        return audio_s / per_iter
+
+    print("# device-bound probe: financial", file=sys.stderr)
+    device_rtf_fin = _device_rtf(
+        lambda: analyze_financial_program_packed(
+            y_dev, s_dev, rs_dev, engine.audio, engine.pyin_cfg, True,
+            False), duration)
+    print("# device-bound probe: v1", file=sys.stderr)
+    device_rtf_v1 = _device_rtf(
+        lambda: analyze_program_packed(y_dev, s_dev, rs_dev, engine.audio,
+                                       engine.pyin_cfg, False), duration)
+    from aegis_tpu.core.analyze import quantize_pcm16 as _q16
+
+    yp_pad = pad_to_bucket(yp)
+    yp16, sp = _q16(yp_pad)
+    yp_dev, sp_dev = jnp.asarray(yp16), jnp.float32(sp)
+    print("# device-bound probe: poly", file=sys.stderr)
+    from aegis_tpu.core.poly import analyze_poly_program_packed
+
+    device_rtf_poly = _device_rtf(
+        lambda: analyze_poly_program_packed(yp_dev, sp_dev, sr, poly.n_fft,
+                                            poly.hop_length, poly.n_bins,
+                                            poly.bins_per_octave,
+                                            poly.max_voices), tpoly)
+
+    # ---------------- live streaming: feed->first-event latency + poll ------
+    # The live path's whole point is latency, yet no artifact captured it
+    # (VERDICT r2 weak #4).  Latency = audio time fed when poll_events()
+    # first returns a note, minus that note's onset — the intrinsic tile+
+    # halo lookahead plus detection physics.  Poll cost = median wall per
+    # poll_events() at steady state on a 60 s session.
+    from aegis_tpu.engine.realtime import (StreamingPolyTranscriber,
+                                           StreamingTranscriber)
+
+    def _live_bench(make, y_src, hop, poll_every_s: float = 0.5,
+                    chunk_s: float = 0.1):
+        rt = make()
+        chunk = int(chunk_s * sr)
+        poll_every = max(1, int(poll_every_s / chunk_s))
+        latency = None
+        polls = []
+        for k, i in enumerate(range(0, len(y_src), chunk)):
+            rt.feed(y_src[i:i + chunk])
+            if k % poll_every:
+                continue
+            t0 = time.time()
+            ev = rt.poll_events()
+            polls.append(time.time() - t0)
+            if ev and latency is None:
+                onset = min(e["start"] for e in ev) * hop / sr
+                latency = (i + chunk) / sr - onset
+        steady = sorted(polls[len(polls) // 2:])
+        return latency, 1e3 * steady[len(steady) // 2]
+
+    y60 = y[: int(60 * sr)]
+    print("# live v1 60s:", file=sys.stderr)
+    lat_v1, poll_v1 = _live_bench(lambda: StreamingTranscriber(), y60, 512)
+    print("# live financial 60s:", file=sys.stderr)
+    lat_fin, poll_fin = _live_bench(
+        lambda: StreamingTranscriber(financial=True), y60, 512)
+    print("# live poly 60s (chord loop):", file=sys.stderr)
+    yp60 = np.tile(yp, 6)[: int(60 * sr)]
+    lat_poly, poll_poly = _live_bench(
+        lambda: StreamingPolyTranscriber(sample_rate=sr), yp60, 512)
+    # 10-minute session: does the poll cost stay bounded as history grows?
+    print("# live financial 10min (poll scaling):", file=sys.stderr)
+    _, poll_fin_10m = _live_bench(
+        lambda: StreamingTranscriber(financial=True), ylong,
+        512, poll_every_s=5.0)
+
     # ---------------- technique verifier ------------------------------------
     # the KS test track has no bends — craft a vibrato+bend clip so the
     # verifier actually exercises its with/without synthesis comparison
@@ -389,6 +487,16 @@ def main() -> None:
         "effect_loop_s": round(effect_loop_s, 3),
         "stream_10min_rtf": round(stream_rtf, 1),
         "neural_stream_10min_rtf": round(neural_stream_rtf, 1),
+        "device_rtf_fin": round(device_rtf_fin, 1),
+        "device_rtf_v1": round(device_rtf_v1, 1),
+        "device_rtf_poly": round(device_rtf_poly, 1),
+        "live_latency_s_v1": round(lat_v1, 3) if lat_v1 else None,
+        "live_latency_s_fin": round(lat_fin, 3) if lat_fin else None,
+        "live_latency_s_poly": round(lat_poly, 3) if lat_poly else None,
+        "live_poll_ms_v1": round(poll_v1, 1),
+        "live_poll_ms_fin": round(poll_fin, 1),
+        "live_poll_ms_poly": round(poll_poly, 1),
+        "live_poll_ms_fin_10min": round(poll_fin_10m, 1),
         "device": "tpu",
     }))
 
