@@ -256,12 +256,17 @@ def cmd_stream(args) -> int:
 
     import numpy as np
 
+    lat = {}
+    if getattr(args, "tile_frames", None):
+        lat["tile_frames"] = args.tile_frames
+    if getattr(args, "halo_frames", None):
+        lat["halo_frames"] = args.halo_frames
     if args.engine == "poly":
         from aegis_tpu.engine.realtime import StreamingPolyTranscriber
 
         kw = ({"confidence_threshold": args.confidence}
               if args.confidence is not None else {})
-        rt = StreamingPolyTranscriber(sample_rate=args.sr, **kw)
+        rt = StreamingPolyTranscriber(sample_rate=args.sr, **kw, **lat)
     else:
         from aegis_tpu.config import AudioConfig
         from aegis_tpu.engine.realtime import StreamingTranscriber
@@ -273,7 +278,7 @@ def cmd_stream(args) -> int:
             kw["confidence_threshold"] = 0.5
         rt = StreamingTranscriber(audio=AudioConfig(sample_rate=args.sr),
                                   financial=(args.engine == "financial"),
-                                  **kw)
+                                  **kw, **lat)
     print(f"# engine={args.engine} sr={args.sr} "
           f"lookahead={rt.lookahead_s:.2f}s", file=sys.stderr)
 
@@ -471,6 +476,13 @@ def main(argv=None) -> int:
     p.add_argument("--confidence", type=float, default=None)
     p.add_argument("--poll-every", type=float, default=2.0,
                    help="seconds of audio between live event prints")
+    p.add_argument("--tile-frames", type=int, default=None,
+                   help="live tile size in frames (default 64); smaller "
+                        "tiles cut the feed->event lookahead at more "
+                        "dispatches/sec (see engine/realtime.py)")
+    p.add_argument("--halo-frames", type=int, default=None,
+                   help="halo context frames per side (default 32 v1/"
+                        "financial, 8 poly)")
     p.add_argument("--midi-program", type=int, default=None,
                    help="GM program (default: the engine's own — poly 25, "
                         "v1 27; financial uses its named-track encoder)")

@@ -13,10 +13,13 @@ one jit per (tile, halo) config) with two online adaptations:
     the offline turbo rows exactly (tested: a loud-first clip reproduces
     run_analyze_turbo's events at F1 = 1.0).
   * Bounded lookahead: a tile is analyzed only once its right halo has
-    arrived, so the intrinsic latency is (tile + halo) frames
-    (`lookahead_s`) — ~1.5 s at the default realtime config, with the
+    arrived, so the intrinsic latency is (tile + halo·hop + fl/2) samples
+    (`lookahead_s`) — 2.28 s at the default (64, 32) config; measured
+    end-to-end feed→first-event 2.58 s on the chip (bench.py
+    `live_latency_s_*`: lookahead + the event-birth physics), with the
     device dispatch (~30-60 ms/tile through the tunnel) far inside the
-    budget.
+    budget.  Lower-latency sessions pass smaller `tile_frames`/
+    `halo_frames` (exposed on `/api/stream-start`).
 
 Host memory grows only by the per-frame output rows (~40 B/frame);
 `poll_events()` re-runs the (native C++) event extraction over the

@@ -210,6 +210,30 @@ class AegisServer:
         events = self.engine.extract_events(sess["raw_data"], buf, **params)
         return events, buf.getvalue(), params
 
+    def _extract_auto(self, analysis: Dict, query: Dict[str, str]):
+        """Phase-2 of the routed engine: route + merge + encode from the
+        cached dual analysis.  Tuning knobs pass through ONLY when the
+        client sent them — the router's defaults are the measured routing
+        semantics (engine/auto.py), and they feed BOTH sub-pipelines."""
+        eng = self.auto_engine
+        bpm = _parse_bpm_400(query.get("bpm"))
+        if bpm == "auto":
+            from aegis_tpu.core.tempo import estimate_tempo
+
+            bpm = estimate_tempo(analysis["poly"]["onset_env"],
+                                 eng.sr, eng.hop_length)
+        tuning = {name: coerce(query, name, None, float)
+                  for name in ("confidence_threshold",
+                               "min_note_duration_ms", "sustain_ms",
+                               "v1_sustain_ms")
+                  if name in query}
+        buf = io.BytesIO()
+        events = eng.extract_events(
+            analysis, buf,
+            midi_program=coerce(query, "midi_program", 25),
+            bpm=bpm, **tuning)
+        return events, buf.getvalue(), bpm
+
     def _extract_poly(self, sess: Dict, query: Dict[str, str]):
         bpm = _parse_bpm_400(query.get("bpm"))
         if bpm == "auto":
@@ -664,23 +688,16 @@ class AegisServer:
             if analysis is None:
                 raise HTTPError(400, "Analysis failed - empty audio?")
             analysis.pop("y", None)
-            events = eng.extract_events(analysis)
-            bpm = _parse_bpm_400(query.get("bpm"))
-            if bpm == "auto":
-                from aegis_tpu.core.tempo import estimate_tempo
-
-                bpm = estimate_tempo(analysis["poly"]["onset_env"],
-                                     eng.sr, eng.hop_length)
-            from aegis_tpu.midi.encode import events_to_midi as _etm
-
-            midi_data = _etm(events, eng.sr, eng.hop_length,
-                             midi_program=coerce(query, "midi_program", 25),
-                             bpm=bpm, output=None)
+            events, midi_data, bpm = self._extract_auto(analysis, query)
             # the session's frame grid is the AUTO engine's (CLAUDE.md
             # invariant: every frame->time consumer reads _sess_sr/_sess_hop)
             sess["sample_rate"] = eng.sr
             sess["hop_length"] = eng.hop_length
+            # auto_analysis is the Phase-1 cache for /api/refilter-auto;
+            # poly_analysis additionally feeds the shared chord-aware tabs
+            # path (same plane the auto analysis carries)
             self.sessions.update(sid, events=events, midi_data=midi_data,
+                                 auto_analysis=analysis,
                                  poly_analysis=analysis["poly"])
             return json_response({
                 "session_id": sid,
@@ -691,6 +708,27 @@ class AegisServer:
                 "sample_rate": eng.sr,
                 "hop_length": eng.hop_length,
                 "message": f"Auto (routed) analysis: {len(events)} notes",
+            })
+
+        @r.post("/api/refilter-auto/{sid}")
+        def refilter_auto(sid, query, **kw):
+            """Phase-2-only instant re-extract for the routed engine: the
+            cached dual analysis (v1 rows + poly raw voices) re-routes
+            with new knobs without touching the device."""
+            sess = self._sess(sid)
+            if not isinstance(sess.get("auto_analysis"), dict):
+                raise HTTPError(400, "No routed analysis. Run "
+                                     "/api/analyze-auto first.")
+            events, midi_data, bpm = self._extract_auto(
+                sess["auto_analysis"], query)
+            self.sessions.update(sid, events=events, midi_data=midi_data)
+            return json_response({
+                "num_events": len(events),
+                "events": _events_json(events),
+                "midi_base64": base64.b64encode(midi_data).decode(),
+                "bpm": bpm,
+                "sample_rate": self.auto_engine.sr,
+                "hop_length": self.auto_engine.hop_length,
             })
 
         @r.post("/api/refilter-poly/{sid}")

@@ -241,7 +241,7 @@ def test_spa_id_references_consistent():
     missing = used - declared
     assert not missing, f"SPA references undeclared ids: {sorted(missing)}"
     # core controls present
-    assert {"file", "drop", "analyze", "conf", "turbo", "poly"} <= declared
+    assert {"file", "drop", "analyze", "conf", "turbo", "engmode"} <= declared
 
 
 def test_spa_endpoints_exist_on_server():

@@ -212,6 +212,14 @@ def test_polyphonic_endpoints(server_url):
     assert {60, 64, 67} <= {e["note"] for e in j["events"]}, j["events"]
     assert j["hop_length"] in (512, 1024)
 
+    # Phase-2-only instant re-route from the cached dual analysis
+    status, _, data = _req(
+        f"{server_url}/api/refilter-auto/{sid}?bpm=auto", "POST")
+    assert status == 200
+    j2 = json.loads(data)
+    assert {60, 64, 67} <= {e["note"] for e in j2["events"]}
+    assert j2["midi_base64"]
+
     # refilter-poly without poly analysis -> 400
     status, _, data = _req(f"{server_url}/api/upload?name=x.wav", "POST",
                            buf.getvalue())
