@@ -112,6 +112,40 @@ def test_streaming_poly_matches_offline():
     assert note_event_f1(truth, events_to_seconds(got, SR, 512))["f1"] == 1.0
 
 
+def test_low_latency_configs():
+    """The documented low-latency presets (VALIDATION.md round 3: on-chip
+    sweep measured truth F1 1.0000 at every config) hold event accuracy
+    on the virtual mesh too: smaller tiles change seam positions, not
+    event content."""
+    from aegis_tpu.config import AudioConfig
+    from aegis_tpu.engine.realtime import (StreamingPolyTranscriber,
+                                           StreamingTranscriber)
+    from aegis_tpu.tools.signal_gen import (generate_bench_track,
+                                            generate_chord_progression)
+    from aegis_tpu.verify.metrics import events_to_seconds, note_event_f1
+
+    # the sweep's exact 20 s clip (a 10 s cut loses its duration-truncated
+    # final note to the min-duration floor — measured, not seam-related)
+    y, truth = generate_bench_track(20.0, sr=SR, return_truth=True)
+    rt = StreamingTranscriber(audio=AudioConfig(sample_rate=SR),
+                              tile_frames=16, halo_frames=8,
+                              confidence_threshold=0.5)
+    rt.feed(y)
+    got = rt.finalize()
+    assert rt.lookahead_s < 0.7
+    f1 = note_event_f1(truth, events_to_seconds(got, SR, 512))["f1"]
+    assert f1 == 1.0, f1
+
+    yc, tc = generate_chord_progression(7, sr=SR)
+    rp = StreamingPolyTranscriber(sample_rate=SR, tile_frames=24,
+                                  halo_frames=8)
+    rp.feed(yc)
+    gotp = rp.finalize()
+    assert rp.lookahead_s < 0.9
+    f1p = note_event_f1(tc, events_to_seconds(gotp, SR, 512))["f1"]
+    assert f1p == 1.0, f1p
+
+
 def test_streaming_poly_buffer_bounded():
     """The raw-sample buffer is trimmed as tiles complete — host memory is
     bounded by (tile + 2*ctx) samples plus the per-frame output rows."""
