@@ -444,9 +444,10 @@ def main(argv=None) -> int:
                    help="neural = PitchNet dispatch-ahead sweep (the "
                         "fastest folder path)")
     p.add_argument("--engine", default="v1",
-                   choices=["v1", "financial", "poly"],
+                   choices=["v1", "financial", "poly", "auto"],
                    help="pipeline per track: v1 two-phase (default), "
-                        "financial 5-phase, or polyphonic CQT")
+                        "financial 5-phase, polyphonic CQT, or the "
+                        "polyphony-aware router (auto)")
     p.add_argument("--transport", default="int8",
                    choices=["int8", "int4", "int16", "float32"],
                    help="audio upload packing (int4 = throughput-over-"

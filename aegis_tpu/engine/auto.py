@@ -261,6 +261,39 @@ def route_events(v1_events: List[dict], poly_events: List[dict],
     return kept
 
 
+def dispatch_analyze_auto(y: np.ndarray, eng: "AegisAutoEngine",
+                          rake_sensitivity: float = 0.6):
+    """Async half of the dual-program analyze (mirrors
+    core.analyze.dispatch_analyze): bucket-pad, int8-quantize, dispatch
+    the fused v1+peel program and return a handle WITHOUT blocking — a
+    folder sweep puts every track in flight before fetching any.
+    Resolve with fetch_analyze_auto(handle, eng)."""
+    import jax.numpy as jnp
+
+    true_frames = 1 + len(y) // eng.hop_length
+    n = bucket_length(len(y))
+    # int8 block-float transport: proven transparent for BOTH halves
+    # (v1 gating clips F1 1.0000, core/analyze.py::quantize_pcm8;
+    # poly 32-case sweep identical F1, engine/poly.py docstring)
+    y8, s = quantize_pcm8(np.pad(np.asarray(y, np.float32),
+                                 (0, n - len(y))))
+    buf = analyze_auto_program_packed(
+        jnp.asarray(y8), jnp.asarray(s), jnp.float32(rake_sensitivity),
+        eng.audio, eng.pyin_cfg, eng.n_fft_poly, eng.n_bins,
+        eng.bins_per_octave, eng.max_voices)
+    return buf, true_frames
+
+
+def fetch_analyze_auto(handle, eng: "AegisAutoEngine") -> Dict:
+    """Blocking half: one packed transfer, host unpack of both halves."""
+    buf, true_frames = handle
+    buf = np.asarray(buf)[:true_frames]
+    n_v1 = len(_V1_ROWS)
+    return {"v1": _unpack(buf[:, :n_v1], _V1_ROWS, n_mels=0),
+            "poly": P.unpack_poly_voices(buf[:, n_v1:], eng.max_voices,
+                                         eng.bins_per_octave)}
+
+
 class AegisAutoEngine:
     """Two-phase polyphony-aware engine: ONE analyze() upload feeds both
     sub-pipelines; extract_events() routes per the module docstring."""
@@ -283,8 +316,6 @@ class AegisAutoEngine:
 
     def analyze(self, input_wav: Union[str, bytes, np.ndarray],
                 **kwargs) -> Optional[Dict[str, np.ndarray]]:
-        import jax.numpy as jnp
-
         if isinstance(input_wav, np.ndarray):
             y = input_wav.astype(np.float32)
         else:
@@ -296,22 +327,10 @@ class AegisAutoEngine:
             return None
         log.info(f"Auto Perception Phase ({len(y)/self.sr:.1f}s, "
                  f"pyin + <= {self.max_voices} voices)")
-        true_frames = 1 + len(y) // self.hop_length
-        n = bucket_length(len(y))
-        # int8 block-float transport: proven transparent for BOTH halves
-        # (v1 gating clips F1 1.0000, core/analyze.py::quantize_pcm8;
-        # poly 32-case sweep identical F1, engine/poly.py docstring)
-        y8, s = quantize_pcm8(np.pad(y, (0, n - len(y))))
-        buf = np.asarray(analyze_auto_program_packed(
-            jnp.asarray(y8), jnp.asarray(s),
-            jnp.float32(kwargs.get("rake_sensitivity", 0.6)),
-            self.audio, self.pyin_cfg, self.n_fft_poly, self.n_bins,
-            self.bins_per_octave, self.max_voices))[:true_frames]
-        n_v1 = len(_V1_ROWS)
-        v1 = _unpack(buf[:, :n_v1], _V1_ROWS, n_mels=0)
-        poly = P.unpack_poly_voices(buf[:, n_v1:], self.max_voices,
-                                    self.bins_per_octave)
-        return {"v1": v1, "poly": poly, "y": y}
+        out = fetch_analyze_auto(dispatch_analyze_auto(
+            y, self, kwargs.get("rake_sensitivity", 0.6)), self)
+        out["y"] = y
+        return out
 
     # ----------------------------------------------------------- phase two
 

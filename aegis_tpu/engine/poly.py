@@ -332,10 +332,12 @@ def transcribe_folder(
     """
     from aegis_tpu.engine.turbo import run_analyze_batch
 
-    if engine not in ("v1", "financial", "poly"):
-        raise ValueError(f"unknown engine: {engine!r} (v1 | financial | poly)")
-    if engine == "poly" and pitch_backend != "pyin":
-        raise ValueError("the polyphonic engine has no neural backend")
+    if engine not in ("v1", "financial", "poly", "auto"):
+        raise ValueError(f"unknown engine: {engine!r} "
+                         "(v1 | financial | poly | auto)")
+    if engine in ("poly", "auto") and pitch_backend != "pyin":
+        raise ValueError("the polyphonic/routed engines embed their own "
+                         "pitch stacks (no neural backend)")
     if pitch_backend not in ("pyin", "neural"):
         raise ValueError(f"unknown pitch backend: {pitch_backend!r}")
     if transport not in ("int8", "int4", "int16", "float32"):
@@ -384,6 +386,34 @@ def transcribe_folder(
     # same persistent-cache programs single-track runs compile, where a
     # common max-length pad would mint a shape nothing else uses.  Only
     # the sharded mesh paths need a common-length stacked batch.
+    if engine == "auto":
+        # the polyphony-aware router (engine/auto.py): dispatch-ahead of
+        # the fused dual program per track (no sharded dual program
+        # exists; a mesh request still works, one chip's worth at a time,
+        # logged rather than refused — the matrix convention the neural
+        # tiles fallback set)
+        from aegis_tpu.engine.auto import (AegisAutoEngine,
+                                           dispatch_analyze_auto,
+                                           fetch_analyze_auto)
+
+        if mesh is not None:
+            log.info("auto engine has no sharded batch path; running "
+                     "dispatch-ahead on the default device")
+        aeng = AegisAutoEngine(sample_rate=sample_rate)
+        handles = [dispatch_analyze_auto(y, aeng, rake_sensitivity)
+                   for y in tracks]
+        per_track = [fetch_analyze_auto(h, aeng) for h in handles]
+        results = []
+        for i, p in enumerate(paths):
+            mid_path = os.path.join(
+                output_dir,
+                os.path.splitext(os.path.basename(p))[0] + ".mid")
+            events = aeng.extract_events(per_track[i], output_mid=mid_path,
+                                         **extract_kwargs)
+            results.append((p, mid_path, len(events)))
+            log.info(f"  {os.path.basename(p)}: {len(events)} events")
+        return results
+
     if engine == "poly":
         peng = AegisPolyEngine(sample_rate=sample_rate)
         if single_chip:

@@ -75,6 +75,35 @@ def test_pure_mono_floor(auto_engine):
     assert _f1(auto_engine, y, truth) >= 0.90
 
 
+def test_folder_batch_auto(auto_engine, tmp_path):
+    """transcribe_folder(engine="auto"): dispatch-ahead of the fused dual
+    program per track; folder events must match the per-track facade."""
+    from aegis_tpu.engine.poly import transcribe_folder
+    from aegis_tpu.io import write_wav
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    clips = {}
+    for seed in (1, 2):
+        y, truth = generate_mixed_clip(seed)
+        write_wav(str(tmp_path / f"m{seed}.wav"), y, SR)
+        clips[f"m{seed}.wav"] = (y, truth)
+    results = transcribe_folder(str(tmp_path), sample_rate=SR,
+                                engine="auto")
+    assert len(results) == 2
+    for wav_path, mid_path, n in results:
+        y, truth = clips[wav_path.split("/")[-1]]
+        facade = auto_engine.extract_events(auto_engine.analyze(y))
+        assert n == len(facade), (wav_path, n, len(facade))
+        notes = midi_to_notes(open(mid_path, "rb").read())
+        est = [{"note": e["note"], "start": e["start"], "end": e["end"]}
+               for e in notes]
+        assert note_event_f1(truth, est)["f1"] >= 0.9
+
+    with pytest.raises(ValueError):
+        transcribe_folder(str(tmp_path), engine="auto",
+                          pitch_backend="neural")
+
+
 def test_polyphony_regions_simultaneity():
     """Only simultaneous-onset groups mark chordal frames; offset
     overlaps (a legato mono line's CQT smear) do not, and sub-minimum
