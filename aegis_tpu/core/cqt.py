@@ -147,17 +147,25 @@ def split_events_at_onsets(events: list, onsets: np.ndarray,
         return events
     if tail_frames is None:
         tail_frames = min_frames
+    # onsets arrive ascending (pick_onsets emits peak indices in order);
+    # searchsorted restricts each event to its own onset window — the old
+    # full scan per event was O(events x onsets) and dominated the LIVE
+    # poll cost on long sessions (profiled round 3: 0.52 s of a 0.65 s
+    # poll at 5 min was this loop's 1.45M generator steps)
+    ons = np.asarray(onsets, np.int64)
     out = []
     for e in events:
         # keep each cut at least min_frames from BOTH the event bounds and
-        # the previous accepted cut, so no sub-minimum segment is created
+        # the previous accepted cut, so no sub-minimum segment is created.
+        # Strict lower bound: a segment [prev, o-1] has duration
+        # (end - start) == o - prev - 1, so o == prev + min_frames would
+        # emit a segment one frame below the caller's minimum.
+        lo = int(np.searchsorted(ons, e["start"] + min_frames, side="right"))
+        hi = int(np.searchsorted(ons, e["end"] - tail_frames, side="right"))
         cuts = []
         prev = e["start"]
-        for o in (int(o) for o in onsets):
-            # strict lower bound: a segment [prev, o-1] has duration
-            # (end - start) == o - prev - 1, so o == prev + min_frames would
-            # emit a segment one frame below the caller's minimum
-            if prev + min_frames < o <= e["end"] - tail_frames:
+        for o in ons[lo:hi].tolist():
+            if prev + min_frames < o:
                 cuts.append(o)
                 prev = o
         if not cuts:
