@@ -481,6 +481,12 @@ def decay_prune(events: List[dict], onsets: np.ndarray,
     inter-onset gap while a concurrent event clearly sustains the gap is
     broadband attack energy that briefly won a CQT bin, not a note."""
     on = np.asarray(sorted(onsets), np.int64)
+    # start-sorted view for the concurrency probe: the candidate set is
+    # |o.start - e.start| <= tol, a binary-searchable window (the full
+    # per-event scan was O(E^2) and measurably dominated live poly polls
+    # on long sessions)
+    by_start = sorted(events, key=lambda o: o["start"])
+    starts = np.asarray([o["start"] for o in by_start], np.int64)
     out = []
     for e in events:
         i = int(np.searchsorted(on, e["start"], "right")) - 1
@@ -494,10 +500,12 @@ def decay_prune(events: List[dict], onsets: np.ndarray,
         if (e["end"] - e["start"] + 1) >= frac * gap:
             out.append(e)
             continue
+        lo = int(np.searchsorted(starts, e["start"] - concurrent_tol))
+        hi = int(np.searchsorted(starts, e["start"] + concurrent_tol,
+                                 "right"))
         sustained = any(
-            (o is not e) and abs(o["start"] - e["start"]) <= concurrent_tol
-            and (o["end"] - o["start"] + 1) >= 0.7 * gap
-            for o in events)
+            (o is not e) and (o["end"] - o["start"] + 1) >= 0.7 * gap
+            for o in by_start[lo:hi])
         if not sustained:
             out.append(e)
     return out
