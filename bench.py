@@ -440,10 +440,19 @@ def main() -> None:
     yp60 = np.tile(yp, 6)[: int(60 * sr)]
     lat_poly, poll_poly = _live_bench(
         lambda: StreamingPolyTranscriber(sample_rate=sr), yp60, 512)
-    # 10-minute session: does the poll cost stay bounded as history grows?
+    # 10-minute sessions: does the poll cost stay bounded as history
+    # grows?  (VERDICT r2 #5 asks all three engines at both lengths.)
+    print("# live v1 10min (poll scaling):", file=sys.stderr)
+    _, poll_v1_10m = _live_bench(lambda: StreamingTranscriber(), ylong,
+                                 512, poll_every_s=5.0)
     print("# live financial 10min (poll scaling):", file=sys.stderr)
     _, poll_fin_10m = _live_bench(
         lambda: StreamingTranscriber(financial=True), ylong,
+        512, poll_every_s=5.0)
+    print("# live poly 10min (poll scaling):", file=sys.stderr)
+    yp10 = np.tile(yp, 60)[: len(ylong)]
+    _, poll_poly_10m = _live_bench(
+        lambda: StreamingPolyTranscriber(sample_rate=sr), yp10,
         512, poll_every_s=5.0)
 
     # ---------------- technique verifier ------------------------------------
@@ -496,7 +505,9 @@ def main() -> None:
         "live_poll_ms_v1": round(poll_v1, 1),
         "live_poll_ms_fin": round(poll_fin, 1),
         "live_poll_ms_poly": round(poll_poly, 1),
+        "live_poll_ms_v1_10min": round(poll_v1_10m, 1),
         "live_poll_ms_fin_10min": round(poll_fin_10m, 1),
+        "live_poll_ms_poly_10min": round(poll_poly_10m, 1),
         "device": "tpu",
     }))
 
