@@ -691,6 +691,29 @@ def _env_shape(env_db: np.ndarray, fps: float,
     return resid, abs(s_late - s_early)
 
 
+def _overlap_rows(events: List[dict], chunk: int = 512) -> List[np.ndarray]:
+    """Per-event index arrays of CONCURRENT events — the recovery chain's
+    shared scan ``[o for o in events if o is not e and o["start"] <=
+    e["end"] and e["start"] <= o["end"]]`` evaluated as one vectorized
+    pair comparison instead of a Python generator per event.  The
+    O(E^2) generator steps dominated long live-session polls (profiled
+    round 3: 2.9M steps / 2.7 s per poll at 10 minutes); row-chunking
+    bounds the pair matrix at ~0.5 MB.  Index order equals list order,
+    so ``[events[j] for j in rows[i]]`` reproduces the scan exactly."""
+    n = len(events)
+    starts = np.fromiter((e["start"] for e in events), np.int64, n)
+    ends = np.fromiter((e["end"] for e in events), np.int64, n)
+    rows: List[np.ndarray] = []
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        ov = (starts[None, :] <= ends[i0:i1, None]) \
+            & (starts[i0:i1, None] <= ends[None, :])
+        for k in range(i0, i1):
+            ov[k - i0, k] = False
+        rows.extend(np.nonzero(ov[r])[0] for r in range(i1 - i0))
+    return rows
+
+
 def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
                    start_tol: int = 4) -> List[dict]:
     """Drop an event whose pitch is a harmonic interval above a concurrent
@@ -701,20 +724,30 @@ def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
     direct-energy evidence is envelope-measured (rescue_dead_fundamentals)
     and their weak-fundamental salience is exactly what this ratio would
     re-kill."""
-    out = []
-    for e in events:
-        if e.get("rescued_root"):
-            out.append(e)
-            continue
-        dominated = any(
-            (o is not e)
-            and (e["note"] - o["note"]) in HARMONIC_INTERVALS
-            and o["start"] - start_tol <= e["start"] <= o["end"]
-            and e.get("salience", 0.0) < sal_ratio * o.get("salience", 0.0)
-            for o in events)
-        if not dominated:
-            out.append(e)
-    return out
+    n_ev = len(events)
+    if not n_ev:
+        return []
+    # one vectorized pair sweep instead of the O(E^2) generator scan
+    # (same predicates, diagonal = the ``o is not e`` exclusion)
+    notes = np.fromiter((e["note"] for e in events), np.int64, n_ev)
+    starts = np.fromiter((e["start"] for e in events), np.int64, n_ev)
+    ends = np.fromiter((e["end"] for e in events), np.int64, n_ev)
+    sals = np.fromiter((e.get("salience", 0.0) for e in events),
+                       np.float64, n_ev)
+    harm = np.fromiter(HARMONIC_INTERVALS, np.int64,
+                       len(HARMONIC_INTERVALS))
+    dom = np.zeros(n_ev, bool)
+    for i0 in range(0, n_ev, 512):
+        i1 = min(i0 + 512, n_ev)
+        m = np.isin(notes[i0:i1, None] - notes[None, :], harm) \
+            & (starts[None, :] - start_tol <= starts[i0:i1, None]) \
+            & (starts[i0:i1, None] <= ends[None, :]) \
+            & (sals[i0:i1, None] < sal_ratio * sals[None, :])
+        for k in range(i0, i1):
+            m[k - i0, k] = False
+        dom[i0:i1] = m.any(axis=1)
+    return [e for e, d in zip(events, dom)
+            if e.get("rescued_root") or not d]
 
 
 def _default_n_fft(sr: int) -> int:
@@ -790,9 +823,9 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
 
     out = list(events)
     minted: set = set()
-    for e in events:
-        concurrent = [o for o in events if o is not e
-                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+    rows = _overlap_rows(events)
+    for i, e in enumerate(events):
+        concurrent = [events[j] for j in rows[i]]
         group = concurrent + [e]
         lo = e["start"] + int(attack_skip_s * fps)
         hi = min(e["end"] - 1, cqt_mag.shape[0])
@@ -939,7 +972,8 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
         return _med(db[lo:hi, b])
 
     out = []
-    for e in events:
+    rows = _overlap_rows(events)
+    for i, e in enumerate(events):
         if (e.get("recovered_octave") or e.get("recovered_fifth")
                 or e.get("repitched_octave") or e.get("rescued_root")):
             out.append(e)
@@ -961,10 +995,10 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
             return own <= med_env(o["note"] - fmin, lo, hi) - need
 
         leaked = any(
-            o is not e and o["note"] != e["note"]
-            and o["start"] <= e["end"] and e["start"] <= o["end"]
-            and 0 <= o["note"] - fmin < n_bins and _leaks(o)
-            for o in events)
+            events[j]["note"] != e["note"]
+            and 0 <= events[j]["note"] - fmin < n_bins
+            and _leaks(events[j])
+            for j in rows[i])
         if not leaked:
             out.append(e)
     return out
@@ -993,18 +1027,18 @@ def drop_composite_harmonic_ghosts(events: List[dict],
     two detected parent lines, so this judges peel picks only in
     practice."""
     out = []
-    for e in events:
+    rows = _overlap_rows(events)
+    for i, e in enumerate(events):
         f_e = midi_to_hz(e["note"])
-        parents = {o["note"] for o in events if o is not e
-                   and o["note"] < e["note"]
-                   and o["start"] <= e["end"] and e["start"] <= o["end"]
+        conc = [events[j] for j in rows[i]]
+        parents = {o["note"] for o in conc
+                   if o["note"] < e["note"]
                    and any(abs(12.0 * np.log2(
                        f_e / (h * midi_to_hz(o["note"])))) <= line_tol_semis
                            for h in line_harmonics)}
         if len(parents) >= 2:
-            psal = max(o.get("salience", 0.0) for o in events
-                       if o is not e and o["note"] in parents
-                       and o["start"] <= e["end"] and e["start"] <= o["end"])
+            psal = max(o.get("salience", 0.0) for o in conc
+                       if o["note"] in parents)
             if e.get("salience", 0.0) < sal_guard * psal:
                 continue
         out.append(e)
@@ -1088,13 +1122,13 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     def env_shape(env_db):
         return _env_shape(env_db, fps)
 
-    for e in events:
+    rows = _overlap_rows(events)
+    for i, e in enumerate(events):
         n = e["note"]
         b0, b12 = n - fmin, n + 12 - fmin
         if not (0 <= b0 < n_bins and b12 < n_bins):
             continue
-        concurrent = [o for o in events if o is not e
-                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+        concurrent = [events[j] for j in rows[i]]
         if any(o["note"] == n + 12 for o in concurrent):
             continue
         sal = e.get("salience", 0.0)
@@ -1248,7 +1282,8 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     out = []
-    for e in events:
+    rows = _overlap_rows(events)
+    for i, e in enumerate(events):
         n = e["note"]
         b0, b12 = n - fmin, n + 12 - fmin
         if not (0 <= b0 < n_bins and b12 < n_bins):
@@ -1259,8 +1294,7 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
             # level test here would re-judge exactly that weakness
             out.append(e)
             continue
-        concurrent = [o for o in events if o is not e
-                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+        concurrent = [events[j] for j in rows[i]]
         if any(o["note"] < n for o in concurrent):
             out.append(e)
             continue
@@ -1283,9 +1317,7 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
             for o in concurrent)
         dead = own < track_max_db - abs_floor_db or leak_dead
         if dead and up - own >= margin_db:
-            dup = any(o is not e and o["note"] == n + 12
-                      and o["start"] <= e["end"] and e["start"] <= o["end"]
-                      for o in events)
+            dup = any(o["note"] == n + 12 for o in concurrent)
             if not dup:
                 out.append({**e, "note": n + 12, "repitched_octave": True})
             continue
@@ -1337,13 +1369,20 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
     n_bins = cqt_mag.shape[1]
     out = list(events)
     track_max_db = float(np.max(db))
-    for e in events:
+    rows = _overlap_rows(events)
+    appended: List[dict] = []
+    for i, e in enumerate(events):
         n = e["note"]
         b0, b7 = n - fmin, n + 7 - fmin
         if not (0 <= b0 < n_bins and b7 < n_bins):
             continue
-        concurrent = [o for o in out if o is not e
-                      and o["start"] <= e["end"] and e["start"] <= o["end"]]
+        # the original scan walks the GROWING ``out`` (base events in list
+        # order, then fifths recovered by earlier iterations) — rebuild
+        # that exact order from the precomputed base rows + the short
+        # appended tail
+        concurrent = [events[j] for j in rows[i]] \
+            + [a for a in appended
+               if a["start"] <= e["end"] and e["start"] <= a["end"]]
         if any(abs(o["note"] - (n + 7)) <= 2 for o in concurrent):
             continue
         sal = e.get("salience", 0.0)
@@ -1374,9 +1413,11 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
         if resid > max_resid or a * fps > 0.0:
             continue
         lvl = med7 - _med(env0)
-        out.append({**e, "note": n + 7,
-                    "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
-                    "recovered_fifth": True})
+        new = {**e, "note": n + 7,
+               "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
+               "recovered_fifth": True}
+        out.append(new)
+        appended.append(new)
     out.sort(key=lambda ev: (ev["start"], ev["note"]))
     return out
 
@@ -1436,7 +1477,8 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = []
-    for e in events:
+    rows = _overlap_rows(events)
+    for i, e in enumerate(events):
         n = e["note"]
         b0 = n - fmin
         if not (0 <= b0 < n_bins):
@@ -1458,16 +1500,14 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
             # +33 that exact-interval matching could never judge).
             f_n = midi_to_hz(n)
             parents = [
-                o for o in events if o is not e
-                and o["note"] < n
-                and o["start"] <= e["end"] and e["start"] <= o["end"]
+                o for o in (events[j] for j in rows[i])
+                if o["note"] < n
                 and any(abs(12.0 * np.log2(
                     f_n / (h * midi_to_hz(o["note"])))) <= line_tol_semis
                         for h in line_harmonics)]
         else:
-            parents = [o for o in events if o is not e
-                       and o["start"] <= e["end"] and e["start"] <= o["end"]
-                       and (n - o["note"]) in intervals]
+            parents = [o for o in (events[j] for j in rows[i])
+                       if (n - o["note"]) in intervals]
         if not parents:
             out.append(e)
             continue
@@ -1503,10 +1543,7 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
             # (within 1.5 semitones), else the beat proves nothing.
             if beat_scan:
                 track_max_db = float(np.max(db))
-                others = [o for o in events
-                          if o is not e
-                          and o["start"] <= e["end"]
-                          and e["start"] <= o["end"]]
+                others = [events[j] for j in rows[i]]
                 kept = False
                 for up in (12, 19, 24):
                     b = n + up - fmin
