@@ -216,6 +216,19 @@ def main() -> None:
     print("# poly 10s:", file=sys.stderr)
     poly_rtf = tpoly / _median_time(poly_iter, 3)
 
+    # 60 s chord loop: the 10 s clip is fixed-cost-bound (two tunnel round
+    # trips + host refinement dominate a 10 s denominator); this row is the
+    # engine's AMORTIZED throughput on track-length material, comparable
+    # with the v1/financial/neural 60 s rows.
+    yp60_off = np.tile(yp, 6)[: int(60 * sr)]
+
+    def poly60_iter():
+        poly.extract_events(poly.analyze(yp60_off))
+
+    poly60_iter()  # compile
+    print("# poly 60s (chord loop):", file=sys.stderr)
+    poly_rtf_60s = 60.0 / _median_time(poly60_iter, 3)
+
     # ---------------- folder sweep: 4 x 60 s dispatch-all-then-fetch --------
     from aegis_tpu.core.analyze import dispatch_analyze, fetch_analyze
     from aegis_tpu.core.events import extract_events_financial
@@ -486,6 +499,7 @@ def main() -> None:
         "v1_rtf": round(v1_rtf, 1),
         "neural_rtf": round(neural_rtf, 1),
         "poly_rtf": round(poly_rtf, 1),
+        "poly_rtf_60s": round(poly_rtf_60s, 1),
         "folder_sweep_s": round(folder_s, 3),
         "folder_rtf_aggregate": round(folder_rtf, 1),
         "neural_folder_rtf": round(neural_folder_rtf, 1),
