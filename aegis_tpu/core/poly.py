@@ -620,13 +620,24 @@ def _foreign_line_near(pitch: float, events, exclude_notes,
 
 
 
-def _dbp(cqt_mag: np.ndarray) -> np.ndarray:
+def _dbp(cqt_mag: np.ndarray,
+         db: np.ndarray | None = None) -> np.ndarray:
     """The (T, bins) dB plane 20*log10(max(mag, 1e-12)), computed ONCE at
     each recovery pass's entry.  The passes read dozens of envelope
     slices per event; converting each slice individually dominated the
     host-side extract cost (profiled round 3: ~50 ms/call on a 10 s
     chord clip, much of it repeated log10 overhead).  Slicing a
-    precomputed plane is bit-identical."""
+    precomputed plane is bit-identical.
+
+    ``db`` short-circuits the conversion with a caller-precomputed
+    plane: refine_poly_events threads ONE plane through all ~9 passes
+    (the repeat log10 over a (26k, 84) plane was ~13% of a 10-minute
+    live poll).  Explicit threading, not an identity memo — callers
+    may legally mutate ``cqt_mag`` in place between direct pass calls
+    (the constructed-physics tests do), so caching by object identity
+    would serve a stale plane."""
+    if db is not None:
+        return db
     return 20.0 * np.log10(np.maximum(cqt_mag, 1e-12))
 
 
@@ -766,7 +777,8 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
                              max_slope: float = 0.5,
                              leak_bins: float = 3.5,
                              attack_skip_s: float = 0.12,
-                             min_frames: int = 10) -> List[dict]:
+                             min_frames: int = 10,
+                             db: np.ndarray | None = None) -> List[dict]:
     """Mint voices whose FUNDAMENTAL the peel never picked because random
     string rolloff killed the bin's geometric-mean salience — the root
     cause behind the octave-family residuals (measured round 3): a chord
@@ -811,7 +823,7 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
     the undetected-bass cascades on oct22A s5/s6 and oct22B s11 with the
     standard family untouched."""
     fps = sr / hop_length
-    db = _dbp(cqt_mag)
+    db = _dbp(cqt_mag, db)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
@@ -939,7 +951,8 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
                         leak_bins: float = 2.0,
                         margin_db: float = 4.0,
                         attack_skip_s: float = 0.12,
-                        min_frames: int = 6) -> List[dict]:
+                        min_frames: int = 6,
+                        db: np.ndarray | None = None) -> List[dict]:
     """Drop low-register WINDOW-LEAKAGE phantoms: at MIDI ≲ 55 a semitone
     is narrower than one FFT bin (10.77 Hz at the engine's sr-proportional
     window), so a string's Hann main lobe lights CQT bins 1–3 semitones
@@ -962,7 +975,7 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
     ceiling for sub-semitone-spacing voicings at the low end of the
     fretboard)."""
     fps = sr / hop_length
-    db = _dbp(cqt_mag)
+    db = _dbp(cqt_mag, db)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
@@ -1054,7 +1067,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                              min_frames: int = 10,
                              level_floor_db: float = 55.0,
                              parent_ghost_ratio: float = 0.15,
-                             feeder_floor_db: float = 35.0) -> List[dict]:
+                             feeder_floor_db: float = 35.0,
+                             db: np.ndarray | None = None) -> List[dict]:
     """Recover octave-doubled voices the peel's comb masking erased.
 
     The peel's KNOWN-WEAK family (VALIDATION.md): a chord voicing with an
@@ -1113,7 +1127,7 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     0.90 at 44.1 kHz design seeds, 0.91/0.89 fresh seeds.
     """
     fps = sr / hop_length
-    db = _dbp(cqt_mag)
+    db = _dbp(cqt_mag, db)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
@@ -1240,7 +1254,8 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
                              min_frames: int = 6,
                              n_fft: int | None = None,
                              leak_bins: float = 2.0,
-                             leak_margin_db: float = 4.0) -> List[dict]:
+                             leak_margin_db: float = 4.0,
+                             db: np.ndarray | None = None) -> List[dict]:
     """Re-pitch sub-octave decodes of the peel's -12 redirect up an octave.
 
     The peel's sub-harmonic preference redirects a pick at bin n to n-12
@@ -1275,7 +1290,7 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
     0.826 -> 0.881 design seeds / 0.838 fresh seeds, min 0.71 -> 0.82;
     every other family unchanged."""
     fps = sr / hop_length
-    db = _dbp(cqt_mag)
+    db = _dbp(cqt_mag, db)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     track_max_db = float(np.max(db))
@@ -1331,7 +1346,8 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
                            rel_parent_db: float = 30.0,
                            max_resid: float = 1.0,
                            attack_skip_s: float = 0.12,
-                           min_frames: int = 10) -> List[dict]:
+                           min_frames: int = 10,
+                           db: np.ndarray | None = None) -> List[dict]:
     """Recover a power chord's out-competed FIFTH from the raw CQT plane.
 
     The round-2 residual failure (VALIDATION.md): in [40,47,52] the fifth
@@ -1364,7 +1380,7 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
     1.0/precision 1.0 on all 12 seeds, B families bit-identical — zero
     false fifths on 48 non-power-chord clips."""
     fps = sr / hop_length
-    db = _dbp(cqt_mag)
+    db = _dbp(cqt_mag, db)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
@@ -1434,7 +1450,8 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
                                   line_harmonics: tuple | None = None,
                                   line_tol_semis: float = 1.2,
                                   beat_scan: bool = False,
-                                  beat_floor_db: float = 35.0
+                                  beat_floor_db: float = 35.0,
+                                  db: np.ndarray | None = None
                                   ) -> List[dict]:
     """Drop harmonic GHOSTS by envelope physics — the INVERSE of
     recover_octave_doublings.
@@ -1473,7 +1490,7 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
     beating (that is why they were recovered), so the same physics that
     minted them keeps them."""
     fps = sr / hop_length
-    db = _dbp(cqt_mag)
+    db = _dbp(cqt_mag, db)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = []
@@ -1632,8 +1649,10 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         # (measured: a dead 52 in [40,47,52] is only witnessed by its h2
         # pick at 64, which dedup then hands to 40 as "h4").
         cqt_mag = np.asarray(cqt_mag)
+        # ONE dB plane threaded through the whole chain (see _dbp)
+        dbp = _dbp(cqt_mag)
         events = rescue_dead_fundamentals(events, cqt_mag, sr, hop_length,
-                                          n_fft=n_fft)
+                                          n_fft=n_fft, db=dbp)
     events = harmonic_dedup(events, sal_ratio=sal_ratio)
     if cqt_mag is not None:
         # the raw-CQT recovery chain runs LAST: it judges the surviving
@@ -1651,14 +1670,16 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         # same physics that minted it), then the composite-bin drop
         # (beating bins explained by TWO detected parents' partials).
         events = repitch_suboctave_ghosts(events, cqt_mag, sr, hop_length,
-                                          n_fft=n_fft)
+                                          n_fft=n_fft, db=dbp)
         events = drop_leakage_ghosts(events, cqt_mag, sr, hop_length,
-                                     n_fft=n_fft)
-        events = recover_octave_doublings(events, cqt_mag, sr, hop_length)
-        events = recover_missing_fifths(events, cqt_mag, sr, hop_length)
+                                     n_fft=n_fft, db=dbp)
+        events = recover_octave_doublings(events, cqt_mag, sr, hop_length,
+                                          db=dbp)
+        events = recover_missing_fifths(events, cqt_mag, sr, hop_length,
+                                        db=dbp)
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
-            line_harmonics=tuple(range(3, 11)))
+            line_harmonics=tuple(range(3, 11)), db=dbp)
         # composite drop BEFORE the +12 pass: a composite rim phantom
         # (e.g. a pick at 63 between the bass's h4 and the octave's h2
         # lines) otherwise survives into the +12 pass's foreign-line
@@ -1667,13 +1688,14 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         events = drop_composite_harmonic_ghosts(events)
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
-            intervals=frozenset((12,)), sal_guard=1.0, beat_scan=True)
+            intervals=frozenset((12,)), sal_guard=1.0, beat_scan=True,
+            db=dbp)
         # a second leakage pass: rim phantoms of a voice that only ENTERED
         # the event set via the recovery chain (e.g. a 44.1 kHz pick at
         # the −1 rim of a dead-fundamental string's h2 line) have no
         # source event to compare against until the chain has run
         events = drop_leakage_ghosts(events, cqt_mag, sr, hop_length,
-                                     n_fft=n_fft)
+                                     n_fft=n_fft, db=dbp)
     return events
 
 
