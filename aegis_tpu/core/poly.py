@@ -834,7 +834,11 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
         return _med(db[lo:hi, b])
 
     out = list(events)
-    minted: set = set()
+    # note -> spans already minted at that pitch.  Dedup is per chord
+    # occurrence, NOT track-global: a repeated chord later in the
+    # progression needs its own rescue (same dead string, new pluck), so
+    # skip only when a prior mint at f overlaps the current voter's span.
+    minted: dict = {}
     rows = _overlap_rows(events)
     for i, e in enumerate(events):
         concurrent = [events[j] for j in rows[i]]
@@ -846,7 +850,8 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
         for h in sorted(HARMONIC_INTERVALS):
             f = e["note"] - h
             bf = f - fmin
-            if bf < 0 or f in minted:
+            if bf < 0 or any(s <= e["end"] and e["start"] <= t
+                             for s, t in minted.get(f, ())):
                 continue
             if any(o["note"] == f for o in group):
                 continue
@@ -936,7 +941,7 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
             v12 = [o for o in voters if o["note"] - f == 12]
             src = v12[0] if v12 else max(
                 voters, key=lambda o: o.get("salience", 0.0))
-            minted.add(f)
+            minted.setdefault(f, []).append((src["start"], src["end"]))
             out.append({**src, "note": f,
                         "salience": max(o.get("salience", 0.0)
                                         for o in voters),

@@ -223,7 +223,14 @@ def route_events(v1_events: List[dict], poly_events: List[dict],
 
     from aegis_tpu.config import midi_to_hz
 
-    def short_ghost(e):
+    # concurrent-candidate rows come from the shared vectorized pair
+    # sweep (core.poly._overlap_rows) — the recovery-chain invariant: no
+    # routing pass re-scans the whole event list per event (the naive
+    # generator regrew O(E^2) here; equivalence pinned by
+    # tests/test_recovery_scans.py::test_route_short_ghost_matches_naive)
+    rows = P._overlap_rows(poly_events)
+
+    def short_ghost(i, e):
         """A SHORT poly event on a concurrent lower event's partial line
         with sub-parent salience: too short for the raw-CQT physics
         passes to judge (their min_frames window), and exactly the
@@ -235,20 +242,19 @@ def route_events(v1_events: List[dict], poly_events: List[dict],
             return False
         f_e = midi_to_hz(e["note"])
         return any(
-            o is not e and o["note"] < e["note"]
-            and o["start"] <= e["end"] and e["start"] <= o["end"]
+            (o := poly_events[j])["note"] < e["note"]
             and e.get("salience", 0.0) < o.get("salience", 0.0)
             and any(abs(12.0 * np.log2(f_e / (h * midi_to_hz(o["note"]))))
                     <= 1.2 for h in range(2, 11))
-            for o in poly_events)
+            for j in rows[i])
 
     # the peel's range runs to the CQT floor (MIDI 24); in the routing
     # context everything below the guitar's E2 (reference range 40-88,
     # guitar_fret_filter.py:10-16) is attack-splash junk the run regime
     # mints at chord boundaries (measured: a 2-frame MIDI-25 event)
-    kept = [dict(e, source="poly") for e in poly_events
+    kept = [dict(e, source="poly") for i, e in enumerate(poly_events)
             if frac(e) >= 0.5 and 40 <= e["note"] <= 88
-            and not short_ghost(e)]
+            and not short_ghost(i, e)]
     for e in v1_events:
         if frac(e) >= 0.5:
             continue  # a one-voice shadow of a chord the peel already has

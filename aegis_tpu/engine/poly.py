@@ -44,7 +44,7 @@ def _pad_bucket(y: np.ndarray) -> np.ndarray:
 def dispatch_analyze_poly(y: np.ndarray, sr: int, n_fft: int = 2048,
                           hop_length: int = 512, n_bins: int = 84,
                           bins_per_octave: int = 12, max_voices: int = 6,
-                          transport: str = "int16"):
+                          transport: str = "int8"):
     """Async half of the fused polyphonic analyze (mirrors
     core.analyze.dispatch_analyze): bucket-pad, upload quantized PCM,
     dispatch the packed raw-voice program and return a handle WITHOUT
@@ -419,7 +419,8 @@ def transcribe_folder(
         if single_chip:
             handles = [dispatch_analyze_poly(
                 y, sample_rate, peng.n_fft, peng.hop_length, peng.n_bins,
-                peng.bins_per_octave, peng.max_voices) for y in tracks]
+                peng.bins_per_octave, peng.max_voices,
+                transport=peng.transport) for y in tracks]
             per_track = [fetch_analyze_poly(h) for h in handles]
         else:
             from aegis_tpu.engine.turbo import run_analyze_poly_turbo

@@ -762,7 +762,7 @@ def run_analyze_streamed(
     financial: bool = False,
     use_guitar_filters: bool = True,
     fetch_mel: bool = False,
-    max_in_flight: int = 2,
+    fetch_group: int = 8,
     transport: str = "int8",
 ) -> Dict[str, np.ndarray]:
     """Bounded-memory turbo analyze for multi-minute tracks (VERDICT r1 #7).
@@ -788,6 +788,12 @@ def run_analyze_streamed(
 
     The reference handles long tracks by hard caps / manual region slicing
     (aegis_app.py:274-281) — this does it losslessly.
+
+    ``fetch_group``: pass-2 slab outputs are fetched in groups of this
+    many through one device-side concat each — one tunnel round trip per
+    group instead of per slab (pass 1 dispatches every slab at once; the
+    queued programs hold only already-resident input refs, so memory
+    stays slab-bounded either way).
 
     ``transport``: "int8" (default) ships the slabs as block-float int8 —
     the measured streamed bottleneck is the audio upload itself (33.6 MB
@@ -892,7 +898,7 @@ def run_analyze_streamed(
     # retires); bounded memory is unchanged.
     rows = _GTR_ROWS if financial else _V1_ROWS
     n_mels = audio.n_mels if fetch_mel else 0
-    fetch_group = 8
+    fetch_group = max(1, fetch_group)
     outs, pending = [], []
 
     def fetch_batch(hs) -> np.ndarray:

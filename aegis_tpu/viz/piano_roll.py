@@ -142,20 +142,33 @@ function aegisParseSmf(buf) {
   if (u32() !== 0x4d546864) return [];          // "MThd"
   const hlen = u32(); u16(); const ntrk = u16(); const div = u16();
   p += hlen - 6;
+  // SMPTE division (high bit set): high byte = -fps (two's complement),
+  // low byte = ticks/frame; seconds per tick is then constant and tempo
+  // metas are ignored (29 fps means 29.97 drop-frame per the SMF spec)
+  const smpte = (div & 0x8000) !== 0;
+  let fps = smpte ? 256 - (div >> 8) : 0;
+  if (fps === 29) fps = 29.97;
+  const tpf = div & 0xff;
   const events = [];                             // {tick, kind, ch, a, b}
   for (let t = 0; t < ntrk; t++) {
     if (u32() !== 0x4d54726b) break;             // "MTrk"
-    const end = p + u32(); let tick = 0, status = 0;
+    // read the length BEFORE adding p: `p + u32()` evaluates the old p
+    // and parses every track 4 bytes short (masked by trailing
+    // end-of-track metas until a hand-authored file hit it)
+    const tlen = u32(); const end = p + tlen;
+    let tick = 0, status = 0;
     while (p < end) {
       tick += varlen(); let b0 = u8();
       if (b0 < 0x80) { p--; b0 = status; } else status = b0;
       const type = b0 & 0xf0;
-      if (b0 === 0xff) { const meta = u8(), len = varlen();
+      // meta/sysex cancel running status (a data byte after them is a
+      // malformed file, not a meta continuation)
+      if (b0 === 0xff) { status = 0; const meta = u8(), len = varlen();
         if (meta === 0x51) { const us = (d.getUint8(p) << 16) |
             (d.getUint8(p + 1) << 8) | d.getUint8(p + 2);
           events.push({tick, kind: "tempo", us}); }
         p += len;
-      } else if (b0 === 0xf0 || b0 === 0xf7) { p += varlen();
+      } else if (b0 === 0xf0 || b0 === 0xf7) { status = 0; p += varlen();
       } else if (type === 0xc0 || type === 0xd0) { u8();
       } else { const a = u8(), b = u8();
         if (type === 0x90) events.push({tick, kind: b ? "on" : "off",
@@ -168,7 +181,9 @@ function aegisParseSmf(buf) {
   let us = 500000, lastTick = 0, sec = 0;
   const open = {}, notes = [];
   for (const e of events) {
-    sec += (e.tick - lastTick) / div * us / 1e6; lastTick = e.tick;
+    sec += smpte ? (e.tick - lastTick) / (fps * tpf)
+                 : (e.tick - lastTick) / div * us / 1e6;
+    lastTick = e.tick;
     if (e.kind === "tempo") us = e.us;
     else if (e.kind === "on") open[e.note] = {time: sec,
         midi: e.note, velocity: (e.vel || 100) / 127};

@@ -153,11 +153,17 @@ def _parse_smf_py(data: bytes):
     ntrk = u16()
     div = u16()
     p += hlen - 6
+    smpte = bool(div & 0x8000)
+    fps = (256 - (div >> 8)) if smpte else 0
+    if fps == 29:
+        fps = 29.97
+    tpf = div & 0xFF
     events = []
     for _ in range(ntrk):
         if u32() != 0x4D54726B:
             break
-        end = p + u32()
+        tlen = u32()  # read BEFORE adding p (evaluation-order bug fix)
+        end = p + tlen
         tick, status = 0, 0
         while p < end:
             tick += varlen()
@@ -169,12 +175,14 @@ def _parse_smf_py(data: bytes):
                 status = b0
             typ = b0 & 0xF0
             if b0 == 0xFF:
+                status = 0  # meta cancels running status
                 meta, ln = u8(), varlen()
                 if meta == 0x51:
                     us = (data[p] << 16) | (data[p + 1] << 8) | data[p + 2]
                     events.append((tick, "tempo", us, 0))
                 p += ln
             elif b0 in (0xF0, 0xF7):
+                status = 0  # sysex cancels running status
                 p += varlen()
             elif typ in (0xC0, 0xD0):
                 u8()
@@ -188,7 +196,10 @@ def _parse_smf_py(data: bytes):
     us, last, sec = 500000, 0, 0.0
     open_, notes = {}, []
     for tick, kind, a, b in events:
-        sec += (tick - last) / div * us / 1e6
+        if smpte:
+            sec += (tick - last) / (fps * tpf)
+        else:
+            sec += (tick - last) / div * us / 1e6
         last = tick
         if kind == "tempo":
             us = a
@@ -224,6 +235,39 @@ def test_inline_smf_parser_spec_matches_decoder():
     for g, w in zip(got, want):
         assert abs(g["time"] - w["start"]) < 1e-6, (g, w)
         assert abs(g["time"] + g["duration"] - w["end"]) < 1e-6, (g, w)
+
+
+def test_smf_parser_smpte_division():
+    """SMPTE divisions (high bit set) are constant seconds-per-tick —
+    -25 fps x 40 ticks/frame = 1000 ticks/s; the pre-round-4 parser read
+    the division as unsigned PPQ and shrank every duration ~50x."""
+    import struct
+
+    blob = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 0xE728)
+            + b"MTrk" + struct.pack(">I", 9)
+            + b"\x00\x90\x3c\x5a"           # t=0 note_on 60
+            + b"\x87\x68\x80\x3c\x00")      # delta 1000 note_off 60
+    notes = _parse_smf_py(blob)
+    assert len(notes) == 1
+    assert notes[0]["midi"] == 60
+    assert abs(notes[0]["duration"] - 1.0) < 1e-9, notes
+
+
+def test_smf_parser_meta_cancels_running_status():
+    """Meta/sysex events cancel running status (SMF spec): data bytes
+    after a meta must not be decoded against the pre-meta status byte
+    (externally-authored files; ADVICE r3 hardening)."""
+    import struct
+
+    track = (b"\x00\x90\x3c\x5a"            # note_on 60
+             + b"\x00\xff\x01\x02hi"        # meta text, len 2
+             + b"\x00\x3c\x00"              # malformed running-status data
+             + b"\x00\x80\x3c\x00")         # explicit note_off 60
+    blob = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + struct.pack(">I", len(track)) + track)
+    notes = _parse_smf_py(blob)
+    # exactly the one real note — the malformed bytes decode as nothing
+    assert [n["midi"] for n in notes] == [60], notes
 
 
 def test_spa_id_references_consistent():

@@ -374,6 +374,34 @@ def test_rescue_dead_fundamental_consensus():
     assert out[0]["salience"] == 3.0  # max voter salience
 
 
+def test_rescue_repeated_chord_rescues_both_occurrences():
+    """A repeated chord later in the progression must get its OWN rescue:
+    the mint dedup is per chord occurrence (span overlap), not track-global
+    by pitch (round-4 ADVICE fix — the global set silently dropped every
+    repeat's rescue)."""
+    from aegis_tpu.core.poly import rescue_dead_fundamentals
+
+    fps = SR / HOP
+    T = 300
+    fmin = 24
+    mag = np.full((T, NBINS), 1e-9, np.float32)
+    spans = [(10, 110), (160, 260)]
+    events = []
+    for lo, hi in spans:
+        t = np.arange(hi - lo) / fps
+        events += [_mk_event(52 + 19, start=lo, end=hi, salience=3.0),
+                   _mk_event(52 + 28, start=lo, end=hi, salience=2.7)]
+        mag[lo:hi, 52 + 19 - fmin] = 0.20 * np.exp(-0.5 * t)
+        mag[lo:hi, 52 + 28 - fmin] = 0.15 * np.exp(-0.5 * t)
+        mag[lo:hi, 52 - fmin] = 0.06 * np.exp(-0.5 * t)  # dead-but-live root
+    out = rescue_dead_fundamentals([dict(e) for e in events], mag, SR, HOP)
+    roots = [e for e in out if e["note"] == 52]
+    assert len(roots) == 2, out
+    starts = sorted(e["start"] for e in roots)
+    assert starts[0] < 150 <= starts[1], roots
+    assert all(e.get("rescued_root") for e in roots)
+
+
 def test_rescue_plus12_beat_exception():
     """A candidate root one octave ABOVE a detected bass collides with the
     bass's h2 — it may only be rescued when its own h2 bin (the bass's

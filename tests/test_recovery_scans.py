@@ -88,6 +88,51 @@ def _harmonic_dedup_naive(events, sal_ratio=0.55, start_tol=4):
     return out
 
 
+def _route_short_ghost_naive(poly_events):
+    # the pre-round-4 generator scan inside route_events, verbatim
+    from aegis_tpu.config import midi_to_hz
+
+    def ghost(e):
+        if e["end"] - e["start"] + 1 >= 12:
+            return False
+        f_e = midi_to_hz(e["note"])
+        return any(
+            o is not e and o["note"] < e["note"]
+            and o["start"] <= e["end"] and e["start"] <= o["end"]
+            and e.get("salience", 0.0) < o.get("salience", 0.0)
+            and any(abs(12.0 * np.log2(f_e / (h * midi_to_hz(o["note"]))))
+                    <= 1.2 for h in range(2, 11))
+            for o in poly_events)
+
+    return [ghost(e) for e in poly_events]
+
+
+def test_route_short_ghost_matches_naive():
+    """route_events keeps exactly the poly events the naive O(E^2) ghost
+    scan kept — the round-4 _overlap_rows rewrite is candidate-set
+    equivalent (ADVICE r3: routing must ride the shared sweep too)."""
+    from aegis_tpu.engine.auto import route_events
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        evs = _rand_events(rng, int(rng.integers(0, 30)))
+        for e in evs:
+            e["note"] = int(np.clip(e["note"], 40, 88))
+            if rng.random() < 0.4:
+                e["note"] = 45 + int(rng.choice([0, 12, 19, 24, 28]))
+            if rng.random() < 0.5:  # force the short-event regime
+                e["end"] = e["start"] + int(rng.integers(0, 10))
+        T = 500
+        chordal = np.ones(T, bool)  # all-chordal: every poly event routes
+        kept = route_events([], [dict(e) for e in evs], chordal)
+        ghosts = _route_short_ghost_naive(evs)
+        expect = sorted(
+            ((e["start"], e["note"]) for e, g in zip(evs, ghosts) if not g),
+        )
+        got = sorted((e["start"], e["note"]) for e in kept)
+        assert got == expect
+
+
 def test_harmonic_dedup_matches_naive():
     rng = np.random.default_rng(3)
     for _ in range(60):
