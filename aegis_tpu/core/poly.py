@@ -556,6 +556,11 @@ def attack_rise_gate(events: List[dict], rms_db: np.ndarray,
 #: semitone intervals of harmonics 2..8 above a fundamental
 HARMONIC_INTERVALS = frozenset((12, 19, 24, 28, 31, 34, 36))
 
+#: midi -> Hz lookup built through the SCALAR config.midi_to_hz, so
+#: vectorized line scans read bit-identical frequencies to the per-call
+#: code they replaced (numpy's pow can differ from libm by an ulp)
+_HZ_TABLE = np.array([midi_to_hz(float(m)) for m in range(192)])
+
 #: harmonics 3..8 only — the +12 octave is handled separately (it is the
 #: one harmonic interval real chord voicings routinely occupy)
 HIGH_HARMONIC_INTERVALS = frozenset((19, 24, 28, 31, 34, 36))
@@ -662,11 +667,29 @@ def _linefit(t: np.ndarray, y: np.ndarray) -> tuple:
     hundreds of times per clip (profiled round 3: the LAPACK per-call
     overhead, not the math, dominated).  Agrees with lstsq to ~1e-12
     relative; every consumer thresholds at 0.05+ dB scales."""
-    tm, ym = t.mean(), y.mean()
+    n = len(t)
+    # sum()/n is np.mean's own reduction + divide without the _methods
+    # wrapper overhead (bit-identical; profiled round 4: ~1.8k fits/run)
+    tm, ym = t.sum() / n, y.sum() / n
     dt = t - tm
     denom = float(np.dot(dt, dt))
     a = float(np.dot(dt, y - ym)) / denom if denom > 0 else 0.0
     return a, ym - a * tm
+
+
+#: read-only arange cache for the envelope fits (windows are short and a
+#: few hundred distinct lengths occur per track; the arange alloc+fill was
+#: measurable at ~220 shape fits per 60 s extract)
+_T_CACHE: dict = {}
+
+
+def _t_axis(T: int) -> np.ndarray:
+    t = _T_CACHE.get(T)
+    if t is None:
+        t = np.arange(T, dtype=np.float64)
+        if len(_T_CACHE) < 4096:
+            _T_CACHE[T] = t
+    return t
 
 
 def _env_shape(env_db: np.ndarray, fps: float,
@@ -687,19 +710,82 @@ def _env_shape(env_db: np.ndarray, fps: float,
     window, so trimming barely moves it; span-overhang poison is
     concentrated and gets dropped."""
     T = len(env_db)
-    t = np.arange(T, dtype=np.float64)
+    t = _t_axis(T)
     a, b = _linefit(t, env_db)
-    keep = np.arange(T)
     n_trim = int(T * trim_frac)
     if n_trim > 0 and T - n_trim >= 4:
         err = np.abs(env_db - (a * t + b))
         keep = np.sort(np.argsort(err)[: T - n_trim])
-        a, b = _linefit(t[keep], env_db[keep])
-    resid = float(np.sqrt(np.mean((env_db[keep] - (a * t[keep] + b)) ** 2)))
-    h = len(keep) // 2
-    s_early = _linefit(t[keep[:h]], env_db[keep[:h]])[0] * fps
-    s_late = _linefit(t[keep[h:]], env_db[keep[h:]])[0] * fps
+        # t[keep] is exactly keep as float64 (t is the index axis), and the
+        # y gather happens once — identical values, fewer allocations
+        tk = keep.astype(np.float64)
+        yk = env_db[keep]
+        a, b = _linefit(tk, yk)
+    else:
+        tk = t
+        yk = env_db[np.arange(T)]  # gather copy, matching the old keep path
+    resid = float(np.sqrt(np.mean((yk - (a * tk + b)) ** 2)))
+    h = len(tk) // 2
+    s_early = _linefit(tk[:h], yk[:h])[0] * fps
+    s_late = _linefit(tk[h:], yk[h:])[0] * fps
     return resid, abs(s_late - s_early)
+
+
+class _EnvCache:
+    """Memoized envelope statistics over ONE dB plane (round-4 profile:
+    the per-(event, bin) scalar ``_med``/``_env_shape`` calls were ~40% of
+    the amortized 60 s poly extract — ~3.2k medians + ~230 shape fits per
+    run, with the same (lo, hi) windows re-read within a pass and across
+    the chain's passes, because chord voices share spans and every pass
+    uses the same 0.12 s attack skip).
+
+    ``med(lo, hi, b)`` returns the exact ``_med(db[lo:hi, b])``: the whole
+    window's per-bin medians are computed in ONE axis-0 partition and
+    memoized by window — bit-identical to the scalar call (partition is
+    exact k-selection; the even-length mean averages the same two floats).
+    ``shape(lo, hi, b)`` memoizes the scalar ``_env_shape`` verbatim.
+
+    Threaded through the recovery chain alongside ``db``
+    (refine_poly_events builds one per call).  Direct pass callers that
+    mutate the magnitude plane between calls simply don't pass one — each
+    pass then builds its own over its ``db``, so no staleness (the same
+    contract as the explicit ``db`` threading; see _dbp)."""
+
+    __slots__ = ("db", "fps", "_meds", "_shapes")
+
+    def __init__(self, db: np.ndarray, fps: float):
+        self.db = db
+        self.fps = float(fps)
+        self._meds: dict = {}
+        self._shapes: dict = {}
+
+    def med_row(self, lo: int, hi: int) -> np.ndarray:
+        key = (lo, hi)
+        row = self._meds.get(key)
+        if row is None:
+            win = self.db[lo:hi]
+            n = win.shape[0]
+            if n == 0:
+                row = np.full(win.shape[1], np.nan)
+            else:
+                h = n // 2
+                if n % 2:
+                    row = np.partition(win, h, axis=0)[h]
+                else:
+                    p = np.partition(win, (h - 1, h), axis=0)
+                    row = (p[h - 1] + p[h]) / 2.0
+            self._meds[key] = row
+        return row
+
+    def med(self, lo: int, hi: int, b: int) -> float:
+        return float(self.med_row(lo, hi)[b])
+
+    def shape(self, lo: int, hi: int, b: int) -> tuple:
+        key = (lo, hi, b)
+        v = self._shapes.get(key)
+        if v is None:
+            v = self._shapes[key] = _env_shape(self.db[lo:hi, b], self.fps)
+        return v
 
 
 def _overlap_rows(events: List[dict], chunk: int = 512) -> List[np.ndarray]:
@@ -778,7 +864,8 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
                              leak_bins: float = 3.5,
                              attack_skip_s: float = 0.12,
                              min_frames: int = 10,
-                             db: np.ndarray | None = None) -> List[dict]:
+                             db: np.ndarray | None = None,
+                             cache: "_EnvCache | None" = None) -> List[dict]:
     """Mint voices whose FUNDAMENTAL the peel never picked because random
     string rolloff killed the bin's geometric-mean salience — the root
     cause behind the octave-family residuals (measured round 3): a chord
@@ -824,6 +911,7 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
     standard family untouched."""
     fps = sr / hop_length
     db = _dbp(cqt_mag, db)
+    cache = cache if cache is not None else _EnvCache(db, fps)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
@@ -831,7 +919,7 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
     track_max_db = float(np.max(db))
 
     def med_env(b, lo, hi):
-        return _med(db[lo:hi, b])
+        return cache.med(lo, hi, b)
 
     out = list(events)
     # note -> spans already minted at that pitch.  Dedup is per chord
@@ -840,6 +928,7 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
     # skip only when a prior mint at f overlaps the current voter's span.
     minted: dict = {}
     rows = _overlap_rows(events)
+    offs = np.array([0, *sorted(HARMONIC_INTERVALS)], np.int64)
     for i, e in enumerate(events):
         concurrent = [events[j] for j in rows[i]]
         group = concurrent + [e]
@@ -847,20 +936,26 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
         hi = min(e["end"] - 1, cqt_mag.shape[0])
         if hi - lo < min_frames:
             continue
+        # the group's spectral-line notes (fundamentals + harmonics) are
+        # constant across the h-loop: precompute them once per voter
+        gn = np.fromiter((o["note"] for o in group), np.int64, len(group))
+        lines = (gn[:, None] + offs[None, :]).ravel()
+        lines = lines[lines < len(_HZ_TABLE)]
+        lines_hz = _HZ_TABLE[lines]
         for h in sorted(HARMONIC_INTERVALS):
             f = e["note"] - h
             bf = f - fmin
             if bf < 0 or any(s <= e["end"] and e["start"] <= t
                              for s, t in minted.get(f, ())):
                 continue
-            if any(o["note"] == f for o in group):
+            if (gn == f).any():
                 continue
             own = med_env(bf, lo, hi)
             if own < track_max_db - live_floor_db:
                 continue
             env = db[lo:hi, bf]
-            r, c = _env_shape(env, fps)
-            t = np.arange(len(env), dtype=np.float64)
+            r, c = cache.shape(lo, hi, bf)
+            t = _t_axis(len(env))
             slope = _linefit(t, env)[0] * fps
             if r > max_resid or c > max_curv or slope > max_slope:
                 continue
@@ -870,25 +965,18 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
             # at bin 65 lights bin 64 and minted a false 64 before
             # harmonic bins were checked).  A line within a third of a
             # bin is the SAME bin, not leakage — that collision is what
-            # the +12-beat exception below adjudicates.
-            f_hz = midi_to_hz(f)
-
-            def _line_leaks(note):
-                d = abs(f_hz - midi_to_hz(note)) / binw
-                if not (0.3 < d <= leak_bins):
-                    return False
-                b = note - fmin
-                if not (0 <= b < n_bins):
-                    return False
-                # inside ~one bin the main lobe is full-strength: leakage
-                # can even exceed a weak source bin's own reading
-                # (measured +0.4 dB on a phantom 44 beside a 45-string)
-                need = -2.0 if d <= 0.9 else 1.0
-                return own <= med_env(b, lo, hi) - need
-
-            if any(_line_leaks(o["note"] + k) for o in group
-                   for k in (0, *sorted(HARMONIC_INTERVALS))):
-                continue
+            # the +12-beat exception below adjudicates.  Inside ~one bin
+            # the main lobe is full-strength: leakage can even exceed a
+            # weak source bin's own reading (measured +0.4 dB on a
+            # phantom 44 beside a 45-string) — hence the -2 dB margin.
+            d = np.abs(_HZ_TABLE[f] - lines_hz) / binw
+            lb = lines - fmin
+            m = (0.3 < d) & (d <= leak_bins) & (lb >= 0) & (lb < n_bins)
+            if m.any():
+                need = np.where(d[m] <= 0.9, -2.0, 1.0)
+                meds = cache.med_row(lo, hi)[lb[m]]
+                if (own <= meds - need).any():
+                    continue
             parents = [o for o in group
                        if (f - o["note"]) in HARMONIC_INTERVALS]
             if parents:
@@ -929,8 +1017,7 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
                                 if 0 <= note - fmin < n_bins else None),
                             evidence_db=med_env(b2, lo, hi)):
                         continue
-                    env2 = db[lo:hi, b2]
-                    r2, _ = _env_shape(env2, fps)
+                    r2, _ = cache.shape(lo, hi, b2)
                     if r2 >= max(0.25, 4.0 * r):
                         beat = True
                         break
@@ -957,7 +1044,8 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
                         margin_db: float = 4.0,
                         attack_skip_s: float = 0.12,
                         min_frames: int = 6,
-                        db: np.ndarray | None = None) -> List[dict]:
+                        db: np.ndarray | None = None,
+                        cache: "_EnvCache | None" = None) -> List[dict]:
     """Drop low-register WINDOW-LEAKAGE phantoms: at MIDI ≲ 55 a semitone
     is narrower than one FFT bin (10.77 Hz at the engine's sr-proportional
     window), so a string's Hann main lobe lights CQT bins 1–3 semitones
@@ -981,13 +1069,14 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
     fretboard)."""
     fps = sr / hop_length
     db = _dbp(cqt_mag, db)
+    cache = cache if cache is not None else _EnvCache(db, fps)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
 
     def med_env(b, lo, hi):
-        return _med(db[lo:hi, b])
+        return cache.med(lo, hi, b)
 
     out = []
     rows = _overlap_rows(events)
@@ -1046,17 +1135,21 @@ def drop_composite_harmonic_ghosts(events: List[dict],
     practice."""
     out = []
     rows = _overlap_rows(events)
+    h_a = np.asarray(line_harmonics, np.float64)
+    notes_a = np.fromiter((e["note"] for e in events),
+                          np.int64, len(events))
+    sals_a = np.fromiter((e.get("salience", 0.0) for e in events),
+                         np.float64, len(events))
     for i, e in enumerate(events):
         f_e = midi_to_hz(e["note"])
-        conc = [events[j] for j in rows[i]]
-        parents = {o["note"] for o in conc
-                   if o["note"] < e["note"]
-                   and any(abs(12.0 * np.log2(
-                       f_e / (h * midi_to_hz(o["note"])))) <= line_tol_semis
-                           for h in line_harmonics)}
-        if len(parents) >= 2:
-            psal = max(o.get("salience", 0.0) for o in conc
-                       if o["note"] in parents)
+        idx = rows[i]
+        cn, cs = notes_a[idx], sals_a[idx]
+        near = np.abs(12.0 * np.log2(
+            f_e / (h_a[None, :] * _HZ_TABLE[cn][:, None]))
+        ) <= line_tol_semis
+        pm = (cn < e["note"]) & near.any(axis=1)
+        if len(set(cn[pm].tolist())) >= 2:
+            psal = float(cs[np.isin(cn, cn[pm])].max())
             if e.get("salience", 0.0) < sal_guard * psal:
                 continue
         out.append(e)
@@ -1073,7 +1166,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                              level_floor_db: float = 55.0,
                              parent_ghost_ratio: float = 0.15,
                              feeder_floor_db: float = 35.0,
-                             db: np.ndarray | None = None) -> List[dict]:
+                             db: np.ndarray | None = None,
+                             cache: "_EnvCache | None" = None) -> List[dict]:
     """Recover octave-doubled voices the peel's comb masking erased.
 
     The peel's KNOWN-WEAK family (VALIDATION.md): a chord voicing with an
@@ -1133,36 +1227,41 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     """
     fps = sr / hop_length
     db = _dbp(cqt_mag, db)
+    cache = cache if cache is not None else _EnvCache(db, fps)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
     track_max_db = float(np.max(db))
 
-    def env_shape(env_db):
-        return _env_shape(env_db, fps)
-
     rows = _overlap_rows(events)
+    # guard scans as array ops over the shared rows (same predicates; the
+    # dict-list is only materialized for events that reach the physics)
+    notes_a = np.fromiter((e["note"] for e in events), np.int64, len(events))
+    sals_a = np.fromiter((e.get("salience", 0.0) for e in events),
+                         np.float64, len(events))
+    harm_a = np.fromiter(HARMONIC_INTERVALS, np.int64,
+                         len(HARMONIC_INTERVALS))
     for i, e in enumerate(events):
         n = e["note"]
         b0, b12 = n - fmin, n + 12 - fmin
         if not (0 <= b0 < n_bins and b12 < n_bins):
             continue
-        concurrent = [events[j] for j in rows[i]]
-        if any(o["note"] == n + 12 for o in concurrent):
+        idx = rows[i]
+        cn, cs = notes_a[idx], sals_a[idx]
+        if (cn == n + 12).any():
             continue
         sal = e.get("salience", 0.0)
-        peers = [o.get("salience", 0.0) for o in concurrent] + [sal]
         # a rescued root IS a proven weak-fundamental voice — judging it
         # by salience ratio would re-apply exactly the bias that hid it
-        if sal < parent_ghost_ratio * max(peers) \
+        if sal < parent_ghost_ratio * max(float(cs.max()) if len(cs) else sal,
+                                          sal) \
                 and not e.get("rescued_root"):
             continue
-        if any(o["note"] < n and o.get("salience", 0.0) >= 0.5 * sal
-               for o in concurrent):
+        if ((cn < n) & (cs >= 0.5 * sal)).any():
             continue
-        if any((n + 12 - o["note"]) in HARMONIC_INTERVALS
-               for o in concurrent if o["note"] != n):
+        if np.isin((n + 12) - cn[cn != n], harm_a).any():
             continue
+        concurrent = [events[j] for j in idx]
         lo = e["start"] + int(attack_skip_s * fps)
         hi = min(e["end"] - 1, cqt_mag.shape[0])
         if hi - lo < min_frames:
@@ -1185,16 +1284,15 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
         # 48+19 and minted a false octave over the 55; same with a dead
         # 52 feeding 83 = 52+31 in [52,64]).  Any LIVE raw-CQT bin a
         # harmonic interval (h3..h8) below n+12 is such a feeder: skip.
-        feeders = [n + 12 - h - fmin for h in HIGH_HARMONIC_INTERVALS]
-        if any(0 <= bf < n_bins and _med(db[lo:hi, bf])
-               >= track_max_db - feeder_floor_db
-               for bf in feeders):
+        feeders = np.array([n + 12 - h - fmin
+                            for h in HIGH_HARMONIC_INTERVALS], np.int64)
+        feeders = feeders[(feeders >= 0) & (feeders < n_bins)]
+        if (cache.med_row(lo, hi)[feeders]
+                >= track_max_db - feeder_floor_db).any():
             continue
-        env12 = db[lo:hi, b12]
-        if _med(env12) < track_max_db - level_floor_db:
+        if cache.med(lo, hi, b12) < track_max_db - level_floor_db:
             continue
-        env0 = db[lo:hi, b0]
-        r0, c0 = env_shape(env0)
+        r0, c0 = cache.shape(lo, hi, b0)
 
         def _beats_at(b, floor_db=level_floor_db):
             """Two detuned components at bin b (vs the parent's own
@@ -1208,10 +1306,9 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
             TIGHTER 40 dB floor than the n+12 bin: near the noise floor
             every residual is large and a rolled-off h8's wiggle minted
             false octaves into standard chords (measured round 3)."""
-            env = db[lo:hi, b]
-            if _med(env) < track_max_db - floor_db:
+            if cache.med(lo, hi, b) < track_max_db - floor_db:
                 return False
-            rb, cb = env_shape(env)
+            rb, cb = cache.shape(lo, hi, b)
             return (rb >= max(resid_thr, rel_factor * r0)
                     or cb >= max(curv_thr, rel_factor * c0))
 
@@ -1226,24 +1323,21 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                 # feeds it — that collision is exactly what the beat
                 # measures; foreign lines fake it, measured round 3 on a
                 # 52-string's h5 a rim away from bin 79)
-                env_up = db[lo:hi, b]
-
                 def _med_note(note, _lo=lo, _hi=hi):
                     bb = note - fmin
                     if not (0 <= bb < n_bins):
                         return None
-                    return _med(db[_lo:_hi, bb])
+                    return cache.med(_lo, _hi, bb)
 
                 if _foreign_line_near(float(n + up), concurrent, {n},
                                       parent_note=n, med_env=_med_note,
-                                      evidence_db=float(
-                                          _med(env_up))):
+                                      evidence_db=cache.med(lo, hi, b)):
                     continue
                 if _beats_at(b, floor_db=40.0):
                     beat = True
                     break
         if beat:
-            lvl = float(_med(env12) - _med(env0))
+            lvl = float(cache.med(lo, hi, b12) - cache.med(lo, hi, b0))
             out.append({**e, "note": n + 12,
                         "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
                         "recovered_octave": True})
@@ -1260,7 +1354,8 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
                              n_fft: int | None = None,
                              leak_bins: float = 2.0,
                              leak_margin_db: float = 4.0,
-                             db: np.ndarray | None = None) -> List[dict]:
+                             db: np.ndarray | None = None,
+                             cache: "_EnvCache | None" = None) -> List[dict]:
     """Re-pitch sub-octave decodes of the peel's -12 redirect up an octave.
 
     The peel's sub-harmonic preference redirects a pick at bin n to n-12
@@ -1296,6 +1391,7 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
     every other family unchanged."""
     fps = sr / hop_length
     db = _dbp(cqt_mag, db)
+    cache = cache if cache is not None else _EnvCache(db, fps)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     track_max_db = float(np.max(db))
@@ -1323,8 +1419,8 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
         if hi - lo < min_frames:
             out.append(e)
             continue
-        own = _med(db[lo:hi, b0])
-        up = _med(db[lo:hi, b12])
+        own = cache.med(lo, hi, b0)
+        up = cache.med(lo, hi, b12)
         # "own bin dead" in absolute terms, OR its level fully explained as
         # window leakage from a concurrent string within ~2 FFT bins (the
         # marginal case measured round 3: a phantom 35 at 0.3 dB ABOVE the
@@ -1333,7 +1429,7 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
         leak_dead = any(
             o["note"] != n and 0 <= o["note"] - fmin < n_bins
             and abs(f_n - midi_to_hz(o["note"])) <= leak_bins * binw
-            and own <= _med(db[lo:hi, o["note"] - fmin]) - leak_margin_db
+            and own <= cache.med(lo, hi, o["note"] - fmin) - leak_margin_db
             for o in concurrent)
         dead = own < track_max_db - abs_floor_db or leak_dead
         if dead and up - own >= margin_db:
@@ -1352,7 +1448,8 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
                            max_resid: float = 1.0,
                            attack_skip_s: float = 0.12,
                            min_frames: int = 10,
-                           db: np.ndarray | None = None) -> List[dict]:
+                           db: np.ndarray | None = None,
+                           cache: "_EnvCache | None" = None) -> List[dict]:
     """Recover a power chord's out-competed FIFTH from the raw CQT plane.
 
     The round-2 residual failure (VALIDATION.md): in [40,47,52] the fifth
@@ -1386,6 +1483,7 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
     false fifths on 48 non-power-chord clips."""
     fps = sr / hop_length
     db = _dbp(cqt_mag, db)
+    cache = cache if cache is not None else _EnvCache(db, fps)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
@@ -1421,11 +1519,10 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
         if hi - lo < min_frames:
             continue
         env7 = db[lo:hi, b7]
-        env0 = db[lo:hi, b0]
-        med7 = _med(env7)
+        med7 = cache.med(lo, hi, b7)
         if med7 < track_max_db - level_floor_db:
             continue
-        if med7 < _med(env0) - rel_parent_db:
+        if med7 < cache.med(lo, hi, b0) - rel_parent_db:
             continue
         T = len(env7)
         t = np.arange(T, dtype=np.float64)
@@ -1433,7 +1530,7 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
         resid = float(np.sqrt(np.mean((env7 - (a * t + b)) ** 2)))
         if resid > max_resid or a * fps > 0.0:
             continue
-        lvl = med7 - _med(env0)
+        lvl = med7 - cache.med(lo, hi, b0)
         new = {**e, "note": n + 7,
                "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
                "recovered_fifth": True}
@@ -1456,7 +1553,8 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
                                   line_tol_semis: float = 1.2,
                                   beat_scan: bool = False,
                                   beat_floor_db: float = 35.0,
-                                  db: np.ndarray | None = None
+                                  db: np.ndarray | None = None,
+                                  cache: "_EnvCache | None" = None
                                   ) -> List[dict]:
     """Drop harmonic GHOSTS by envelope physics — the INVERSE of
     recover_octave_doublings.
@@ -1496,6 +1594,7 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
     minted them keeps them."""
     fps = sr / hop_length
     db = _dbp(cqt_mag, db)
+    cache = cache if cache is not None else _EnvCache(db, fps)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = []
@@ -1519,14 +1618,18 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
             # The semitone-interval grid misses real partials — h5 sits
             # at +27.86 and h7 at +33.69 semitones, each lighting BOTH
             # neighboring bins (measured 44.1 kHz rim ghosts at +23/+32/
-            # +33 that exact-interval matching could never judge).
+            # +33 that exact-interval matching could never judge).  The
+            # pair sweep runs as one (rows, harmonics) log2 matrix.
             f_n = midi_to_hz(n)
-            parents = [
-                o for o in (events[j] for j in rows[i])
-                if o["note"] < n
-                and any(abs(12.0 * np.log2(
-                    f_n / (h * midi_to_hz(o["note"])))) <= line_tol_semis
-                        for h in line_harmonics)]
+            idx = rows[i]
+            cn = np.fromiter((events[j]["note"] for j in idx),
+                             np.int64, len(idx))
+            h_a = np.asarray(line_harmonics, np.float64)
+            near = np.abs(12.0 * np.log2(
+                f_n / (h_a[None, :] * _HZ_TABLE[cn][:, None]))
+            ) <= line_tol_semis
+            pm = (cn < n) & near.any(axis=1)
+            parents = [events[j] for j, keep in zip(idx, pm) if keep]
         else:
             parents = [o for o in (events[j] for j in rows[i])
                        if (n - o["note"]) in intervals]
@@ -1542,13 +1645,11 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
         if hi - lo < min_frames:
             out.append(e)
             continue
-        env = db[lo:hi, b0]
-        r, c = _env_shape(env, fps)
+        r, c = cache.shape(lo, hi, b0)
         # the parent's own envelope excuses wobble (vibrato/bend parents)
         p = min(parents, key=lambda o: o["note"])
         bp = p["note"] - fmin
-        envp = db[lo:hi, bp]
-        rp, cp = _env_shape(envp, fps)
+        rp, cp = cache.shape(lo, hi, bp)
         if r < max(resid_thr, rel_factor * rp) and c < max(curv_thr,
                                                            rel_factor * cp):
             # straight single exponential: a partial — UNLESS the upper
@@ -1571,24 +1672,22 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
                     b = n + up - fmin
                     if b >= n_bins:
                         continue
-                    envb = db[lo:hi, b]
-                    if _med(envb) < track_max_db - beat_floor_db:
+                    if cache.med(lo, hi, b) < track_max_db - beat_floor_db:
                         continue
 
                     def _med_note(note, _lo=lo, _hi=hi):
                         bb = note - fmin
                         if not (0 <= bb < n_bins):
                             return None
-                        return _med(db[_lo:_hi, bb])
+                        return cache.med(_lo, _hi, bb)
 
                     if _foreign_line_near(float(n + up), others,
                                           {n, p["note"]},
                                           parent_note=p["note"],
                                           med_env=_med_note,
-                                          evidence_db=float(
-                                              _med(envb))):
+                                          evidence_db=cache.med(lo, hi, b)):
                         continue
-                    rb, cb = _env_shape(envb, fps)
+                    rb, cb = cache.shape(lo, hi, b)
                     if (rb >= max(resid_thr, rel_factor * rp)
                             or cb >= max(curv_thr, rel_factor * cp)):
                         kept = True
@@ -1654,10 +1753,14 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         # (measured: a dead 52 in [40,47,52] is only witnessed by its h2
         # pick at 64, which dedup then hands to 40 as "h4").
         cqt_mag = np.asarray(cqt_mag)
-        # ONE dB plane threaded through the whole chain (see _dbp)
+        # ONE dB plane + ONE envelope-stat memo threaded through the whole
+        # chain (see _dbp / _EnvCache): chord voices share windows and the
+        # passes share the 0.12 s attack skip, so medians/shape fits repeat
+        # heavily across passes
         dbp = _dbp(cqt_mag)
+        ecache = _EnvCache(dbp, fps)
         events = rescue_dead_fundamentals(events, cqt_mag, sr, hop_length,
-                                          n_fft=n_fft, db=dbp)
+                                          n_fft=n_fft, db=dbp, cache=ecache)
     events = harmonic_dedup(events, sal_ratio=sal_ratio)
     if cqt_mag is not None:
         # the raw-CQT recovery chain runs LAST: it judges the surviving
@@ -1675,16 +1778,16 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         # same physics that minted it), then the composite-bin drop
         # (beating bins explained by TWO detected parents' partials).
         events = repitch_suboctave_ghosts(events, cqt_mag, sr, hop_length,
-                                          n_fft=n_fft, db=dbp)
+                                          n_fft=n_fft, db=dbp, cache=ecache)
         events = drop_leakage_ghosts(events, cqt_mag, sr, hop_length,
-                                     n_fft=n_fft, db=dbp)
+                                     n_fft=n_fft, db=dbp, cache=ecache)
         events = recover_octave_doublings(events, cqt_mag, sr, hop_length,
-                                          db=dbp)
+                                          db=dbp, cache=ecache)
         events = recover_missing_fifths(events, cqt_mag, sr, hop_length,
-                                        db=dbp)
+                                        db=dbp, cache=ecache)
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
-            line_harmonics=tuple(range(3, 11)), db=dbp)
+            line_harmonics=tuple(range(3, 11)), db=dbp, cache=ecache)
         # composite drop BEFORE the +12 pass: a composite rim phantom
         # (e.g. a pick at 63 between the bass's h4 and the octave's h2
         # lines) otherwise survives into the +12 pass's foreign-line
@@ -1694,13 +1797,13 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
             intervals=frozenset((12,)), sal_guard=1.0, beat_scan=True,
-            db=dbp)
+            db=dbp, cache=ecache)
         # a second leakage pass: rim phantoms of a voice that only ENTERED
         # the event set via the recovery chain (e.g. a 44.1 kHz pick at
         # the −1 rim of a dead-fundamental string's h2 line) have no
         # source event to compare against until the chain has run
         events = drop_leakage_ghosts(events, cqt_mag, sr, hop_length,
-                                     n_fft=n_fft, db=dbp)
+                                     n_fft=n_fft, db=dbp, cache=ecache)
     return events
 
 

@@ -196,13 +196,18 @@ def adjudicate_poly_stream(poly_events: List[dict],
     # problem this pool was meant to fix is already handled by removing
     # the salience exemption — the weak parent EXISTS in the poly stream
     pool = list(poly_events)
+    # one dB plane + envelope-stat memo across both judging passes (the
+    # same threading refine_poly_events uses; core.poly._EnvCache)
+    dbp = P._dbp(cqt_mag)
+    ecache = P._EnvCache(dbp, sr / hop_length)
     survived = {id(e) for e in P.drop_leakage_ghosts(
-        pool, cqt_mag, sr, hop_length, min_frames=4)}
+        pool, cqt_mag, sr, hop_length, min_frames=4, db=dbp, cache=ecache)}
     pool2 = [e for e in pool if id(e) in survived or id(e) in tagged]
     survived2 = {id(e) for e in P.drop_straight_harmonic_ghosts(
         pool2, cqt_mag, sr, hop_length,
         line_harmonics=tuple(range(2, 11)), sal_guard=None,
-        beat_scan=True, min_frames=4, attack_skip_s=0.07)}
+        beat_scan=True, min_frames=4, attack_skip_s=0.07,
+        db=dbp, cache=ecache)}
     return [e for e in poly_events
             if id(e) in tagged
             or (id(e) in survived and id(e) in survived2)]
