@@ -295,6 +295,10 @@ def extract_events_v1(
     onset_env: Optional[np.ndarray] = None,
     onset_snap_ms: float = 140.0,
     onset_fwd_snap_ms: float = 0.0,
+    onsets: Optional[np.ndarray] = None,
+    rms_ref: Optional[float] = None,
+    rms_floor_db: Optional[float] = None,
+    hammer_pairs: bool = True,
 ) -> List[dict]:
     """v1 note-event extraction.  f0 convention here: 0 on unvoiced frames
     (the engine nan_to_nums pYIN output, reference aegis_engine.py:69).
@@ -314,7 +318,12 @@ def extract_events_v1(
 
     f0_smooth = (medfilt(np.nan_to_num(f0), kernel_size=3)
                  if smooth and T >= 3 else np.nan_to_num(f0))
-    rms_db = amplitude_to_db(rms)
+    # rms_ref / rms_floor_db: a windowed caller (the live horizon cache)
+    # pins the dB reference and the top_db clamp floor to TRACK-GLOBAL
+    # values — the noise gate and every rms read are track-referenced
+    rms_db = amplitude_to_db(rms, ref=rms_ref)
+    if rms_ref is not None and rms_floor_db is not None:
+        rms_db = np.maximum(rms_db, np.float32(rms_floor_db))
 
     min_frames = int((min_note_duration_ms / 1000.0) * sr / hop_length)
     sustain_frames = int((sustain_ms / 1000.0) * sr / hop_length)
@@ -356,9 +365,15 @@ def extract_events_v1(
         events = apply_onset_refinement(events, onset_env[:T], velocity,
                                         rms_db, sr, hop_length, min_frames,
                                         onset_snap_ms,
-                                        snap_fwd_ms=onset_fwd_snap_ms)
+                                        snap_fwd_ms=onset_fwd_snap_ms,
+                                        onsets=onsets)
 
-    _hammer_pull_pairs(events, ms_per_frame)
+    # hammer_pairs=False defers the pair-walk to the caller: the live
+    # horizon cache re-runs it over the spliced list (a windowed pass
+    # would tag the first tail event against a possibly-truncated
+    # predecessor)
+    if hammer_pairs:
+        _hammer_pull_pairs(events, ms_per_frame)
     return events
 
 
@@ -431,6 +446,7 @@ def apply_onset_refinement(
     onset_snap_ms: float = 140.0,
     split_min_rise_db: float = SPLIT_MIN_RISE_DB,
     snap_fwd_ms: float = 0.0,
+    onsets: Optional[np.ndarray] = None,
 ) -> List[dict]:
     """The two onset-envelope passes shared by the v1 and financial
     extractors: re-attack splitting with the pYIN-lag tail guard, then
@@ -453,11 +469,20 @@ def apply_onset_refinement(
     wet-only — clean-track true cuts all rise >= 3.6 dB, so the F1-gated
     clips are untouched).  The snap pass deliberately keeps the FULL
     onset list: a rejected echo onset is still a valid attack-time
-    anchor for the note whose tail it rides on."""
+    anchor for the note whose tail it rides on.
+
+    ``onsets`` overrides the internal pick_onsets — a windowed caller (the
+    live horizon cache, engine/realtime.py) must supply GLOBALLY-picked
+    onsets: pick_onsets normalizes by the track env max and its ``wait``
+    refractory runs sequentially from frame 0, so picking over a slice
+    diverges from the full-track pick."""
     from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
 
     T = len(onset_env)
-    onsets = pick_onsets(onset_env, sr, hop_length)
+    if onsets is None:
+        onsets = pick_onsets(onset_env, sr, hop_length)
+    else:
+        onsets = np.asarray(onsets, np.int64)
     # tail guard = pYIN's lock lag (measured up to ~91 ms): an onset
     # closer than this to the event end is the NEXT note's attack under
     # this event's overhanging voicing tail, handled by the snap below,
@@ -467,7 +492,9 @@ def apply_onset_refinement(
     if split_min_rise_db > 0 and len(onsets):
         rms_db = np.asarray(rms_db, np.float64)
         keep = []
-        for o in (int(o) for o in onsets):
+        # negative onsets are a windowed caller's pre-window history
+        # (shifted global picks): they can never split an interior frame
+        for o in (int(o) for o in onsets if o >= 0):
             post = rms_db[o:min(o + 3, T)].max() if o < T else -np.inf
             pre = rms_db[max(o - 4, 0):max(o, 1)].min()
             if post - pre >= split_min_rise_db:
@@ -549,6 +576,10 @@ def extract_events_financial(
     onset_snap_ms: float = 140.0,
     onset_fwd_snap_ms: float = 0.0,
     pitch_source: str = "pyin",
+    onsets: Optional[np.ndarray] = None,
+    ghost_rsi: bool = True,
+    rms_ref: Optional[float] = None,
+    rms_floor_db: Optional[float] = None,
 ) -> Tuple[List[dict], dict]:
     """v2 event extraction from device-side financial analysis outputs.
 
@@ -579,7 +610,10 @@ def extract_events_financial(
     (rake_mask, f0, voiced_flag, active_probs, rms, trend, artic_codes,
      slide_codes, financial_confidence) = (a[:T] for a in arrays)
 
-    rms_db = amplitude_to_db(rms)
+    # track-referenced dB plane (see extract_events_v1's note)
+    rms_db = amplitude_to_db(rms, ref=rms_ref)
+    if rms_ref is not None and rms_floor_db is not None:
+        rms_db = np.maximum(rms_db, np.float32(rms_floor_db))
     combined_conf = active_probs * 0.5 + financial_confidence * 0.5
 
     if confidence_threshold is None:
@@ -628,38 +662,58 @@ def extract_events_financial(
         events = apply_onset_refinement(events, onset_env[:T], velocity,
                                         rms_db, sr, hop_length, min_frames,
                                         onset_snap_ms,
-                                        snap_fwd_ms=onset_fwd_snap_ms)
+                                        snap_fwd_ms=onset_fwd_snap_ms,
+                                        onsets=onsets)
 
-    if len(events) > 10:
+    # ghost_rsi=False defers the density-RSI pass to the caller: the RSI
+    # recurrence runs from bin 0 over the WHOLE track's note density, so a
+    # windowed caller (the live horizon cache) must apply it globally over
+    # the spliced event list, not inside a tail window
+    if ghost_rsi and len(events) > 10:
         events = filter_ghost_notes_rsi(events, sr, hop_length, rsi_threshold)
 
     key_info = None
     if use_harmonic_filter and len(events) > 5:
-        from aegis_tpu.harmony.key import HarmonicAnalyzer
-
-        analyzer = HarmonicAnalyzer()
-        midi_notes = np.array([e["note"] for e in events])
-        confidences = np.array([e["confidence"] for e in events])
-        key_info = analyzer.detect_key(midi_notes)
-        # the scale filter only MASKS (confidences pass through unchanged,
-        # harmony/key.py) — survivors just get the harmonic_valid tag
-        _, _, out_of_scale = analyzer.filter_out_of_scale_notes(
-            midi_notes, confidences, key_info, tolerance=harmonic_tolerance
-        )
-        kept = [e for e, bad in zip(events, out_of_scale) if not bad]
-        for e in kept:
-            e["harmonic_valid"] = True
-        if kept:
-            adjusted = analyzer.adaptive_filter_by_context(
-                np.array([e["note"] for e in kept]),
-                np.array([e["start"] * (hop_length / sr) * 1000.0 for e in kept]),
-                np.array([e["confidence"] for e in kept]),
-                key_info,
-            )
-            for e, c in zip(kept, adjusted):
-                e["confidence"] = float(c)
-                e["track"] = "main" if c >= confidence_threshold else "safe"
-        events = kept
+        events, key_info = apply_harmonic_context(
+            events, sr, hop_length, confidence_threshold,
+            harmonic_tolerance)
 
     info = {"threshold": float(confidence_threshold), "key_info": key_info}
     return events, info
+
+
+def apply_harmonic_context(
+    events: List[dict], sr: int, hop_length: int,
+    confidence_threshold: float, harmonic_tolerance: int = 1,
+) -> Tuple[List[dict], Optional[dict]]:
+    """The financial extractor's harmonic section as a standalone pass:
+    key detection over the event list, the out-of-scale mask, the
+    chord-context confidence adjustment and the threshold track split.
+    GLOBAL by construction (the key is detected from every event), which
+    is why the live horizon cache re-runs it per poll over the full
+    spliced list instead of freezing its outputs."""
+    from aegis_tpu.harmony.key import HarmonicAnalyzer
+
+    analyzer = HarmonicAnalyzer()
+    midi_notes = np.array([e["note"] for e in events])
+    confidences = np.array([e["confidence"] for e in events])
+    key_info = analyzer.detect_key(midi_notes)
+    # the scale filter only MASKS (confidences pass through unchanged,
+    # harmony/key.py) — survivors just get the harmonic_valid tag
+    _, _, out_of_scale = analyzer.filter_out_of_scale_notes(
+        midi_notes, confidences, key_info, tolerance=harmonic_tolerance
+    )
+    kept = [e for e, bad in zip(events, out_of_scale) if not bad]
+    for e in kept:
+        e["harmonic_valid"] = True
+    if kept:
+        adjusted = analyzer.adaptive_filter_by_context(
+            np.array([e["note"] for e in kept]),
+            np.array([e["start"] * (hop_length / sr) * 1000.0 for e in kept]),
+            np.array([e["confidence"] for e in kept]),
+            key_info,
+        )
+        for e, c in zip(kept, adjusted):
+            e["confidence"] = float(c)
+            e["track"] = "main" if c >= confidence_threshold else "safe"
+    return kept, key_info

@@ -378,10 +378,16 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
                    sr: int, hop_length: int,
                    min_note_duration_ms: float = 60.0,
                    sustain_ms: float = 40.0,
-                   confidence_threshold: float = 0.5) -> List[dict]:
-    """Segment a (T, 128) activation into overlapping note events."""
+                   confidence_threshold: float = 0.5,
+                   rms_db: np.ndarray | None = None) -> List[dict]:
+    """Segment a (T, 128) activation into overlapping note events.
+    ``rms_db`` short-circuits the dB conversion with a caller-precomputed
+    plane (the engine passes a track-referenced one for windowed calls)."""
     T = roll.shape[0]
-    rms_db = amplitude_to_db(np.asarray(rms)[:T])
+    if rms_db is None:
+        rms_db = amplitude_to_db(np.asarray(rms)[:T])
+    else:
+        rms_db = np.asarray(rms_db)[:T]
     velocity = velocity_from_db(rms_db)
     min_frames = max(int((min_note_duration_ms / 1000.0) * sr / hop_length), 1)
     gap_frames = int((sustain_ms / 1000.0) * sr / hop_length)
@@ -429,11 +435,17 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
 # --------------------------------------------------------------------------
 
 def silence_gate(roll: np.ndarray, rms_db: np.ndarray,
-                 silence_db: float = 45.0) -> np.ndarray:
+                 silence_db: float = 45.0,
+                 peak_db: float | None = None) -> np.ndarray:
     """Zero roll rows whose frame RMS sits more than silence_db below the
     track peak: a voice cannot sound through silence.  (Decay-gap ghosts
-    spanned -80 dB frames and still segmented into >min-duration events.)"""
-    live = np.asarray(rms_db) >= (float(np.max(rms_db)) - silence_db)
+    spanned -80 dB frames and still segmented into >min-duration events.)
+
+    ``peak_db`` overrides the reference peak — a windowed caller (the live
+    horizon cache) must pass the TRACK-GLOBAL max, not the slice's."""
+    if peak_db is None:
+        peak_db = float(np.max(rms_db))
+    live = np.asarray(rms_db) >= (peak_db - silence_db)
     return roll & live[:, None]
 
 
@@ -865,7 +877,8 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
                              attack_skip_s: float = 0.12,
                              min_frames: int = 10,
                              db: np.ndarray | None = None,
-                             cache: "_EnvCache | None" = None) -> List[dict]:
+                             cache: "_EnvCache | None" = None,
+                             track_peak_db: float | None = None) -> List[dict]:
     """Mint voices whose FUNDAMENTAL the peel never picked because random
     string rolloff killed the bin's geometric-mean salience — the root
     cause behind the octave-family residuals (measured round 3): a chord
@@ -916,7 +929,8 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
-    track_max_db = float(np.max(db))
+    track_max_db = (float(np.max(db)) if track_peak_db is None
+                    else track_peak_db)
 
     def med_env(b, lo, hi):
         return cache.med(lo, hi, b)
@@ -1045,7 +1059,8 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
                         attack_skip_s: float = 0.12,
                         min_frames: int = 6,
                         db: np.ndarray | None = None,
-                        cache: "_EnvCache | None" = None) -> List[dict]:
+                        cache: "_EnvCache | None" = None,
+                             track_peak_db: float | None = None) -> List[dict]:
     """Drop low-register WINDOW-LEAKAGE phantoms: at MIDI ≲ 55 a semitone
     is narrower than one FFT bin (10.77 Hz at the engine's sr-proportional
     window), so a string's Hann main lobe lights CQT bins 1–3 semitones
@@ -1167,7 +1182,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                              parent_ghost_ratio: float = 0.15,
                              feeder_floor_db: float = 35.0,
                              db: np.ndarray | None = None,
-                             cache: "_EnvCache | None" = None) -> List[dict]:
+                             cache: "_EnvCache | None" = None,
+                             track_peak_db: float | None = None) -> List[dict]:
     """Recover octave-doubled voices the peel's comb masking erased.
 
     The peel's KNOWN-WEAK family (VALIDATION.md): a chord voicing with an
@@ -1231,7 +1247,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
-    track_max_db = float(np.max(db))
+    track_max_db = (float(np.max(db)) if track_peak_db is None
+                    else track_peak_db)
 
     rows = _overlap_rows(events)
     # guard scans as array ops over the shared rows (same predicates; the
@@ -1355,7 +1372,8 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
                              leak_bins: float = 2.0,
                              leak_margin_db: float = 4.0,
                              db: np.ndarray | None = None,
-                             cache: "_EnvCache | None" = None) -> List[dict]:
+                             cache: "_EnvCache | None" = None,
+                             track_peak_db: float | None = None) -> List[dict]:
     """Re-pitch sub-octave decodes of the peel's -12 redirect up an octave.
 
     The peel's sub-harmonic preference redirects a pick at bin n to n-12
@@ -1394,7 +1412,8 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
     cache = cache if cache is not None else _EnvCache(db, fps)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
-    track_max_db = float(np.max(db))
+    track_max_db = (float(np.max(db)) if track_peak_db is None
+                    else track_peak_db)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
     out = []
@@ -1449,7 +1468,8 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
                            attack_skip_s: float = 0.12,
                            min_frames: int = 10,
                            db: np.ndarray | None = None,
-                           cache: "_EnvCache | None" = None) -> List[dict]:
+                           cache: "_EnvCache | None" = None,
+                             track_peak_db: float | None = None) -> List[dict]:
     """Recover a power chord's out-competed FIFTH from the raw CQT plane.
 
     The round-2 residual failure (VALIDATION.md): in [40,47,52] the fifth
@@ -1487,7 +1507,8 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
     out = list(events)
-    track_max_db = float(np.max(db))
+    track_max_db = (float(np.max(db)) if track_peak_db is None
+                    else track_peak_db)
     rows = _overlap_rows(events)
     appended: List[dict] = []
     for i, e in enumerate(events):
@@ -1554,7 +1575,8 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
                                   beat_scan: bool = False,
                                   beat_floor_db: float = 35.0,
                                   db: np.ndarray | None = None,
-                                  cache: "_EnvCache | None" = None
+                                  cache: "_EnvCache | None" = None,
+                                  track_peak_db: float | None = None
                                   ) -> List[dict]:
     """Drop harmonic GHOSTS by envelope physics — the INVERSE of
     recover_octave_doublings.
@@ -1665,7 +1687,8 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
             # bins must be live and free of OTHER events' partial lines
             # (within 1.5 semitones), else the beat proves nothing.
             if beat_scan:
-                track_max_db = float(np.max(db))
+                track_max_db = (float(np.max(db)) if track_peak_db is None
+                                else track_peak_db)
                 others = [events[j] for j in rows[i]]
                 kept = False
                 for up in (12, 19, 24):
@@ -1710,7 +1733,8 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
                        sal_ratio: float = 0.55,
                        decay_frac: float = 0.5,
                        cqt_mag: np.ndarray | None = None,
-                       n_fft: int | None = None) -> List[dict]:
+                       n_fft: int | None = None,
+                       track_peak_db: float | None = None) -> List[dict]:
     """The composed polyphonic refinement: salience attach -> start snap ->
     decay prune -> onset birth gate -> attack-rise gate -> dead-fundamental
     rescue -> harmonic dedup -> raw-CQT recovery chain (sub-octave
@@ -1727,9 +1751,17 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
     onset at the first frame, so audio that begins directly on a note
     (a trimmed upload) would otherwise lose its whole opening chord to
     the birth gate.  With leading silence the roll near frame 0 is
-    already zeroed by silence_gate, so the virtual onset is inert."""
+    already zeroed by silence_gate, so the virtual onset is inert.
+    NEGATIVE onsets mark a windowed caller (the live horizon cache passes
+    globally-picked onsets shifted by the window offset): the track head
+    is then outside the window, so no local virtual onset is added — the
+    global one arrives, shifted, in the list itself."""
     fps = sr / hop_length
-    onsets = np.unique(np.concatenate([[0], np.asarray(onsets, np.int64)]))
+    onsets = np.asarray(onsets, np.int64)
+    if len(onsets) == 0 or onsets.min() >= 0:
+        onsets = np.unique(np.concatenate([[0], onsets]))
+    else:
+        onsets = np.unique(onsets)
     events = attach_salience(events, np.asarray(salience))
     events = snap_starts_poly(events, onsets, rms_db,
                               back_frames=int(snap_back_ms / 1000.0 * fps))
@@ -1760,7 +1792,8 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         dbp = _dbp(cqt_mag)
         ecache = _EnvCache(dbp, fps)
         events = rescue_dead_fundamentals(events, cqt_mag, sr, hop_length,
-                                          n_fft=n_fft, db=dbp, cache=ecache)
+                                          n_fft=n_fft, db=dbp, cache=ecache,
+                                          track_peak_db=track_peak_db)
     events = harmonic_dedup(events, sal_ratio=sal_ratio)
     if cqt_mag is not None:
         # the raw-CQT recovery chain runs LAST: it judges the surviving
@@ -1778,16 +1811,20 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         # same physics that minted it), then the composite-bin drop
         # (beating bins explained by TWO detected parents' partials).
         events = repitch_suboctave_ghosts(events, cqt_mag, sr, hop_length,
-                                          n_fft=n_fft, db=dbp, cache=ecache)
+                                          n_fft=n_fft, db=dbp, cache=ecache,
+                                          track_peak_db=track_peak_db)
         events = drop_leakage_ghosts(events, cqt_mag, sr, hop_length,
                                      n_fft=n_fft, db=dbp, cache=ecache)
         events = recover_octave_doublings(events, cqt_mag, sr, hop_length,
-                                          db=dbp, cache=ecache)
+                                          db=dbp, cache=ecache,
+                                          track_peak_db=track_peak_db)
         events = recover_missing_fifths(events, cqt_mag, sr, hop_length,
-                                        db=dbp, cache=ecache)
+                                        db=dbp, cache=ecache,
+                                        track_peak_db=track_peak_db)
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
-            line_harmonics=tuple(range(3, 11)), db=dbp, cache=ecache)
+            line_harmonics=tuple(range(3, 11)), db=dbp, cache=ecache,
+            track_peak_db=track_peak_db)
         # composite drop BEFORE the +12 pass: a composite rim phantom
         # (e.g. a pick at 63 between the bass's h4 and the octave's h2
         # lines) otherwise survives into the +12 pass's foreign-line
@@ -1797,7 +1834,7 @@ def refine_poly_events(events: List[dict], onsets: np.ndarray,
         events = drop_straight_harmonic_ghosts(
             events, cqt_mag, sr, hop_length,
             intervals=frozenset((12,)), sal_guard=1.0, beat_scan=True,
-            db=dbp, cache=ecache)
+            db=dbp, cache=ecache, track_peak_db=track_peak_db)
         # a second leakage pass: rim phantoms of a voice that only ENTERED
         # the event set via the recovery chain (e.g. a 44.1 kHz pick at
         # the −1 rim of a dead-fundamental string's h2 line) have no

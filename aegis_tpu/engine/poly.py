@@ -186,20 +186,36 @@ class AegisPolyEngine:
         mindur = kwargs.get("min_note_duration_ms", 60.0)
         sustain = kwargs.get("sustain_ms", 120.0 if use_onsets else 40.0)
         roll = analysis["roll"]
-        rms_db = amplitude_to_db(np.asarray(analysis["rms"]))
+        # rms_ref / rms_floor_db: a windowed caller (the live horizon
+        # cache) pins the dB reference and the top_db clamp floor to the
+        # TRACK-GLOBAL values, so slice dB planes match the full track's
+        rms_ref = kwargs.get("rms_ref")
+        rms_db = amplitude_to_db(np.asarray(analysis["rms"]), ref=rms_ref)
+        if rms_ref is not None and kwargs.get("rms_floor_db") is not None:
+            rms_db = np.maximum(rms_db, np.float32(kwargs["rms_floor_db"]))
         if use_onsets:
+            # rms_peak_db: a windowed caller (the live horizon cache)
+            # passes the TRACK-GLOBAL rms peak so the silence gate matches
+            # the full-track extraction on a slice
             roll = P.silence_gate(
-                roll, rms_db, kwargs.get("silence_db", 45.0))
+                roll, rms_db, kwargs.get("silence_db", 45.0),
+                peak_db=kwargs.get("rms_peak_db"))
         events = P.roll_to_events(
             roll, analysis["confidence"], analysis["rms"],
             self.sr, self.hop_length,
             min_note_duration_ms=mindur,
             sustain_ms=sustain,
             confidence_threshold=kwargs.get("confidence_threshold", 0.5),
+            rms_db=rms_db,
         )
         if use_onsets:
-            onsets = pick_onsets(analysis["onset_env"], self.sr,
-                                 self.hop_length)
+            # onsets override: pick_onsets normalizes by the track env max
+            # and runs a sequential refractory, so a windowed caller must
+            # supply globally-picked onsets (already slice-shifted)
+            onsets = kwargs.get("onsets")
+            if onsets is None:
+                onsets = pick_onsets(analysis["onset_env"], self.sr,
+                                     self.hop_length)
             fps = self.sr / self.hop_length
             events = split_events_at_onsets(
                 events, onsets,
@@ -228,7 +244,9 @@ class AegisPolyEngine:
                     # (absent on pre-round-3 cached analyses: skip)
                     cqt_mag=analysis.get("cqt_mag"),
                     # the leakage-physics passes need the FFT bin width
-                    n_fft=self.n_fft)
+                    n_fft=self.n_fft,
+                    # track-global CQT peak override (live horizon cache)
+                    track_peak_db=kwargs.get("track_peak_db"))
         if output_mid is not None:
             bpm = kwargs.get("bpm")
             if bpm == "auto":

@@ -253,3 +253,83 @@ def test_finalize_is_terminal_and_idempotent():
     assert [e["note"] for e in rp.poll_events()] == [e["note"] for e in pf]
     with pytest.raises(RuntimeError):
         rp.feed(np.zeros(1000, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Finalized-event horizon (round 4): poll_events must equal the cache-free
+# full re-extraction at EVERY poll of a growing session, including across
+# fingerprint invalidations (a new loudest attack) and cut advances.
+# ---------------------------------------------------------------------------
+
+def _melody_clip(seconds: float, louder_at: float | None = None):
+    """Looped short melody; optionally a mid-stream louder attack (peak
+    fingerprint invalidation coverage)."""
+    rng = np.random.default_rng(5)
+    notes = [110.0, 146.83, 196.0, 164.81]
+    parts = []
+    t = 0.0
+    k = 0
+    while t < seconds:
+        amp = 0.5
+        if louder_at is not None and t >= louder_at:
+            amp = 0.9 if t < louder_at + 0.8 else 0.6
+        parts.append(amp * karplus_strong(notes[k % len(notes)], 0.7, SR,
+                                          rng=rng))
+        k += 1
+        t += 0.7
+    y = np.concatenate(parts)
+    return (y / max(np.max(np.abs(y)), 1e-9) * 0.8).astype(np.float32)
+
+
+def _drive_horizon(rt, y, poll_every_s=3.0, sr=SR):
+    """Feed in chunks; at each poll assert poll_events == _poll_full."""
+    chunk = int(0.5 * sr)
+    next_poll = poll_every_s
+    cuts = []
+    for i in range(0, len(y), chunk):
+        rt.feed(y[i:i + chunk])
+        if (i + chunk) / sr >= next_poll:
+            next_poll += poll_every_s
+            got = rt.poll_events()
+            full = rt._poll_full()
+            assert got == full, (len(got), len(full),
+                                 [(a, b) for a, b in zip(got, full)
+                                  if a != b][:2])
+            if rt._hzn is not None:
+                cuts.append(rt._hzn["cut"])
+    return cuts
+
+
+def test_horizon_poll_equals_full_v1():
+    y = _melody_clip(30.0, louder_at=14.0)
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8,
+                              confidence_threshold=0.5)
+    cuts = _drive_horizon(rt, y)
+    assert cuts and cuts[-1] > cuts[0], cuts  # the cut engaged and advanced
+    # finalize is unaffected by the poll cache
+    final = rt.finalize()
+    assert final and rt.poll_events() == final
+
+
+def test_horizon_poll_equals_full_financial():
+    y = _melody_clip(35.0)
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8,
+                              financial=True)
+    cuts = _drive_horizon(rt, y)
+    assert cuts, "financial horizon never engaged"
+    final = rt.finalize()
+    assert final and rt.poll_events() == final
+
+
+def test_horizon_poll_equals_full_poly():
+    from aegis_tpu.engine.realtime import StreamingPolyTranscriber
+    from aegis_tpu.tools.signal_gen import generate_chord_progression
+
+    y7, _ = generate_chord_progression(7, sr=SR)
+    y3, _ = generate_chord_progression(3, sr=SR)
+    y = np.tile(np.concatenate([y7, y3]), 3)[: int(30 * SR)]
+    rt = StreamingPolyTranscriber(sample_rate=SR)
+    cuts = _drive_horizon(rt, y)
+    assert cuts and cuts[-1] > cuts[0], cuts
+    final = rt.finalize()
+    assert final and rt.poll_events() == final
