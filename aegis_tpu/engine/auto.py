@@ -122,6 +122,58 @@ def polyphony_regions(poly_events: List[dict], total_frames: int,
     # overlap with OFFSET starts (one note-duration apart) — counting
     # plain overlap marked 23% of a pure mono track chordal and flooded
     # it with harmonic-ghost poly events
+    from aegis_tpu.config import midi_to_hz
+
+    def _independent_notes(group):
+        """Distinct notes that evidence REAL polyphony.  A single pluck's
+        harmonic-line ghosts share its attack too (measured round 4: a
+        lone 50 minted 62/69/83 = its h2/h3/h7 lines, the cluster marked
+        its own chordal region and kept itself while displacing the true
+        v1 event — 9 of the 9 pure-mono FPs).  Members within 1.2
+        semitones of a harmonic line (h2..h10) of the group's LOWEST note
+        therefore don't count — unless a recovery pass proved them by
+        explicit envelope physics (tagged), which is how true octave
+        doublings keep their region (a triad's +3/+4/+5/+7 intervals sit
+        on no line, so standard chords are untouched)."""
+        gnotes = sorted({e["note"] for e in group})
+        root = gnotes[0]
+        tagged = {e["note"] for e in group
+                  if e.get("recovered_octave") or e.get("recovered_fifth")
+                  or e.get("rescued_root") or e.get("repitched_octave")}
+        f_root = midi_to_hz(root)
+        return [n for n in gnotes
+                if n == root or n in tagged
+                or not any(abs(12.0 * np.log2(
+                    midi_to_hz(n) / (h * f_root))) <= 1.2
+                    for h in range(2, 11))]
+
+    def _v1_shadow(group):
+        """Is the WHOLE group one v1-tracked string's shadow?  The pYIN
+        stream is a second measurement with a Viterbi prior: when every
+        voice the peel sees at this attack is a harmonic line (h2..h10,
+        ±1.2 semis) or a low-register rim neighbor (±3 semis — measured
+        round 4: leakage ghosts at exactly −3 under true 43/45/47) of ONE
+        overlapping v1 note, the monophonic reading wins and the group
+        must not mark a chordal region (a real chord always contains a
+        voice pYIN's one string cannot explain: +3/+4/+5/+7 intervals sit
+        on no line and outside the rim)."""
+        if not v1_events:
+            return False
+        gnotes = {e["note"] for e in group}
+        lo = min(e["start"] for e in group)
+        hi = max(e["end"] for e in group)
+        for v in v1_events:
+            if not (v["start"] <= hi and lo <= v["end"]):
+                continue
+            f_v = midi_to_hz(v["note"])
+            if all(abs(n - v["note"]) <= 3
+                   or any(abs(12.0 * np.log2(
+                       midi_to_hz(n) / (h * f_v))) <= 1.2
+                       for h in range(2, 11))
+                   for n in gnotes):
+                return True
+        return False
+
     ordered = sorted(poly_events, key=lambda e: e["start"])
     count = np.zeros(total_frames, np.int32)
     i = 0
@@ -131,7 +183,8 @@ def polyphony_regions(poly_events: List[dict], total_frames: int,
                and ordered[j + 1]["start"] - ordered[i]["start"] <= 2):
             j += 1
         group = ordered[i:j + 1]
-        if len({e["note"] for e in group}) >= min_voices:
+        if (len(_independent_notes(group)) >= min_voices
+                and not _v1_shadow(group)):
             lo = max(min(e["start"] for e in group), 0)
             hi = min(max(e["end"] for e in group) + 1, total_frames)
             count[lo:hi] += min_voices
@@ -379,9 +432,14 @@ class AegisAutoEngine:
         chordal = polyphony_regions(poly_events, T, v1_events=v1_events)
         events = route_events(v1_events, poly_events, chordal)
         if output_mid is not None:
+            bpm = kwargs.get("bpm")
+            if bpm == "auto":
+                from aegis_tpu.core.tempo import estimate_bpm
+
+                bpm = estimate_bpm(v1_an, self.sr, self.hop_length)
             events_to_midi(events, self.sr, self.hop_length,
                            midi_program=kwargs.get("midi_program", 25),
-                           bpm=kwargs.get("bpm"), output=output_mid)
+                           bpm=bpm, output=output_mid)
         return events
 
     def audio_to_midi(self, input_wav, output_mid=None, **kwargs):

@@ -68,11 +68,60 @@ def test_pure_chords_keep_poly_quality(auto_engine):
 def test_pure_mono_floor(auto_engine):
     """A dense monophonic line through the router: the adjudication +
     region logic must suppress the peel's harmonic-ghost stream
-    (measured 0.75 before the physics re-adjudication, 0.92 after; the
-    residual is both-streams-miss ghost orphans, documented)."""
+    (measured 0.75 before the physics re-adjudication, 0.92 after it,
+    1.0 after the round-4 v1-shadow group demotion — a pluck's
+    line/rim ghost cluster shares its attack and marked its own chordal
+    region; now a group fully explained as ONE v1 note's harmonic lines
+    (h2..h10) or ±3-semitone rim is not polyphony.  Held-out: 60 s
+    bench 0.9967, KS tracks + scale 1.0, mixed seeds 11-20 unchanged
+    to 4 digits)."""
     y, truth = generate_bench_track(duration=20.0, sr=SR,
                                     return_truth=True)
-    assert _f1(auto_engine, y, truth) >= 0.90
+    assert _f1(auto_engine, y, truth) >= 0.97
+
+
+def test_auto_bpm_auto_resolves(auto_engine):
+    """bpm="auto" must resolve through estimate_bpm before MIDI encoding
+    (round-4 verify drive: the router passed the literal string through
+    to events_to_midi and crashed)."""
+    import io as _io
+
+    from aegis_tpu.midi.decode import midi_to_notes
+
+    y, _ = generate_mixed_clip(1)
+    buf = _io.BytesIO()
+    ev = auto_engine.extract_events(auto_engine.analyze(y), output_mid=buf,
+                                    bpm="auto")
+    assert len(midi_to_notes(buf.getvalue())) == len(ev)
+
+
+def test_v1_shadow_group_demotion():
+    """Constructed router physics: a simultaneous 'chord' whose members
+    are all harmonic lines/rims of one overlapping locked v1 note marks
+    NO chordal region; a true triad (+4/+7 voices) keeps its region even
+    when pYIN locks onto one of its voices."""
+    from aegis_tpu.engine.auto import polyphony_regions
+
+    def mk(n, s, e, **kw):
+        return {"note": n, "start": s, "end": e, "salience": 1.0, **kw}
+
+    v1_locked = [mk(50, 10, 60)]
+    ghosts = [mk(62, 12, 40), mk(69, 12, 38), mk(83, 12, 36)]
+    ch = polyphony_regions(ghosts, 80, v1_events=v1_locked)
+    assert not ch.any()
+    # rim pair: −3 leakage ghost under the tracked note
+    rim = [mk(44, 12, 40), mk(47, 12, 40)]
+    ch = polyphony_regions(rim, 80, v1_events=[mk(47, 10, 60)])
+    assert not ch.any()
+    # a real triad survives even with pYIN locked on a chord voice
+    triad = [mk(48, 12, 40), mk(52, 12, 40), mk(55, 12, 40)]
+    ch = polyphony_regions(triad, 80, v1_events=[mk(55, 10, 60)])
+    assert ch[15:35].all()
+    # a lone pluck's +12 false "octave" (even physics-tagged) cannot
+    # mark a region against a locked v1 note on its fundamental
+    oct_pair = [mk(47, 12, 40), mk(59, 12, 40, recovered_octave=True)]
+    ch = polyphony_regions(oct_pair, 80, v1_events=[mk(47, 10, 60)])
+    assert not ch.any()
 
 
 def test_folder_batch_auto(auto_engine, tmp_path):
