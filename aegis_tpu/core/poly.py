@@ -1256,6 +1256,8 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     notes_a = np.fromiter((e["note"] for e in events), np.int64, len(events))
     sals_a = np.fromiter((e.get("salience", 0.0) for e in events),
                          np.float64, len(events))
+    starts_a = np.fromiter((e["start"] for e in events), np.int64,
+                           len(events))
     harm_a = np.fromiter(HARMONIC_INTERVALS, np.int64,
                          len(HARMONIC_INTERVALS))
     for i, e in enumerate(events):
@@ -1274,7 +1276,15 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                                           sal) \
                 and not e.get("rescued_root"):
             continue
-        if ((cn < n) & (cs >= 0.5 * sal)).any():
+        # lower-blocker guard, SIMULTANEOUS onsets only (round 4): the
+        # ghost basses this guard was measured against share the pluck's
+        # attack (a sub-octave phantom is minted from the same onset),
+        # while a PREVIOUS chord's decaying bass overhangs into this one
+        # with an offset start — blocking on it silently lost the true
+        # 45+12 doubling on 5 of the 24 oct44A seeds (its tail feeding
+        # is the feeder guard's job, which reads actual bin energies)
+        if ((cn < n) & (cs >= 0.5 * sal)
+                & (np.abs(starts_a[idx] - e["start"]) <= 4)).any():
             continue
         if np.isin((n + 12) - cn[cn != n], harm_a).any():
             continue
@@ -1330,6 +1340,7 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                     or cb >= max(curv_thr, rel_factor * c0))
 
         beat = _beats_at(b12)
+        aux_informative = False
         if not beat:
             for up in (31, 36):
                 b = n + up - fmin
@@ -1350,6 +1361,10 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
                                       parent_note=n, med_env=_med_note,
                                       evidence_db=cache.med(lo, hi, b)):
                     continue
+                if cache.med(lo, hi, b) >= track_max_db - 40.0:
+                    # a live, foreign-free aux bin is a REAL measurement:
+                    # straight there means a confident "no doubling"
+                    aux_informative = True
                 if _beats_at(b, floor_db=40.0):
                     beat = True
                     break
@@ -1358,6 +1373,24 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
             out.append({**e, "note": n + 12,
                         "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
                         "recovered_octave": True})
+        elif not aux_informative:
+            # the measured 44.1 kHz power-chord ceiling (VALIDATION.md
+            # rounds 3-4): string-period quantization at this register is
+            # so fine that the h2 pair's beat can be SLOWER than the
+            # chord — a straight n+12 envelope is then what BOTH a lone
+            # bass and a true doubling look like — and every aux bin was
+            # dead or fed by a foreign partial line.  When additionally
+            # the minimum quantization beat (δf ≈ f₁₂²/2sr, half a
+            # period-quantization step at the h2 frequency) cannot
+            # complete half a cycle inside the observation window, the
+            # doubling is UNPROVABLE either way: surface that to the
+            # user instead of silently deciding (VERDICT r3 #4).
+            r12, _ = cache.shape(lo, hi, b12)
+            f12 = _HZ_TABLE[min(n + 12, len(_HZ_TABLE) - 1)]
+            beat_hz_bound = f12 * f12 / (2.0 * sr)
+            win_s = (hi - lo) / fps
+            if r12 < resid_thr and win_s * beat_hz_bound < 0.5:
+                e["octave_uncertain"] = True
     out.sort(key=lambda ev: (ev["start"], ev["note"]))
     return out
 
@@ -1555,6 +1588,9 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
         new = {**e, "note": n + 7,
                "salience": sal * min(10.0 ** (lvl / 20.0), 1.0),
                "recovered_fifth": True}
+        # the parent's octave ambiguity (octave_uncertain, set by the
+        # preceding pass) is about ITS +12 bin, not the minted fifth
+        new.pop("octave_uncertain", None)
         out.append(new)
         appended.append(new)
     out.sort(key=lambda ev: (ev["start"], ev["note"]))

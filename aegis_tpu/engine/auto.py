@@ -165,6 +165,16 @@ def polyphony_regions(poly_events: List[dict], total_frames: int,
         for v in v1_events:
             if not (v["start"] <= hi and lo <= v["end"]):
                 continue
+            # the witness must be a CREDIBLE locked note: a major triad
+            # IS the h3/h4/h5 line set of a root two octaves down, and a
+            # junk pYIN shard at that root (measured: 4-8 frames at conf
+            # 0.01, minted during a chord attack) must not demote a real
+            # chord.  Length is the credibility signal (start-frame
+            # confidence is unreliable after the attack snap): the junk
+            # shards all ran <= 8 frames, real mono locks >= 9 (a 40 ms
+            # min-duration note + pYIN's lock).
+            if (v["end"] - v["start"] + 1) < 9:
+                continue
             f_v = midi_to_hz(v["note"])
             if all(abs(n - v["note"]) <= 3
                    or any(abs(12.0 * np.log2(

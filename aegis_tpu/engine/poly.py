@@ -287,8 +287,13 @@ def label_chords(events: List[dict], sr: int, hop_length: int,
     for chord in group_chords(events, sr, hop_length, window_ms):
         notes = sorted(e["note"] for e in chord["events"])
         start = min(e["start"] for e in chord["events"])
+        name = name_chord(notes)
+        if any(e.get("octave_uncertain") for e in chord["events"]):
+            # an unprovable octave doubling may hide in this voicing
+            # (core.poly.recover_octave_doublings; VALIDATION.md round 4)
+            name += " (oct?)"
         out.append({"time_sec": round(start * spf, 4),
-                    "name": name_chord(notes), "notes": notes})
+                    "name": name, "notes": notes})
     return out
 
 

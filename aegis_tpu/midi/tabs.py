@@ -54,6 +54,7 @@ def generate_tabs(events: List[dict], tuning: Optional[List[int]] = None) -> Lis
                 "fret": fret,
                 "note": evt["note"],
                 "technique": evt.get("technique"),
+                "octave_uncertain": bool(evt.get("octave_uncertain")),
                 "m_start": evt["start"],
                 "m_end": evt["end"],
             }
@@ -103,6 +104,7 @@ def generate_tabs_chords(events: List[dict], sr: int = 22050,
                 "fret": fret,
                 "note": evt["note"],
                 "technique": evt.get("technique"),
+                "octave_uncertain": bool(evt.get("octave_uncertain")),
                 "m_start": evt["start"],
                 "m_end": evt["end"],
             })
@@ -131,6 +133,11 @@ def render_ascii_tab(tab_data: List[dict], width: int = 72) -> str:
         for t in g:
             cell = str(t["fret"])
             sym = TECHNIQUE_SYMBOLS.get(t.get("technique") or "", "")
+            if t.get("octave_uncertain"):
+                # the poly chain measured an unprovable octave doubling
+                # over this note (VALIDATION.md round 4) — mark it so a
+                # player knows to listen for the octave
+                sym += "?"
             entries.setdefault(t["string"], cell + sym)
         w = max(len(e) for e in entries.values())
         columns.append([entries.get(s, "").ljust(w, "-")

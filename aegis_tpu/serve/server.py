@@ -79,6 +79,10 @@ def _events_json(events):
             "confidence": round(float(e.get("confidence", 0.0)), 3),
             "track": e.get("track", "main"),
             "technique": e.get("technique") or "normal",
+            # surfaced only when the poly chain measured an UNPROVABLE
+            # octave doubling over this note (VALIDATION.md round 4)
+            **({"octave_uncertain": True} if e.get("octave_uncertain")
+               else {}),
         }
         for e in events
     ]

@@ -429,6 +429,59 @@ def test_rescue_plus12_beat_exception():
     assert 52 in [e["note"] for e in out], out
 
 
+def test_octave_uncertain_flag():
+    """Constructed 44.1 kHz power-chord ambiguity: a bass whose +12 bin is
+    live and STRAIGHT, with every aux beat bin dead, inside a window too
+    short for the minimum quantization beat (δf ≈ f₁₂²/2sr) to complete
+    half a cycle — the doubling is unprovable, so the parent is tagged
+    ``octave_uncertain`` instead of silently deciding (VERDICT r3 #4).
+    A live, foreign-free aux bin reading straight is a REAL measurement
+    (confident no): no tag.  At 22.05 kHz the same geometry is provable
+    (the quantization beat is twice as fast): no tag."""
+    from aegis_tpu.core.poly import recover_octave_doublings
+
+    sr44, hop44 = 44100, 1024
+    fps = sr44 / hop44
+    T = 80
+    t = np.arange(T) / fps
+    fmin = 24
+    bass = _mk_event(45, start=10, end=38, salience=5.0)
+    mag = np.full((T, NBINS), 1e-9, np.float32)
+    mag[:, 45 - fmin] = 1.0 * np.exp(-0.4 * t)
+    mag[:, 57 - fmin] = 0.30 * np.exp(-0.5 * t)   # live straight +12 bin
+    out = recover_octave_doublings([dict(bass)], mag, sr44, hop44)
+    assert [e["note"] for e in out] == [45]
+    assert out[0].get("octave_uncertain") is True
+    # a live aux bin (45+31) reading straight = confident no -> no tag
+    mag2 = mag.copy()
+    mag2[:, 45 + 31 - fmin] = 0.2 * np.exp(-0.45 * t)
+    out = recover_octave_doublings([dict(bass)], mag2, sr44, hop44)
+    assert not out[0].get("octave_uncertain"), out[0]
+    # 22.05 kHz: quantization beats are provable inside the window
+    out = recover_octave_doublings([dict(bass)], mag, SR, HOP)
+    assert not out[0].get("octave_uncertain"), out[0]
+
+
+def test_octave_uncertain_threads_to_consumers():
+    """The flag must reach the user surfaces: tabs ('?' marker), chord
+    labels ('(oct?)'), and the server event JSON."""
+    from aegis_tpu.engine.poly import label_chords
+    from aegis_tpu.midi.tabs import generate_tabs_chords, render_ascii_tab
+    from aegis_tpu.serve.server import _events_json
+
+    evs = [dict(_mk_event(45, salience=5.0), velocity=90,
+                octave_uncertain=True),
+           dict(_mk_event(52, salience=4.0), velocity=90)]
+    tab = generate_tabs_chords(evs, SR, HOP)
+    assert any(t["octave_uncertain"] for t in tab)
+    assert "?" in render_ascii_tab(tab)
+    labels = label_chords(evs, SR, HOP)
+    assert any("(oct?)" in c["name"] for c in labels)
+    j = _events_json(evs)
+    assert j[0].get("octave_uncertain") is True
+    assert "octave_uncertain" not in j[1]
+
+
 def test_leakage_ghost_drop():
     """Low-register FFT window leakage: a phantom within two FFT bins of
     a stronger string, quieter by the distance-ramped margin, is dropped;
