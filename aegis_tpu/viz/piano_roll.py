@@ -242,24 +242,51 @@ def webaudiofont_embed(midi_data: bytes) -> str:
 ONLINE_ONLY_ENGINES = frozenset({"html_midi_player", "webaudiofont"})
 
 
+def _adsr_audio_embed(midi_data: bytes, sample_rate: int = 22050,
+                      preset: str = "electric_clean") -> str:
+    """<audio> element with the MIDI rendered to WAV through the batched
+    ADSR synth (synth/adsr.py), base64-inlined — browser playback with
+    zero network.  The reference kept offline playback by vendoring the
+    @tonejs/midi + html-midi-player bundles
+    (aegis_engine_core/tonejs_midi.js, visualizers.py:102-177); here the
+    framework's own synthesizer IS the player, so the markup needs no JS
+    at all.  ~44 KB of base64 per second of audio at 22.05 kHz."""
+    from aegis_tpu.synth.adsr import synthesize_midi_adsr
+
+    wav = synthesize_midi_adsr(midi_data, preset=preset,
+                               sample_rate=sample_rate)
+    url = "data:audio/wav;base64," + base64.b64encode(wav).decode()
+    return f'<audio controls src="{url}" style="width:100%"></audio>'
+
+
 def render_piano_roll(midi_data: bytes, engine: str = "svg",
-                      offline: bool = False, **kwargs) -> str:
+                      offline: bool = False, audio: bool | None = None,
+                      **kwargs) -> str:
     """Dispatcher across the four engines; returns SVG or HTML markup.
 
-    ``offline=True`` guarantees network-free markup: the CDN-backed
-    engines (ONLINE_ONLY_ENGINES) fall back to the SVG renderer — the
-    reference solved this by vendoring the JS bundles (component #33);
-    here svg AND the tonejs canvas are self-contained by construction,
-    and the two audio-playback embeds are explicitly online-only."""
+    ``offline=True`` guarantees network-free markup that is still
+    PLAYABLE on every engine: the CDN-backed players (ONLINE_ONLY_ENGINES)
+    demote to the SVG roll, and all four engines gain an inline
+    ADSR-rendered ``<audio>`` element (_adsr_audio_embed) — the
+    framework's synthesizer replaces the reference's vendored JS player
+    bundles (component #33).  ``audio=False`` opts out (e.g. for
+    size-sensitive embeds); ``audio=True`` adds the element to online
+    markup too."""
+    if audio is None:
+        audio = offline
     if offline and engine in ONLINE_ONLY_ENGINES:
         engine = "svg"
         kwargs = {k: v for k, v in kwargs.items() if k == "height"}
     if engine == "svg":
-        return midi_to_svg(midi_data, **kwargs)
-    if engine == "html_midi_player":
-        return html_midi_player_embed(midi_data, **kwargs)
-    if engine == "tonejs":
-        return tonejs_canvas_embed(midi_data, **kwargs)
-    if engine == "webaudiofont":
-        return webaudiofont_embed(midi_data)
-    raise ValueError(f"unknown visualizer engine: {engine}")
+        markup = midi_to_svg(midi_data, **kwargs)
+    elif engine == "html_midi_player":
+        markup = html_midi_player_embed(midi_data, **kwargs)
+    elif engine == "tonejs":
+        markup = tonejs_canvas_embed(midi_data, **kwargs)
+    elif engine == "webaudiofont":
+        markup = webaudiofont_embed(midi_data)
+    else:
+        raise ValueError(f"unknown visualizer engine: {engine}")
+    if audio:
+        markup = markup + "\n" + _adsr_audio_embed(midi_data)
+    return markup

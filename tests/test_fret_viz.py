@@ -105,10 +105,26 @@ def test_offline_rendering_has_no_cdn():
     assert "aegisParseSmf" in render_piano_roll(blob, engine="tonejs")
     # the online-only embeds DO carry CDN URLs...
     assert urls(render_piano_roll(blob, engine="html_midi_player"))
-    # ...and offline=True falls back to SVG for every engine
+    # ...and offline=True is network-free AND PLAYABLE for every engine:
+    # the framework's ADSR synth renders the MIDI to an inline WAV
+    # <audio> element (round 4 — replaces the reference's vendored JS
+    # player bundles, component #33)
     for engine in ("svg", "html_midi_player", "tonejs", "webaudiofont"):
         out = render_piano_roll(blob, engine=engine, offline=True)
         assert not urls(out), engine
+        assert '<audio controls src="data:audio/wav;base64,' in out, engine
+    # audio=False opts out (size-sensitive embeds)
+    out = render_piano_roll(blob, engine="svg", offline=True, audio=False)
+    assert "<audio" not in out and not urls(out)
+    # the inline WAV round-trips: decode the data URL and check the RIFF
+    # header + a sane sample count for the ~0.5 s note
+    import base64 as _b64
+
+    out = render_piano_roll(blob, engine="tonejs", offline=True)
+    b64 = re.search(r'data:audio/wav;base64,([A-Za-z0-9+/=]+)"', out).group(1)
+    wav = _b64.b64decode(b64)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert len(wav) > 8000
 
 
 def _parse_smf_py(data: bytes):
