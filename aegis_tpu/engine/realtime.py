@@ -14,12 +14,16 @@ one jit per (tile, halo) config) with two online adaptations:
     run_analyze_turbo's events at F1 = 1.0).
   * Bounded lookahead: a tile is analyzed only once its right halo has
     arrived, so the intrinsic latency is (tile + halo·hop + fl/2) samples
-    (`lookahead_s`) — 2.28 s at the default (64, 32) config; measured
-    end-to-end feed→first-event 2.58 s on the chip (bench.py
-    `live_latency_s_*`: lookahead + the event-birth physics), with the
-    device dispatch (~30-60 ms/tile through the tunnel) far inside the
-    budget.  Lower-latency sessions pass smaller `tile_frames`/
-    `halo_frames` (exposed on `/api/stream-start`).
+    (`lookahead_s`).  The DEFAULT config is the measured low-latency
+    preset (24, 8): round-4 on-chip decision matrix over 10-minute
+    sessions — feed→first-event 0.78 s v1 / 0.80 s poly at 8-9×
+    realtime ingest margin and flat polls, vs 2.28 s at the old (64, 32)
+    whose only advantage (23× ingest) matters for faster-than-realtime
+    catch-up, not live capture; truth F1 1.0000 at every config
+    (VALIDATION.md "Live low-latency tile configs").  Bulk re-analysis
+    of FILES should use the offline engines (fused/turbo), which are
+    another ~30× faster still; pass tile_frames=64 for a
+    high-throughput stream when neither fits.
 
 Host memory grows only by the per-frame output rows (~40 B/frame);
 `poll_events()` re-runs the (native C++) event extraction over the
@@ -185,7 +189,7 @@ class StreamingTranscriber:
 
     def __init__(self, audio: Optional[AudioConfig] = None,
                  pyin_cfg: Optional[PyinConfig] = None,
-                 tile_frames: int = 64, halo_frames: int = 32,
+                 tile_frames: int = 24, halo_frames: int = 8,
                  rake_sensitivity: float = 0.6,
                  financial: bool = False,
                  use_guitar_filters: bool = True,
@@ -675,7 +679,7 @@ class StreamingPolyTranscriber:
                  hop_length: Optional[int] = None, n_bins: int = 84,
                  bins_per_octave: int = 12, max_voices: int = 6,
                  n_mels: int = 128,
-                 tile_frames: int = 64, halo_frames: int = 8,
+                 tile_frames: int = 24, halo_frames: int = 8,
                  **extract_kwargs):
         from aegis_tpu.engine.poly import AegisPolyEngine
 

@@ -866,7 +866,7 @@ class AegisServer:
             if engine_kind == "poly":
                 rt = StreamingPolyTranscriber(
                     sample_rate=sess_sr,
-                    tile_frames=coerce(query, "tile_frames", 64),
+                    tile_frames=coerce(query, "tile_frames", 24),
                     halo_frames=coerce(query, "halo_frames", 8),
                     confidence_threshold=coerce(query, "confidence_threshold",
                                                 0.5),
@@ -885,8 +885,8 @@ class AegisServer:
                 rt = StreamingTranscriber(
                     audio=(self.engine.audio if sess_sr == self.engine.sr
                            else AudioConfig(sample_rate=sess_sr)),
-                    tile_frames=coerce(query, "tile_frames", 64),
-                    halo_frames=coerce(query, "halo_frames", 32),
+                    tile_frames=coerce(query, "tile_frames", 24),
+                    halo_frames=coerce(query, "halo_frames", 8),
                     rake_sensitivity=coerce(query, "rake_sensitivity", 0.6),
                     financial=(engine_kind == "financial"),
                     **kw,
