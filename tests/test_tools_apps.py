@@ -77,6 +77,7 @@ def test_apps_import_gating():
     # app modules import cleanly; main() raises a helpful ImportError
     # only when streamlit is missing
     import aegis_tpu.apps.collector_studio as cs
+    import aegis_tpu.apps.financial_batch as fb
     import aegis_tpu.apps.financial_realtime as fr
     import aegis_tpu.apps.intelligence_dashboard as dash
     import aegis_tpu.apps.tuning_center as tc
@@ -88,7 +89,7 @@ def test_apps_import_gating():
     except ImportError:
         has_st = False
     if not has_st:
-        for mod in (tc, fr, cs, dash):
+        for mod in (tc, fr, cs, dash, fb):
             with pytest.raises(ImportError, match="streamlit"):
                 mod.main()
 
