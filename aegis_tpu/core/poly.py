@@ -393,31 +393,33 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
     gap_frames = int((sustain_ms / 1000.0) * sr / hop_length)
 
     events: List[dict] = []
-    for note in range(MIDI_BINS):
-        col = roll[:, note]
-        if not col.any():
+    # ONE nonzero pass over the transposed plane gives every (note, t)
+    # activation grouped by note with t ascending — run boundaries are a
+    # note change or a gap > gap_frames+1 (same merge rule as the old
+    # per-note loop over 128 columns, profiled round 4)
+    nz_note, nz_t = np.nonzero(np.asarray(roll, bool).T)
+    if len(nz_t) == 0:
+        return events
+    brk = np.nonzero((np.diff(nz_note) != 0)
+                     | (np.diff(nz_t) > gap_frames + 1))[0]
+    run_s = nz_t[np.concatenate([[0], brk + 1])]
+    run_e = nz_t[np.concatenate([brk, [len(nz_t) - 1]])]
+    run_n = nz_note[np.concatenate([[0], brk + 1])]
+    for s, e, note in zip(run_s.tolist(), run_e.tolist(), run_n.tolist()):
+        if e - s + 1 < min_frames:
             continue
-        idx = np.where(col)[0]
-        # merge runs separated by <= gap_frames
-        splits = np.where(np.diff(idx) > gap_frames + 1)[0]
-        run_starts = np.concatenate([[0], splits + 1])
-        run_ends = np.concatenate([splits, [len(idx) - 1]])
-        for rs, re_ in zip(run_starts, run_ends):
-            s, e = int(idx[rs]), int(idx[re_])
-            if e - s + 1 < min_frames:
-                continue
-            conf = float(confidence[s:e + 1, note].max())
-            events.append({
-                "note": note,
-                "start": s,
-                "end": e,
-                "confidence": round(conf, 3),
-                "velocity": int(velocity[s]),
-                "track": "main" if conf >= confidence_threshold else "safe",
-                "technique": None,
-                "slope": 0.0,
-                "rms_energy": float(rms_db[s]),
-            })
+        conf = float(confidence[s:e + 1, note].max())
+        events.append({
+            "note": note,
+            "start": s,
+            "end": e,
+            "confidence": round(conf, 3),
+            "velocity": int(velocity[s]),
+            "track": "main" if conf >= confidence_threshold else "safe",
+            "technique": None,
+            "slope": 0.0,
+            "rms_energy": float(rms_db[s]),
+        })
     events.sort(key=lambda ev: (ev["start"], ev["note"]))
     return events
 
@@ -468,12 +470,19 @@ def snap_starts_poly(events: List[dict], onsets: np.ndarray,
     guard is same-pitch: a start never crosses the previous event of the
     SAME note."""
     onsets = np.asarray(onsets, np.int64)
+    # pick_onsets/refine hand the onsets sorted; the binary-searched
+    # latest-onset lookup is then exact (unsorted callers keep the mask)
+    sorted_on = len(onsets) < 2 or bool((np.diff(onsets) >= 0).all())
     out = [dict(e) for e in sorted(events,
                                    key=lambda e: (e["note"], e["start"]))]
     prev_end: dict = {}
     for e in out:
         lo = max(e["start"] - back_frames, prev_end.get(e["note"], -1) + 1, 0)
-        cand = onsets[(onsets >= lo) & (onsets <= e["start"])]
+        if sorted_on:
+            j = int(np.searchsorted(onsets, e["start"], "right")) - 1
+            cand = onsets[j:j + 1] if (j >= 0 and onsets[j] >= lo) else ()
+        else:
+            cand = onsets[(onsets >= lo) & (onsets <= e["start"])]
         if len(cand):
             o = int(cand[-1])
             seg = rms_db[o:e["start"] + 1]
@@ -611,21 +620,23 @@ def _foreign_line_near(pitch: float, events, exclude_notes,
     while the loud h5/h6 lines that DO fake beats sat within 10 dB)."""
     f_b = midi_to_hz(pitch)
     f_p = midi_to_hz(parent_note) if parent_note is not None else None
+    h_arr = np.arange(2.0, hmax + 1.0)
     for o in events:
         if o["note"] in exclude_notes:
             continue
         f_o = midi_to_hz(o["note"])
-        if f_p is not None and any(
-                abs(12.0 * np.log2(f_o / (h * f_p))) <= rim_tol_semis
-                for h in range(2, hmax + 1)):
+        # one (h,) distance vector instead of the per-h Python loop
+        # (profiled round 4: ~19k genexpr steps per extract) — same
+        # elementwise float64 math, same candidate order
+        if f_p is not None and (np.abs(12.0 * np.log2(
+                f_o / (h_arr * f_p))) <= rim_tol_semis).any():
             continue
-        for h in range(2, hmax + 1):
-            d = abs(12.0 * np.log2(f_b / (h * f_o)))
-            if d > tol_semis:
-                continue
+        d_all = np.abs(12.0 * np.log2(f_b / (h_arr * f_o)))
+        for k in np.nonzero(d_all <= tol_semis)[0]:
+            d = float(d_all[k])
             if med_env is None or evidence_db is None:
                 return True
-            line_bin = int(round(pitch - d)) if h * f_o < f_b \
+            line_bin = int(round(pitch - d)) if (k + 2) * f_o < f_b \
                 else int(round(pitch + d))
             line_db = med_env(line_bin)
             if line_db is None:
@@ -1107,10 +1118,10 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
             out.append(e)
             continue
         own = med_env(be, lo, hi)
-        f_e = midi_to_hz(e["note"])
+        f_e = _HZ_TABLE[e["note"]]
 
         def _leaks(o):
-            d = abs(f_e - midi_to_hz(o["note"])) / binw
+            d = abs(f_e - _HZ_TABLE[o["note"]]) / binw
             if d > leak_bins:
                 return False
             need = max(1.0, margin_db * (d - 0.5) / 1.5)
@@ -1477,10 +1488,10 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
         # window leakage from a concurrent string within ~2 FFT bins (the
         # marginal case measured round 3: a phantom 35 at 0.3 dB ABOVE the
         # absolute floor, lit by the 40-string's main lobe)
-        f_n = midi_to_hz(n)
+        f_n = _HZ_TABLE[n]
         leak_dead = any(
             o["note"] != n and 0 <= o["note"] - fmin < n_bins
-            and abs(f_n - midi_to_hz(o["note"])) <= leak_bins * binw
+            and abs(f_n - _HZ_TABLE[o["note"]]) <= leak_bins * binw
             and own <= cache.med(lo, hi, o["note"] - fmin) - leak_margin_db
             for o in concurrent)
         dead = own < track_max_db - abs_floor_db or leak_dead
