@@ -55,14 +55,30 @@ def ema(data: np.ndarray, span: int = 5) -> np.ndarray:
 
 def bollinger(data: np.ndarray, window: int = 20, num_std: float = 2.0):
     """(ma, upper, lower): SMA center, trailing-window NaN-aware std
-    (financial_analysis.py:113-146)."""
+    (financial_analysis.py:113-146).
+
+    The per-window two-pass std runs as ONE sliding-window reduction —
+    bit-identical to the per-frame ``np.std(valid)`` loop it replaces
+    (round 4; the loop was ~70 ms of every live financial poll's trend
+    tail): NaN slots contribute EXACT zeros to the window sums, adding
+    0.0 never rounds, and numpy's last-axis reduce is sequential below
+    the 128-element pairwise blocksize, so the nonzero partial-sum order
+    equals the compacted array's."""
+    data = np.asarray(data, np.float64)
     ma = sma(data, window)
-    std = np.full_like(data, np.nan, dtype=np.float64)
-    for i in range(len(data)):
-        w = data[max(0, i - window + 1) : i + 1]
-        v = w[~np.isnan(w)]
-        if len(v) > 1:
-            std[i] = np.std(v)
+    T = len(data)
+    std = np.full(T, np.nan, np.float64)
+    if T:
+        pad = np.concatenate([np.full(window - 1, np.nan), data])
+        win = np.lib.stride_tricks.sliding_window_view(pad, window)
+        mask = ~np.isnan(win)
+        n = mask.sum(axis=1)
+        ok = n > 1
+        x0 = np.where(mask, win, 0.0)
+        mean = np.divide(x0.sum(axis=1), n, out=np.zeros(T), where=ok)
+        d = np.where(mask, win - mean[:, None], 0.0)
+        var = np.divide((d * d).sum(axis=1), n, out=np.zeros(T), where=ok)
+        std = np.where(ok, np.sqrt(var), np.nan)
     return ma, ma + num_std * std, ma - num_std * std
 
 

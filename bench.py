@@ -379,16 +379,25 @@ def main() -> None:
     y_dev, s_dev = jnp.asarray(y8), jnp.asarray(s8)
     rs_dev = jnp.float32(0.6)
 
-    def _device_rtf(call, audio_s: float, n: int = 9) -> float:
+    def _device_rtf(call, audio_s: float) -> float:
         np.asarray(call())  # compile + warm
 
         def probe(k):
             outs = [call() for _ in range(k)]
             np.asarray(outs[-1])
 
-        t1 = _median_time(lambda: probe(1), 3)
-        tn = _median_time(lambda: probe(n), 3)
-        per_iter = max((tn - t1) / (n - 1), 1e-6)
+        # adaptive iteration count: a fast kernel's 8 extra dispatches sit
+        # below tunnel jitter and the old fixed n=9 clamp reported a bogus
+        # 1e7x (round-4 artifact check); grow n until the delta is
+        # measurable, and floor per-iter at the jitter bound so the row
+        # reports a CAP, not noise
+        for n in (9, 33, 129):
+            t1 = _median_time(lambda: probe(1), 3)
+            tn = _median_time(lambda: probe(n), 3)
+            delta = tn - t1
+            if delta >= 0.01:
+                break
+        per_iter = max(delta / (n - 1), 0.01 / (n - 1))
         return audio_s / per_iter
 
     print("# device-bound probe: financial", file=sys.stderr)
