@@ -45,8 +45,7 @@ from aegis_tpu.config import AudioConfig, PyinConfig
 from aegis_tpu.core import poly as P
 from aegis_tpu.core.analyze import (_V1_ROWS, _pack, _unpack, bucket_length,
                                     dequant_transport, quantize_pcm8)
-from aegis_tpu.core.cqt import pick_onsets, split_events_at_onsets
-from aegis_tpu.core.events import extract_events_v1, velocity_from_db
+from aegis_tpu.core.events import extract_events_v1
 from aegis_tpu.io.audio import load_audio
 from aegis_tpu.midi.encode import events_to_midi
 from aegis_tpu.utils.logging import get_logger
