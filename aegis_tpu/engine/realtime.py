@@ -109,20 +109,40 @@ def _find_cut(onsets: np.ndarray, lo: int, hi: int, quiet: int,
     return None
 
 
-def _span_cross_fn(events: List[dict]):
+def _span_cross_fn(events: List[dict], chain_gap: Optional[int] = None):
     """Event-level crossing test: b is crossed iff some (post-snap) event
     has start < b <= end.  With events sorted by start, that is
     ``max(end over starts < b) >= b`` — one searchsorted against a prefix
     max of ends.  Valid cuts therefore sit exactly at snapped event
     starts (onsets), which exist even in continuously-voiced material
-    where no activation-quiet window ever does."""
-    starts = np.fromiter((e["start"] for e in events), np.int64,
-                         len(events))
-    ends = np.fromiter((e["end"] for e in events), np.int64, len(events))
+    where no activation-quiet window ever does.
+
+    ``chain_gap`` (the monophonic extractors) additionally fuses
+    same-note events within that many frames of each other into ONE span
+    before the test: an onset-split piece INHERITS its pre-split merged
+    parent's attributes (confidence is read once at the chain head), so
+    a contiguous same-note chain carries provenance across any cut
+    inside it even though no single event spans it — a chain-merged
+    palm-mute chug re-split at every onset is the measured shape."""
+    if chain_gap is not None and events:
+        spans: List[list] = []
+        for e in sorted(events, key=lambda e: (e["note"], e["start"])):
+            if (spans and spans[-1][2] == e["note"]
+                    and e["start"] - spans[-1][1] <= chain_gap + 1):
+                spans[-1][1] = max(spans[-1][1], e["end"])
+            else:
+                spans.append([e["start"], e["end"], e["note"]])
+        starts = np.asarray([s[0] for s in spans], np.int64)
+        ends = np.asarray([s[1] for s in spans], np.int64)
+    else:
+        starts = np.fromiter((e["start"] for e in events), np.int64,
+                             len(events))
+        ends = np.fromiter((e["end"] for e in events), np.int64,
+                           len(events))
     order = np.argsort(starts, kind="stable")
     s_sorted = starts[order]
     pmax_end = (np.maximum.accumulate(ends[order])
-                if len(events) else ends)
+                if len(s_sorted) else ends)
 
     def cross(b):
         k = int(np.searchsorted(s_sorted, b, "left"))
@@ -556,10 +576,13 @@ class StreamingTranscriber:
         hi = T - _HZN_K - (self._TREND_WARMUP if self.financial else 0)
         lo = c["cut"] if c is not None else 0
         # mono cut: event-level — valid exactly where no (post-snap) event
-        # spans b; segmentation/merge/snap stability across polls follows
-        # from the fingerprint + the onsets prefix + the K margins
+        # CHAIN spans b (contiguous same-note pieces share their pre-split
+        # parent's attributes; see _span_cross_fn); segmentation/merge/
+        # snap stability across polls follows from the fingerprint + the
+        # onsets prefix + the K margins
+        gap = int(kw.get("sustain_ms", 50.0) / 1000.0 * fps)
         cut = _find_cut(onsets, lo=max(hi - 1024, lo), hi=hi, quiet=0,
-                        cross_fn=_span_cross_fn(raw))
+                        cross_fn=_span_cross_fn(raw, chain_gap=gap))
         if cut is not None and (c is None or cut >= c["cut"]):
             self._hzn = {"T": T, "cut": cut, "fp": fp,
                          "frozen": [dict(e) for e in raw

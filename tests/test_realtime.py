@@ -333,3 +333,25 @@ def test_horizon_poll_equals_full_poly():
     assert cuts and cuts[-1] > cuts[0], cuts
     final = rt.finalize()
     assert final and rt.poll_events() == final
+
+
+def test_horizon_poll_equals_full_v1_chug():
+    """Chain-merged same-pitch material (palm-mute chug: re-attacks whose
+    gaps sit under the sustain merge) re-split at every onset: split
+    pieces inherit the chain head's attributes, so cuts inside a chain
+    would splice wrong confidences — the chain-span crossing test must
+    keep the cut outside (round-4 self-review fix)."""
+    rng = np.random.default_rng(9)
+    parts = []
+    t = 0.0
+    while t < 30.0:
+        seg = karplus_strong(110.0, 0.24, SR, rng=rng)  # same pitch, dense
+        parts.append(seg[: int(0.23 * SR)])
+        t += 0.23
+    y = np.concatenate(parts)
+    y = (y / max(np.max(np.abs(y)), 1e-9) * 0.8).astype(np.float32)
+    rt = StreamingTranscriber(audio=AUDIO, tile_frames=16, halo_frames=8,
+                              confidence_threshold=0.5)
+    _drive_horizon(rt, y)
+    final = rt.finalize()
+    assert final and rt.poll_events() == final
