@@ -194,3 +194,24 @@ def test_route_events_regimes():
     assert (64, "v1") in got and (62, "v1") in got
     assert (60, "poly") not in got
     assert not any(n == 30 for n, _ in got)
+
+
+def test_auto_44k_floor():
+    """The server's default engine rate is 44.1 kHz, so the router must
+    hold its gates on the sr-proportional grid too (measured round 4 on
+    chip: chords 1.0/1.0/1.0, mono 0.99, mixed seeds 1-3 all 1.0)."""
+    from aegis_tpu.engine.auto import AegisAutoEngine
+
+    sr, hop = 44100, 1024
+    eng = AegisAutoEngine(sample_rate=sr)
+
+    def f1(y, truth):
+        ev = eng.extract_events(eng.analyze(y))
+        return note_event_f1(truth, events_to_seconds(ev, sr, hop))["f1"]
+
+    y, t = generate_chord_progression(3, sr=sr)
+    assert f1(y, t) >= 0.96
+    y, t = generate_bench_track(duration=20.0, sr=sr, return_truth=True)
+    assert f1(y, t) >= 0.95
+    y, t = generate_mixed_clip(1, sr=sr)
+    assert f1(y, t) >= 0.95
