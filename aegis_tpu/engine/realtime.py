@@ -315,10 +315,13 @@ class StreamingTranscriber:
 
     #: frames of recompute overlap ahead of the incremental-trend cache;
     #: every filter in the stack has far shorter memory (savgol window 11,
-    #: Bollinger/RSI ~20, EMA/Kalman exponential decay), so discarding this
-    #: warmup makes the appended tail numerically indistinguishable from a
-    #: full-track pass (parity-tested in tests/test_realtime.py)
-    _TREND_WARMUP = 512
+    #: Bollinger/RSI ~20, EMA/Kalman exponential decay — the slowest,
+    #: MACD's 26-span EMA, retains 3e-9 of a value 256 frames back), so
+    #: discarding this warmup makes the appended tail numerically
+    #: indistinguishable from a full-track pass (parity-tested in
+    #: tests/test_realtime.py, which exercises W=64; 512 was x2 the cost
+    #: of every live financial poll for no measurable difference)
+    _TREND_WARMUP = 256
 
     def _trend_full(self, f0_clean: np.ndarray) -> Dict[str, np.ndarray]:
         from aegis_tpu.ref import trend_ref
