@@ -1106,6 +1106,7 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
 
     out = []
     rows = _overlap_rows(events)
+    notes_a = np.fromiter((e["note"] for e in events), np.int64, len(events))
     for i, e in enumerate(events):
         if (e.get("recovered_octave") or e.get("recovered_fifth")
                 or e.get("repitched_octave") or e.get("rescued_root")):
@@ -1119,21 +1120,21 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
             continue
         own = med_env(be, lo, hi)
         f_e = _HZ_TABLE[e["note"]]
-
-        def _leaks(o):
-            d = abs(f_e - _HZ_TABLE[o["note"]]) / binw
-            if d > leak_bins:
-                return False
-            need = max(1.0, margin_db * (d - 0.5) / 1.5)
-            return own <= med_env(o["note"] - fmin, lo, hi) - need
-
-        leaked = any(
-            events[j]["note"] != e["note"]
-            and 0 <= events[j]["note"] - fmin < n_bins
-            and _leaks(events[j])
-            for j in rows[i])
-        if not leaked:
-            out.append(e)
+        # one vector sweep over the concurrent candidates (same elementwise
+        # float ops as the per-event generator it replaces)
+        cn = notes_a[rows[i]]
+        cb = cn - fmin
+        m = (cn != e["note"]) & (cb >= 0) & (cb < n_bins)
+        if m.any():
+            cn, cb = cn[m], cb[m]
+            d = np.abs(f_e - _HZ_TABLE[cn]) / binw
+            near = d <= leak_bins
+            if near.any():
+                need = np.maximum(1.0, margin_db * (d[near] - 0.5) / 1.5)
+                meds = cache.med_row(lo, hi)[cb[near]]
+                if (own <= meds - need).any():
+                    continue
+        out.append(e)
     return out
 
 
