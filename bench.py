@@ -53,8 +53,8 @@ def _median_time(fn, n: int) -> float:
     return sorted(times)[n // 2]
 
 
-def _probe_device(timeout_s: float = 300.0, attempts: int = 3,
-                  retry_wait_s: float = 150.0) -> bool:
+def _probe_device(timeout_s: float = 300.0,
+                  waits_s: tuple = (0, 90, 210, 390, 540)) -> bool:
     """True if the tunneled TPU backend is reachable.
 
     When the axon device service is down, jax backend init HANGS instead of
@@ -65,17 +65,21 @@ def _probe_device(timeout_s: float = 300.0, attempts: int = 3,
     which a down service never starts.)
 
     The tunnel FLAPS (observed 2026-08-19: init hung >300 s, succeeded in
-    20 s eight minutes later, hung again two minutes after that), so a
-    single failed probe must not demote the round's bench artifact to the
-    CPU fallback — retry a few times with a wait between attempts.
+    20 s eight minutes later, hung again two minutes after that; the
+    round-4 driver capture lost its on-chip artifact to a flap that
+    outlasted the old 3x150 s retry budget).  CLAUDE.md's measured
+    recovery is ~8-10 min, so the escalating waits here total ~20.5 min
+    (plus probe timeouts) before the caller may demote the round artifact
+    to the CPU fallback.
     """
     code = ("import jax, jax.numpy as jnp, numpy as np; "
             "np.asarray(jnp.add(jnp.float32(1), jnp.float32(1)))")
-    for attempt in range(attempts):
+    for attempt, wait in enumerate(waits_s):
         if attempt:
             print(f"# TPU probe attempt {attempt} failed; retrying in "
-                  f"{retry_wait_s:.0f}s (tunnel flap?)", file=sys.stderr)
-            time.sleep(retry_wait_s)
+                  f"{wait:.0f}s (tunnel flap? measured recovery ~8-10 min)",
+                  file=sys.stderr)
+            time.sleep(wait)
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s,
@@ -111,20 +115,92 @@ def _cpu_fallback_bench() -> None:
     fin_iter()  # compile
     print("# financial 60s two-phase (CPU fallback):", file=sys.stderr)
     rtf = duration / _median_time(fin_iter, 3)
-    print(json.dumps({
+    print(json.dumps(_fallback_record(rtf)))
+
+
+def _fallback_record(rtf: float) -> dict:
+    """VERDICT r4 #6: the degraded artifact must carry an explicit note so
+    no downstream consumer mistakes the row for a chip regression."""
+    return {
         "metric": "realtime_factor", "value": round(rtf, 1),
         "unit": "x_realtime", "vs_baseline": round(rtf / 4.8, 2),
         "device": "cpu_fallback",
-    }))
+        "note": "tunnel down; XLA-CPU measurement, not a TPU result",
+    }
+
+
+def _run_measured(timeout_s: float) -> bool:
+    """Run the measured bench in a child process under a hard timeout.
+
+    A tunnel flap MID-RUN used to hang the bench process itself (a blocked
+    np.asarray fetch has no Python-level timeout), so the round-4 driver
+    capture had only probe-level resilience.  Running the measured body in
+    a child bounds a mid-run hang: the parent kills the child, waits out
+    the flap, re-probes, and retries a warm run (the persistent XLA compile
+    cache makes the retry cheap).  The child's stderr streams through; the
+    parent re-prints only the child's final JSON line, preserving the
+    one-line stdout contract.
+
+    Killing the child is safe for warm dispatches; the orphaned-compile
+    hazard (CLAUDE.md) applies to in-flight XLA compiles, which is why the
+    first attempt's timeout must comfortably cover cold compiles.
+    """
+    try:
+        r = subprocess.run([sys.executable, "-u", __file__, "--measure"],
+                           timeout=timeout_s, stdout=subprocess.PIPE)
+        out = (r.stdout or b"").decode(errors="replace")
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode(errors="replace") if e.stdout else ""
+        print(f"# measured run hung past {timeout_s:.0f}s (tunnel flap "
+              "mid-run?) -- child killed", file=sys.stderr)
+    line = _final_json_line(out)
+    if line:
+        print(line)
+        return True
+    return False
+
+
+def _final_json_line(out: str) -> str | None:
+    """The child's one-line artifact, or None if it died before printing
+    a complete valid record."""
+    for ln in reversed(out.splitlines()):
+        if ln.startswith("{"):
+            try:
+                json.loads(ln)
+            except ValueError:
+                continue
+            return ln
+    return None
 
 
 def main() -> None:
+    if "--measure" in sys.argv[1:]:
+        measure()
+        return
     if not _probe_device():
         print("# TPU backend unreachable -- falling back to XLA CPU",
               file=sys.stderr)
         _cpu_fallback_bench()
         return
+    # First attempt: generous timeout (cold compiles through the tunnel
+    # take minutes).  On a mid-run hang, wait out the measured ~8-10 min
+    # flap recovery, re-probe, and retry warm before demoting the round
+    # artifact to the CPU fallback.
+    for attempt, timeout_s in enumerate((2700.0, 2100.0)):
+        if attempt:
+            print("# waiting 540s for tunnel recovery before the retry",
+                  file=sys.stderr)
+            time.sleep(540.0)
+            if not _probe_device(waits_s=(0, 120, 300)):
+                break
+        if _run_measured(timeout_s):
+            return
+    print("# measured TPU bench failed twice -- falling back to XLA CPU",
+          file=sys.stderr)
+    _cpu_fallback_bench()
 
+
+def measure() -> None:
     duration = 60.0
     sr = 22050
     from aegis_tpu.tools.signal_gen import (generate_bench_track,
