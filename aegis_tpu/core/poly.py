@@ -774,29 +774,48 @@ class _EnvCache:
     pass then builds its own over its ``db``, so no staleness (the same
     contract as the explicit ``db`` threading; see _dbp)."""
 
-    __slots__ = ("db", "fps", "_meds", "_shapes")
+    __slots__ = ("db", "fps", "_meds", "_shapes", "_nh")
 
     def __init__(self, db: np.ndarray, fps: float):
         self.db = db
         self.fps = float(fps)
         self._meds: dict = {}
         self._shapes: dict = {}
+        # native (C++) backend: one shared memoized stats core per plane
+        # (aegis_tpu/native/poly_recover.cpp) — medians bit-identical, shape
+        # fits near-parity (double accumulation vs numpy pairwise/BLAS; see
+        # the C++ header).  The heavy recovery passes run natively against
+        # the SAME handle, so stats stay shared across the whole chain.
+        self._nh = None
+        if (getattr(db, "ndim", 0) == 2
+                and db.dtype in (np.float32, np.float64)):
+            from aegis_tpu import native as _nat
+
+            if _nat.get_lib() is not None:
+                try:
+                    self._nh = _nat.EnvHandle(
+                        np.ascontiguousarray(db), self.fps)
+                except Exception:
+                    self._nh = None
 
     def med_row(self, lo: int, hi: int) -> np.ndarray:
         key = (lo, hi)
         row = self._meds.get(key)
         if row is None:
-            win = self.db[lo:hi]
-            n = win.shape[0]
-            if n == 0:
-                row = np.full(win.shape[1], np.nan)
+            if self._nh is not None:
+                row = self._nh.med_row(lo, hi)
             else:
-                h = n // 2
-                if n % 2:
-                    row = np.partition(win, h, axis=0)[h]
+                win = self.db[lo:hi]
+                n = win.shape[0]
+                if n == 0:
+                    row = np.full(win.shape[1], np.nan)
                 else:
-                    p = np.partition(win, (h - 1, h), axis=0)
-                    row = (p[h - 1] + p[h]) / 2.0
+                    h = n // 2
+                    if n % 2:
+                        row = np.partition(win, h, axis=0)[h]
+                    else:
+                        p = np.partition(win, (h - 1, h), axis=0)
+                        row = (p[h - 1] + p[h]) / 2.0
             self._meds[key] = row
         return row
 
@@ -807,8 +826,25 @@ class _EnvCache:
         key = (lo, hi, b)
         v = self._shapes.get(key)
         if v is None:
-            v = self._shapes[key] = _env_shape(self.db[lo:hi, b], self.fps)
+            if self._nh is not None:
+                v = self._nh.shape(lo, hi, b)
+            else:
+                v = _env_shape(self.db[lo:hi, b], self.fps)
+            self._shapes[key] = v
         return v
+
+
+def _native_pass_ok(events: List[dict], fmin: int, n_bins: int,
+                    cache: "_EnvCache") -> bool:
+    """Preconditions for routing a recovery pass through the C++ core: the
+    plane width matches and every note's bin arithmetic stays in the range
+    the Python spec itself tolerates (out-of-range notes would IndexError
+    in Python too; tests may construct them — fall back)."""
+    nh = getattr(cache, "_nh", None)
+    if nh is None or not events or nh.B != n_bins:
+        return False
+    notes = np.fromiter((e["note"] for e in events), np.int64, len(events))
+    return int(notes.min()) >= fmin and int(notes.max()) < fmin + n_bins
 
 
 def _overlap_rows(events: List[dict], chunk: int = 512) -> List[np.ndarray]:
@@ -942,6 +978,20 @@ def rescue_dead_fundamentals(events: List[dict], cqt_mag: np.ndarray,
     n_bins = cqt_mag.shape[1]
     track_max_db = (float(np.max(db)) if track_peak_db is None
                     else track_peak_db)
+
+    if _native_pass_ok(events, fmin, n_bins, cache):
+        from aegis_tpu import native as _nat
+
+        mints = _nat.poly_rescue_native(
+            cache._nh, events, binw, fmin, n_bins, track_max_db,
+            live_floor_db, max_resid, max_curv, max_slope, leak_bins,
+            attack_skip_s, min_frames)
+        out = list(events)
+        for src, f, s in mints:
+            out.append({**events[src], "note": f, "salience": s,
+                        "rescued_root": True})
+        out.sort(key=lambda ev: (ev["start"], ev["note"]))
+        return out
 
     def med_env(b, lo, hi):
         return cache.med(lo, hi, b)
@@ -1100,6 +1150,14 @@ def drop_leakage_ghosts(events: List[dict], cqt_mag: np.ndarray,
     binw = sr / n_fft
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
+
+    if _native_pass_ok(events, fmin, n_bins, cache):
+        from aegis_tpu import native as _nat
+
+        keep = _nat.poly_drop_leakage_native(
+            cache._nh, events, binw, fmin, n_bins, leak_bins, margin_db,
+            attack_skip_s, min_frames)
+        return [e for e, k in zip(events, keep) if k]
 
     def med_env(b, lo, hi):
         return cache.med(lo, hi, b)
@@ -1261,6 +1319,21 @@ def recover_octave_doublings(events: List[dict], cqt_mag: np.ndarray,
     out = list(events)
     track_max_db = (float(np.max(db)) if track_peak_db is None
                     else track_peak_db)
+
+    if _native_pass_ok(events, fmin, n_bins, cache):
+        from aegis_tpu import native as _nat
+
+        mints, unc = _nat.poly_recover_octaves_native(
+            cache._nh, events, fmin, n_bins, track_max_db, sr,
+            resid_thr, curv_thr, rel_factor, attack_skip_s, min_frames,
+            level_floor_db, parent_ghost_ratio, feeder_floor_db)
+        for i in np.nonzero(unc)[0]:
+            events[int(i)]["octave_uncertain"] = True
+        for p, s in mints:
+            out.append({**events[p], "note": events[p]["note"] + 12,
+                        "salience": s, "recovered_octave": True})
+        out.sort(key=lambda ev: (ev["start"], ev["note"]))
+        return out
 
     rows = _overlap_rows(events)
     # guard scans as array ops over the shared rows (same predicates; the
@@ -1667,6 +1740,18 @@ def drop_straight_harmonic_ghosts(events: List[dict], cqt_mag: np.ndarray,
     cache = cache if cache is not None else _EnvCache(db, fps)
     fmin = int(round(CQT_FMIN_MIDI))
     n_bins = cqt_mag.shape[1]
+
+    if _native_pass_ok(events, fmin, n_bins, cache):
+        from aegis_tpu import native as _nat
+
+        tm = (track_peak_db if track_peak_db is not None
+              else (float(np.max(db)) if beat_scan else 0.0))
+        keep = _nat.poly_drop_straight_native(
+            cache._nh, events, fmin, n_bins, tm, intervals, resid_thr,
+            curv_thr, rel_factor, attack_skip_s, min_frames, sal_guard,
+            line_harmonics, line_tol_semis, beat_scan, beat_floor_db)
+        return [e for e, k in zip(events, keep) if k]
+
     out = []
     rows = _overlap_rows(events)
     for i, e in enumerate(events):

@@ -23,7 +23,8 @@ from typing import List, Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "events_core.cpp")
+_SRCS = [os.path.join(_HERE, "events_core.cpp"),
+         os.path.join(_HERE, "poly_recover.cpp")]
 _LIB = None
 _TRIED = False
 
@@ -43,19 +44,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if os.environ.get("AEGIS_NATIVE", "1") == "0":
         return None
     try:
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
-        so_path = os.path.join(_cache_dir(), f"events_core_{digest}.so")
+        hasher = hashlib.sha256()
+        for src in _SRCS:
+            with open(src, "rb") as f:
+                hasher.update(f.read())
+        digest = hasher.hexdigest()[:16]
+        so_path = os.path.join(_cache_dir(), f"aegis_native_{digest}.so")
         if not os.path.exists(so_path):
             os.makedirs(_cache_dir(), exist_ok=True)
             tmp = so_path + f".tmp{os.getpid()}"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 _SRC, "-o", tmp],
+                 *_SRCS, "-o", tmp],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
         lib.aegis_segment_v1.restype = ctypes.c_long
+        lib.aegis_env_new_f32.restype = ctypes.c_void_p
+        lib.aegis_env_new_f64.restype = ctypes.c_void_p
+        lib.aegis_env_free.argtypes = [ctypes.c_void_p]
+        lib.aegis_env_med.restype = ctypes.c_double
+        lib.aegis_poly_rescue.restype = ctypes.c_long
+        lib.aegis_poly_recover_octaves.restype = ctypes.c_long
         _LIB = lib
     except Exception as e:  # no compiler / failed build: numpy fallback
         print(f"[aegis.native] build unavailable ({e}); NumPy fallback",
@@ -136,3 +146,192 @@ def segment_events_v1_native(
             }
             for i in range(n)
         ]
+
+
+# --------------------------------------------------------------------------
+# poly recovery-chain natives (poly_recover.cpp) — the envelope-statistics
+# cache plus the four heavy raw-CQT passes.  core/poly.py routes through
+# these when the library is available; the Python implementations remain the
+# spec (decision parity on the truth corpora: tests/test_native_poly.py).
+
+def _ptr(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def _soa(events, key, dtype, default=None):
+    if default is None:
+        it = (e[key] for e in events)
+    else:
+        it = (e.get(key, default) for e in events)
+    return np.fromiter(it, dtype, len(events))
+
+
+class EnvHandle:
+    """Owns a native EnvCache over one dB plane (medians + shape fits are
+    memoized C++-side and shared by every native pass and scalar query)."""
+
+    def __init__(self, db: np.ndarray, fps: float):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.T, self.B = db.shape
+        self.is_f32 = db.dtype == np.float32
+        if self.is_f32:
+            self._db = np.ascontiguousarray(db, np.float32)
+            self._h = lib.aegis_env_new_f32(
+                _ptr(self._db, ctypes.c_float), ctypes.c_long(self.T),
+                ctypes.c_long(self.B), ctypes.c_double(fps))
+        else:
+            self._db = np.ascontiguousarray(db, np.float64)
+            self._h = lib.aegis_env_new_f64(
+                _ptr(self._db, ctypes.c_double), ctypes.c_long(self.T),
+                ctypes.c_long(self.B), ctypes.c_double(fps))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.aegis_env_free(ctypes.c_void_p(h))
+            self._h = None
+
+    def med_row(self, lo: int, hi: int) -> np.ndarray:
+        out = np.empty(self.B, np.float64)
+        self._lib.aegis_env_med_row(
+            ctypes.c_void_p(self._h), ctypes.c_long(lo), ctypes.c_long(hi),
+            _ptr(out, ctypes.c_double))
+        # medians of a float32 plane are float32 values (exact widenings);
+        # narrowing back is lossless and matches the numpy row dtype
+        return out.astype(np.float32) if self.is_f32 else out
+
+    def shape(self, lo: int, hi: int, b: int) -> tuple:
+        out = np.empty(2, np.float64)
+        self._lib.aegis_env_shape(
+            ctypes.c_void_p(self._h), ctypes.c_long(lo), ctypes.c_long(hi),
+            ctypes.c_long(b), _ptr(out, ctypes.c_double))
+        return float(out[0]), float(out[1])
+
+
+def _event_arrays(events):
+    note = _soa(events, "note", np.int64)
+    start = _soa(events, "start", np.int64)
+    end = _soa(events, "end", np.int64)
+    sal = _soa(events, "salience", np.float64, 0.0)
+    return note, start, end, sal
+
+
+def poly_rescue_native(h: EnvHandle, events, binw, fmin, n_bins,
+                       track_max_db, live_floor_db, max_resid, max_curv,
+                       max_slope, leak_bins, attack_skip_s, min_frames):
+    """Mint list [(src_index, note, salience)] mirroring
+    core/poly.py::rescue_dead_fundamentals's discovery order."""
+    note, start, end, sal = _event_arrays(events)
+    cap = max(64, len(events))
+    while True:
+        out_src = np.empty(cap, np.int64)
+        out_note = np.empty(cap, np.int64)
+        out_sal = np.empty(cap, np.float64)
+        m = h._lib.aegis_poly_rescue(
+            ctypes.c_void_p(h._h), ctypes.c_long(len(events)),
+            _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+            _ptr(end, ctypes.c_long), _ptr(sal, ctypes.c_double),
+            ctypes.c_double(binw), ctypes.c_long(fmin),
+            ctypes.c_long(n_bins), ctypes.c_double(track_max_db),
+            ctypes.c_double(live_floor_db), ctypes.c_double(max_resid),
+            ctypes.c_double(max_curv), ctypes.c_double(max_slope),
+            ctypes.c_double(leak_bins), ctypes.c_double(attack_skip_s),
+            ctypes.c_long(min_frames), ctypes.c_long(cap),
+            _ptr(out_src, ctypes.c_long), _ptr(out_note, ctypes.c_long),
+            _ptr(out_sal, ctypes.c_double))
+        if m < 0:
+            cap = -m + 16
+            continue
+        return [(int(out_src[i]), int(out_note[i]), float(out_sal[i]))
+                for i in range(m)]
+
+
+def poly_recover_octaves_native(h: EnvHandle, events, fmin, n_bins,
+                                track_max_db, sr, resid_thr, curv_thr,
+                                rel_factor, attack_skip_s, min_frames,
+                                level_floor_db, parent_ghost_ratio,
+                                feeder_floor_db):
+    """(mints [(parent_index, salience)], uncertain bool array) mirroring
+    core/poly.py::recover_octave_doublings."""
+    note, start, end, sal = _event_arrays(events)
+    rescued = _soa(events, "rescued_root", np.uint8, False)
+    cap = max(64, len(events))
+    while True:
+        out_parent = np.empty(cap, np.int64)
+        out_sal = np.empty(cap, np.float64)
+        out_unc = np.zeros(max(len(events), 1), np.uint8)
+        m = h._lib.aegis_poly_recover_octaves(
+            ctypes.c_void_p(h._h), ctypes.c_long(len(events)),
+            _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+            _ptr(end, ctypes.c_long), _ptr(sal, ctypes.c_double),
+            _ptr(rescued, ctypes.c_uint8),
+            ctypes.c_long(fmin), ctypes.c_long(n_bins),
+            ctypes.c_double(track_max_db), ctypes.c_long(sr),
+            ctypes.c_double(resid_thr), ctypes.c_double(curv_thr),
+            ctypes.c_double(rel_factor), ctypes.c_double(attack_skip_s),
+            ctypes.c_long(min_frames), ctypes.c_double(level_floor_db),
+            ctypes.c_double(parent_ghost_ratio),
+            ctypes.c_double(feeder_floor_db), ctypes.c_long(cap),
+            _ptr(out_parent, ctypes.c_long), _ptr(out_sal, ctypes.c_double),
+            _ptr(out_unc, ctypes.c_uint8))
+        if m < 0:
+            cap = -m + 16
+            continue
+        mints = [(int(out_parent[i]), float(out_sal[i])) for i in range(m)]
+        return mints, out_unc[: len(events)].astype(bool)
+
+
+def poly_drop_leakage_native(h: EnvHandle, events, binw, fmin, n_bins,
+                             leak_bins, margin_db, attack_skip_s,
+                             min_frames):
+    """Keep mask mirroring core/poly.py::drop_leakage_ghosts."""
+    note, start, end, _sal = _event_arrays(events)
+    exempt = np.fromiter(
+        (bool(e.get("recovered_octave") or e.get("recovered_fifth")
+              or e.get("repitched_octave") or e.get("rescued_root"))
+         for e in events), np.uint8, len(events))
+    keep = np.zeros(max(len(events), 1), np.uint8)
+    h._lib.aegis_poly_drop_leakage(
+        ctypes.c_void_p(h._h), ctypes.c_long(len(events)),
+        _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+        _ptr(end, ctypes.c_long), _ptr(exempt, ctypes.c_uint8),
+        ctypes.c_double(binw), ctypes.c_long(fmin), ctypes.c_long(n_bins),
+        ctypes.c_double(leak_bins), ctypes.c_double(margin_db),
+        ctypes.c_double(attack_skip_s), ctypes.c_long(min_frames),
+        _ptr(keep, ctypes.c_uint8))
+    return keep[: len(events)].astype(bool)
+
+
+def poly_drop_straight_native(h: EnvHandle, events, fmin, n_bins,
+                              track_max_db, intervals, resid_thr, curv_thr,
+                              rel_factor, attack_skip_s, min_frames,
+                              sal_guard, line_harmonics, line_tol_semis,
+                              beat_scan, beat_floor_db):
+    """Keep mask mirroring core/poly.py::drop_straight_harmonic_ghosts.
+    ``sal_guard=None`` and ``line_harmonics=None`` follow the Python
+    signature (None disables the guard / selects interval mode)."""
+    note, start, end, sal = _event_arrays(events)
+    rescued = _soa(events, "rescued_root", np.uint8, False)
+    iv = np.asarray(sorted(intervals), np.int64)
+    lh = (np.asarray(line_harmonics, np.int64)
+          if line_harmonics is not None else np.empty(0, np.int64))
+    keep = np.zeros(max(len(events), 1), np.uint8)
+    h._lib.aegis_poly_drop_straight(
+        ctypes.c_void_p(h._h), ctypes.c_long(len(events)),
+        _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+        _ptr(end, ctypes.c_long), _ptr(sal, ctypes.c_double),
+        _ptr(rescued, ctypes.c_uint8),
+        ctypes.c_long(fmin), ctypes.c_long(n_bins),
+        ctypes.c_double(track_max_db),
+        _ptr(iv, ctypes.c_long), ctypes.c_long(len(iv)),
+        ctypes.c_double(resid_thr), ctypes.c_double(curv_thr),
+        ctypes.c_double(rel_factor), ctypes.c_double(attack_skip_s),
+        ctypes.c_long(min_frames),
+        ctypes.c_double(-1.0 if sal_guard is None else sal_guard),
+        _ptr(lh, ctypes.c_long), ctypes.c_long(len(lh)),
+        ctypes.c_double(line_tol_semis), ctypes.c_long(int(beat_scan)),
+        ctypes.c_double(beat_floor_db), _ptr(keep, ctypes.c_uint8))
+    return keep[: len(events)].astype(bool)

@@ -1,0 +1,680 @@
+// Native poly recovery-chain core — the C++ counterpart of the host-side
+// envelope-physics passes in aegis_tpu/core/poly.py (the raw-CQT recovery
+// chain: rescue_dead_fundamentals, recover_octave_doublings,
+// drop_leakage_ghosts, drop_straight_harmonic_ghosts) plus the shared
+// envelope-statistics cache (_EnvCache: per-window per-bin medians and
+// trimmed-line-fit shape statistics).
+//
+// Python (core/poly.py) remains the SPEC: every branch here mirrors the
+// corresponding Python pass line by line (citations inline).  Decision
+// parity on the truth corpora is asserted by tests/test_native_poly.py with
+// AEGIS_NATIVE toggled; float near-parity notes:
+//   * medians are BIT-IDENTICAL (exact k-selection; the even-length average
+//     is computed in the plane's own dtype, matching numpy float32 rounding);
+//   * line fits accumulate in double where numpy uses pairwise/BLAS sums —
+//     agreement ~1e-6 relative, far inside every documented dB-scale margin;
+//   * the outlier-trim argsort breaks residual ties by index (numpy's
+//     introsort tie order is unspecified) — keep-set differences require
+//     exact float ties at the cut boundary.
+//
+// Build: g++ -O3 -shared -fPIC together with events_core.cpp (see
+// aegis_tpu/native/__init__.py; ctypes binding, no pybind11 in this image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// config.midi_to_hz: 440 * 2**((m - 69) / 12); same libm pow as CPython.
+inline double midi_to_hz(double m) {
+    return 440.0 * std::pow(2.0, (m - 69.0) / 12.0);
+}
+
+// Python round() is half-to-even; nearbyint honors FE_TONEAREST (= same).
+inline long round_half_even(double x) {
+    return static_cast<long>(std::nearbyint(x));
+}
+
+// core/poly.py:578/587 — harmonics 2..8 above a fundamental, and the h3..h8
+// subset (+12 handled separately).
+const long HARM[7] = {12, 19, 24, 28, 31, 34, 36};
+const long HIGH_HARM[6] = {19, 24, 28, 31, 34, 36};
+const long RESCUE_OFFS[8] = {0, 12, 19, 24, 28, 31, 34, 36};
+
+inline bool in_harm(long d) {
+    for (long h : HARM) if (d == h) return true;
+    return false;
+}
+
+// _HZ_TABLE (core/poly.py:583): midi 0..191 through the scalar midi_to_hz.
+struct HzTable {
+    double v[192];
+    HzTable() { for (int m = 0; m < 192; ++m) v[m] = midi_to_hz(double(m)); }
+};
+const HzTable HZ;
+
+// ---------------------------------------------------------------- line fits
+
+// core/poly.py::_linefit — centered normal equations, a=0 when denom == 0.
+inline void linefit(const double* t, const double* y, long n,
+                    double* a, double* b) {
+    if (n <= 0) { *a = 0.0; *b = NAN; return; }
+    double tm = 0.0, ym = 0.0;
+    for (long i = 0; i < n; ++i) { tm += t[i]; ym += y[i]; }
+    tm /= n; ym /= n;
+    double num = 0.0, den = 0.0;
+    for (long i = 0; i < n; ++i) {
+        double dt = t[i] - tm;
+        num += dt * (y[i] - ym);
+        den += dt * dt;
+    }
+    *a = den > 0.0 ? num / den : 0.0;
+    *b = ym - (*a) * tm;
+}
+
+// core/poly.py::_env_shape — (trimmed linear-fit RMS residual [dB],
+// |late slope - early slope| [dB/s]); trim_frac worst-residual frames are
+// dropped and the fit redone on the keepers.
+void env_shape(const double* env, long T, double fps,
+               double* resid_out, double* curv_out,
+               double trim_frac = 0.15) {
+    if (T <= 0) { *resid_out = NAN; *curv_out = NAN; return; }
+    std::vector<double> t(T);
+    for (long i = 0; i < T; ++i) t[i] = double(i);
+    double a, b;
+    linefit(t.data(), env, T, &a, &b);
+    long n_trim = static_cast<long>(T * trim_frac);
+    std::vector<double> tk, yk;
+    if (n_trim > 0 && T - n_trim >= 4) {
+        std::vector<double> err(T);
+        for (long i = 0; i < T; ++i) err[i] = std::fabs(env[i] - (a * t[i] + b));
+        std::vector<long> order(T);
+        for (long i = 0; i < T; ++i) order[i] = i;
+        std::stable_sort(order.begin(), order.end(),
+                         [&](long x, long y_) { return err[x] < err[y_]; });
+        order.resize(T - n_trim);
+        std::sort(order.begin(), order.end());
+        tk.resize(order.size()); yk.resize(order.size());
+        for (size_t i = 0; i < order.size(); ++i) {
+            tk[i] = double(order[i]);
+            yk[i] = env[order[i]];
+        }
+        linefit(tk.data(), yk.data(), (long)tk.size(), &a, &b);
+    } else {
+        tk = t;
+        yk.assign(env, env + T);
+    }
+    const long nk = (long)tk.size();
+    double ss = 0.0;
+    for (long i = 0; i < nk; ++i) {
+        double d = yk[i] - (a * tk[i] + b);
+        ss += d * d;
+    }
+    *resid_out = std::sqrt(ss / nk);
+    long h = nk / 2;
+    double ae, be, al, bl;
+    linefit(tk.data(), yk.data(), h, &ae, &be);
+    linefit(tk.data() + h, yk.data() + h, nk - h, &al, &bl);
+    *curv_out = std::fabs(al * fps - ae * fps);
+}
+
+// ------------------------------------------------------------ env cache
+
+// _EnvCache (core/poly.py:757): memoized per-window envelope statistics
+// over ONE dB plane.  The plane is stored in its source dtype so the
+// even-length median average rounds exactly like numpy does.
+struct EnvCache {
+    std::vector<float> dbf;    // float32 plane (one of the two is used)
+    std::vector<double> dbd;   // float64 plane
+    bool is_f32;
+    long T, B;
+    double fps;
+    std::unordered_map<uint64_t, std::vector<double>> med_rows;
+    std::unordered_map<uint64_t, std::pair<double, double>> shapes;
+
+    inline double at(long t, long b) const {
+        return is_f32 ? double(dbf[t * B + b]) : dbd[t * B + b];
+    }
+
+    static inline uint64_t key2(long lo, long hi) {
+        return (uint64_t(uint32_t(lo)) << 32) | uint64_t(uint32_t(hi));
+    }
+    static inline uint64_t key3(long lo, long hi, long b) {
+        return (uint64_t(uint32_t(lo)) << 42) ^ (uint64_t(uint32_t(hi)) << 21)
+             ^ uint64_t(uint32_t(b)) ^ (uint64_t(1) << 63);
+    }
+
+    // med_row: exact per-bin medians of db[lo:hi] (python slice clamping).
+    const std::vector<double>& med_row(long lo, long hi) {
+        uint64_t k = key2(lo, hi);
+        auto it = med_rows.find(k);
+        if (it != med_rows.end()) return it->second;
+        long lo_c = std::min(std::max(lo, 0L), T);
+        long hi_c = std::min(std::max(hi, 0L), T);
+        long n = hi_c - lo_c;
+        std::vector<double> row(B, NAN);
+        if (n > 0) {
+            long h = n / 2;
+            if (is_f32) {
+                std::vector<float> col(n);
+                for (long b = 0; b < B; ++b) {
+                    for (long t = 0; t < n; ++t)
+                        col[t] = dbf[(lo_c + t) * B + b];
+                    std::nth_element(col.begin(), col.begin() + h, col.end());
+                    if (n % 2) {
+                        row[b] = double(col[h]);
+                    } else {
+                        float hi_v = col[h];
+                        float lo_v = *std::max_element(col.begin(),
+                                                       col.begin() + h);
+                        float s = lo_v + hi_v;   // float32 rounding, /2 exact
+                        row[b] = double(s / 2.0f);
+                    }
+                }
+            } else {
+                std::vector<double> col(n);
+                for (long b = 0; b < B; ++b) {
+                    for (long t = 0; t < n; ++t)
+                        col[t] = dbd[(lo_c + t) * B + b];
+                    std::nth_element(col.begin(), col.begin() + h, col.end());
+                    if (n % 2) {
+                        row[b] = col[h];
+                    } else {
+                        double hi_v = col[h];
+                        double lo_v = *std::max_element(col.begin(),
+                                                        col.begin() + h);
+                        row[b] = (lo_v + hi_v) / 2.0;
+                    }
+                }
+            }
+        }
+        return med_rows.emplace(k, std::move(row)).first->second;
+    }
+
+    double med(long lo, long hi, long b) {
+        if (b < 0) b += B;  // numpy negative-index semantics
+        return med_row(lo, hi)[b];
+    }
+
+    std::pair<double, double> shape(long lo, long hi, long b) {
+        if (b < 0) b += B;
+        uint64_t k = key3(lo, hi, b);
+        auto it = shapes.find(k);
+        if (it != shapes.end()) return it->second;
+        long lo_c = std::min(std::max(lo, 0L), T);
+        long hi_c = std::min(std::max(hi, 0L), T);
+        long n = hi_c - lo_c;
+        std::vector<double> env(std::max(n, 0L));
+        for (long t = 0; t < n; ++t) env[t] = at(lo_c + t, b);
+        double r, c;
+        env_shape(env.data(), n, fps, &r, &c);
+        auto v = std::make_pair(r, c);
+        shapes.emplace(k, v);
+        return v;
+    }
+};
+
+// ------------------------------------------------------------ shared scans
+
+// core/poly.py::_overlap_rows — per-event ascending index lists of
+// concurrent events (start[j] <= end[i] && start[i] <= end[j], j != i).
+std::vector<std::vector<long>> overlap_rows(const long* start,
+                                            const long* end_, long E) {
+    std::vector<std::vector<long>> rows(E);
+    for (long i = 0; i < E; ++i) {
+        for (long j = 0; j < E; ++j) {
+            if (j != i && start[j] <= end_[i] && start[i] <= end_[j])
+                rows[i].push_back(j);
+        }
+    }
+    return rows;
+}
+
+// core/poly.py::_foreign_line_near with the med_env/evidence_db form used by
+// every native call site: med_env(note) = med(lo,hi, note-fmin), None (-> a
+// blocking True) when the bin is out of range.
+bool foreign_line_near(double pitch, const long* note,
+                       const std::vector<long>& ev_idx,
+                       const std::vector<long>& exclude_notes,
+                       long parent_note,  // -1 = none
+                       EnvCache* h, long lo, long hi, long fmin, long n_bins,
+                       double evidence_db,
+                       double tol_semis = 1.5, long hmax = 13,
+                       double rim_tol_semis = 1.2,
+                       double contrib_margin_db = 10.0) {
+    double f_b = midi_to_hz(pitch);
+    double f_p = parent_note >= 0 ? midi_to_hz(double(parent_note)) : 0.0;
+    for (long j : ev_idx) {
+        long on = note[j];
+        bool excl = false;
+        for (long x : exclude_notes) if (x == on) { excl = true; break; }
+        if (excl) continue;
+        double f_o = midi_to_hz(double(on));
+        if (parent_note >= 0) {
+            bool rim = false;
+            for (long k = 2; k <= hmax; ++k) {
+                if (std::fabs(12.0 * std::log2(f_o / (double(k) * f_p)))
+                        <= rim_tol_semis) { rim = true; break; }
+            }
+            if (rim) continue;
+        }
+        for (long k = 2; k <= hmax; ++k) {
+            double d = std::fabs(12.0 * std::log2(f_b / (double(k) * f_o)));
+            if (d > tol_semis) continue;
+            long line_bin = (double(k) * f_o < f_b)
+                ? round_half_even(pitch - d) : round_half_even(pitch + d);
+            long bb = line_bin - fmin;
+            if (!(0 <= bb && bb < n_bins)) return true;  // med_env -> None
+            double line_db = h->med(lo, hi, bb);
+            double atten = 20.0 * std::log10(std::max(1.0 - d / 2.0, 0.05));
+            if (line_db + atten >= evidence_db - contrib_margin_db)
+                return true;
+        }
+    }
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------ env-cache API
+
+void* aegis_env_new_f32(const float* db, long T, long B, double fps) {
+    auto* h = new EnvCache();
+    h->is_f32 = true;
+    h->dbf.assign(db, db + T * B);
+    h->T = T; h->B = B; h->fps = fps;
+    return h;
+}
+
+void* aegis_env_new_f64(const double* db, long T, long B, double fps) {
+    auto* h = new EnvCache();
+    h->is_f32 = false;
+    h->dbd.assign(db, db + T * B);
+    h->T = T; h->B = B; h->fps = fps;
+    return h;
+}
+
+void aegis_env_free(void* hp) { delete static_cast<EnvCache*>(hp); }
+
+void aegis_env_med_row(void* hp, long lo, long hi, double* out) {
+    auto* h = static_cast<EnvCache*>(hp);
+    const std::vector<double>& row = h->med_row(lo, hi);
+    std::memcpy(out, row.data(), sizeof(double) * h->B);
+}
+
+double aegis_env_med(void* hp, long lo, long hi, long b) {
+    return static_cast<EnvCache*>(hp)->med(lo, hi, b);
+}
+
+void aegis_env_shape(void* hp, long lo, long hi, long b, double* out2) {
+    auto v = static_cast<EnvCache*>(hp)->shape(lo, hi, b);
+    out2[0] = v.first; out2[1] = v.second;
+}
+
+// -------------------------------------------------- rescue_dead_fundamentals
+
+// Mirrors core/poly.py::rescue_dead_fundamentals:936-1060.  Returns the
+// number of mints written as (src index, note, salience) triples, or
+// -(needed) when cap is too small.
+long aegis_poly_rescue(
+    void* hp, long E,
+    const long* note, const long* start, const long* end_, const double* sal,
+    double binw, long fmin, long n_bins, double track_max_db,
+    double live_floor_db, double max_resid, double max_curv,
+    double max_slope, double leak_bins, double attack_skip_s, long min_frames,
+    long cap, long* out_src, long* out_note, double* out_sal) {
+    auto* h = static_cast<EnvCache*>(hp);
+    const double fps = h->fps;
+    auto rows = overlap_rows(start, end_, E);
+    // note -> spans already minted at that pitch (per chord occurrence)
+    std::unordered_map<long, std::vector<std::pair<long, long>>> minted;
+    long m = 0;
+    std::vector<long> group, lines, parents, voters;
+    for (long i = 0; i < E; ++i) {
+        group = rows[i];
+        group.push_back(i);
+        long lo = start[i] + long(attack_skip_s * fps);
+        long hi = std::min(end_[i] - 1, h->T);
+        if (hi - lo < min_frames) continue;
+        // group spectral lines (fundamentals + harmonics), member-major
+        lines.clear();
+        for (long j : group)
+            for (long off : RESCUE_OFFS) {
+                long L = note[j] + off;
+                if (L < 192) lines.push_back(L);
+            }
+        for (long h_int : HARM) {
+            long f = note[i] - h_int;
+            long bf = f - fmin;
+            if (bf < 0) continue;
+            bool dup = false;
+            auto it = minted.find(f);
+            if (it != minted.end()) {
+                for (auto& sp : it->second)
+                    if (sp.first <= end_[i] && start[i] <= sp.second) {
+                        dup = true; break;
+                    }
+            }
+            if (dup) continue;
+            bool present = false;
+            for (long j : group) if (note[j] == f) { present = true; break; }
+            if (present) continue;
+            double own = h->med(lo, hi, bf);
+            if (own < track_max_db - live_floor_db) continue;
+            auto rc = h->shape(lo, hi, bf);
+            double r = rc.first, c = rc.second;
+            // untrimmed slope gate (core/poly.py:981-985)
+            long n_env = std::min(std::max(hi, 0L), h->T)
+                       - std::min(std::max(lo, 0L), h->T);
+            std::vector<double> env(std::max(n_env, 0L));
+            for (long t = 0; t < n_env; ++t) env[t] = h->at(lo + t, bf);
+            std::vector<double> taxis(env.size());
+            for (size_t t = 0; t < env.size(); ++t) taxis[t] = double(t);
+            double a_s, b_s;
+            linefit(taxis.data(), env.data(), (long)env.size(), &a_s, &b_s);
+            double slope = a_s * fps;
+            if (r > max_resid || c > max_curv || slope > max_slope) continue;
+            // leakage guard over the group's lines (core/poly.py:997-1004)
+            bool leaked = false;
+            const std::vector<double>& mrow = h->med_row(lo, hi);
+            for (long L : lines) {
+                double d = std::fabs(HZ.v[f] - HZ.v[L]) / binw;
+                long lb = L - fmin;
+                if (0.3 < d && d <= leak_bins && 0 <= lb && lb < n_bins) {
+                    double need = d <= 0.9 ? -2.0 : 1.0;
+                    if (own <= mrow[lb] - need) { leaked = true; break; }
+                }
+            }
+            if (leaked) continue;
+            // parents: group members a harmonic interval BELOW f
+            parents.clear();
+            for (long j : group) if (in_harm(f - note[j])) parents.push_back(j);
+            if (!parents.empty()) {
+                bool all12 = true;
+                for (long j : parents)
+                    if (f - note[j] != 12) { all12 = false; break; }
+                if (!all12) continue;
+                bool beat = false;
+                for (long up : {12L, 19L, 24L}) {
+                    long b2 = f + up - fmin;
+                    if (b2 >= n_bins) continue;
+                    double ev_db = h->med(lo, hi, b2);
+                    if (ev_db < track_max_db - live_floor_db) continue;
+                    std::vector<long> excl = {f};
+                    for (long j : parents) excl.push_back(note[j]);
+                    if (foreign_line_near(double(f + up), note, group, excl,
+                                          f - 12, h, lo, hi, fmin, n_bins,
+                                          ev_db))
+                        continue;
+                    double r2 = h->shape(lo, hi, b2).first;
+                    if (r2 >= std::max(0.25, 4.0 * r)) { beat = true; break; }
+                }
+                if (!beat) continue;
+            }
+            // voters: group members a harmonic interval ABOVE f
+            voters.clear();
+            for (long j : group) if (in_harm(note[j] - f)) voters.push_back(j);
+            long src = -1;
+            for (long j : voters) if (note[j] - f == 12) { src = j; break; }
+            if (src < 0) {  // first max-salience voter (python max semantics)
+                double best = -1e300;
+                for (long j : voters)
+                    if (sal[j] > best) { best = sal[j]; src = j; }
+            }
+            double vmax = -1e300;
+            for (long j : voters) vmax = std::max(vmax, sal[j]);
+            minted[f].push_back({start[src], end_[src]});
+            if (m >= cap) return -(m + 1);
+            out_src[m] = src; out_note[m] = f; out_sal[m] = vmax;
+            ++m;
+        }
+    }
+    return m;
+}
+
+// -------------------------------------------------- recover_octave_doublings
+
+// Mirrors core/poly.py::recover_octave_doublings:1256-1406.  Mints are
+// (parent index, salience) pairs; out_uncertain flags the parent events
+// whose doubling is measurably unprovable.  Returns mint count or -(needed).
+long aegis_poly_recover_octaves(
+    void* hp, long E,
+    const long* note, const long* start, const long* end_, const double* sal,
+    const uint8_t* rescued_root,
+    long fmin, long n_bins, double track_max_db, long sr,
+    double resid_thr, double curv_thr, double rel_factor,
+    double attack_skip_s, long min_frames, double level_floor_db,
+    double parent_ghost_ratio, double feeder_floor_db,
+    long cap, long* out_parent, double* out_sal, uint8_t* out_uncertain) {
+    auto* h = static_cast<EnvCache*>(hp);
+    const double fps = h->fps;
+    auto rows = overlap_rows(start, end_, E);
+    std::memset(out_uncertain, 0, E);
+    long m = 0;
+    for (long i = 0; i < E; ++i) {
+        long n = note[i];
+        long b0 = n - fmin, b12 = n + 12 - fmin;
+        if (!(0 <= b0 && b0 < n_bins && b12 < n_bins)) continue;
+        const std::vector<long>& idx = rows[i];
+        bool has12 = false;
+        for (long j : idx) if (note[j] == n + 12) { has12 = true; break; }
+        if (has12) continue;
+        double sal_i = sal[i];
+        double cmax = sal_i;
+        for (long j : idx) cmax = std::max(cmax, sal[j]);
+        if (sal_i < parent_ghost_ratio * cmax && !rescued_root[i]) continue;
+        // lower blocker, SIMULTANEOUS onsets only (|dstart| <= 4)
+        bool blocked = false;
+        for (long j : idx)
+            if (note[j] < n && sal[j] >= 0.5 * sal_i &&
+                std::labs(start[j] - start[i]) <= 4) { blocked = true; break; }
+        if (blocked) continue;
+        // harmonic collision: n+12 a harmonic interval above another voice
+        bool coll = false;
+        for (long j : idx)
+            if (note[j] != n && in_harm(n + 12 - note[j])) {
+                coll = true; break;
+            }
+        if (coll) continue;
+        long lo = start[i] + long(attack_skip_s * fps);
+        long hi = std::min(end_[i] - 1, h->T);
+        if (hi - lo < min_frames) continue;
+        // clip to the parent string's LIVE tail (core/poly.py:1313-1318)
+        {
+            long n_env = hi - lo;
+            double mx = -1e300;
+            for (long t = 0; t < n_env; ++t)
+                mx = std::max(mx, h->at(lo + t, b0));
+            long count = 0, last = -1;
+            for (long t = 0; t < n_env; ++t)
+                if (h->at(lo + t, b0) >= mx - 25.0) { ++count; last = t; }
+            if (count >= min_frames) hi = lo + last + 1;
+            if (hi - lo < min_frames) continue;
+        }
+        // feeder guard: live raw bin a high harmonic below n+12
+        bool fed = false;
+        const std::vector<double>& mrow = h->med_row(lo, hi);
+        for (long u : HIGH_HARM) {
+            long fb = n + 12 - u - fmin;
+            if (0 <= fb && fb < n_bins &&
+                mrow[fb] >= track_max_db - feeder_floor_db) {
+                fed = true; break;
+            }
+        }
+        if (fed) continue;
+        if (h->med(lo, hi, b12) < track_max_db - level_floor_db) continue;
+        auto rc0 = h->shape(lo, hi, b0);
+        double r0 = rc0.first, c0 = rc0.second;
+        auto beats_at = [&](long b, double floor_db) -> bool {
+            if (h->med(lo, hi, b) < track_max_db - floor_db) return false;
+            auto rc = h->shape(lo, hi, b);
+            return rc.first >= std::max(resid_thr, rel_factor * r0)
+                || rc.second >= std::max(curv_thr, rel_factor * c0);
+        };
+        bool beat = beats_at(b12, level_floor_db);
+        bool aux_informative = false;
+        if (!beat) {
+            for (long up : {31L, 36L}) {
+                long b = n + up - fmin;
+                if (b >= n_bins) continue;
+                double ev_db = h->med(lo, hi, b);
+                std::vector<long> excl = {n};
+                if (foreign_line_near(double(n + up), note, idx, excl, n,
+                                      h, lo, hi, fmin, n_bins, ev_db))
+                    continue;
+                if (ev_db >= track_max_db - 40.0) aux_informative = true;
+                if (beats_at(b, 40.0)) { beat = true; break; }
+            }
+        }
+        if (beat) {
+            double lvl = h->med(lo, hi, b12) - h->med(lo, hi, b0);
+            double mult = std::min(std::pow(10.0, lvl / 20.0), 1.0);
+            if (m >= cap) return -(m + 1);
+            out_parent[m] = i; out_sal[m] = sal_i * mult; ++m;
+        } else if (!aux_informative) {
+            double r12 = h->shape(lo, hi, b12).first;
+            double f12 = HZ.v[std::min(n + 12, 191L)];
+            double beat_hz_bound = f12 * f12 / (2.0 * double(sr));
+            double win_s = double(hi - lo) / fps;
+            if (r12 < resid_thr && win_s * beat_hz_bound < 0.5)
+                out_uncertain[i] = 1;
+        }
+    }
+    return m;
+}
+
+// ------------------------------------------------------ drop_leakage_ghosts
+
+// Mirrors core/poly.py::drop_leakage_ghosts:1096-1138.  out_keep[i]=0 drops.
+void aegis_poly_drop_leakage(
+    void* hp, long E,
+    const long* note, const long* start, const long* end_,
+    const uint8_t* exempt,
+    double binw, long fmin, long n_bins,
+    double leak_bins, double margin_db, double attack_skip_s, long min_frames,
+    uint8_t* out_keep) {
+    auto* h = static_cast<EnvCache*>(hp);
+    const double fps = h->fps;
+    auto rows = overlap_rows(start, end_, E);
+    for (long i = 0; i < E; ++i) {
+        out_keep[i] = 1;
+        if (exempt[i]) continue;
+        long be = note[i] - fmin;
+        long lo = start[i] + long(attack_skip_s * fps);
+        long hi = std::min(end_[i] - 1, h->T);
+        if (!(0 <= be && be < n_bins) || hi - lo < min_frames) continue;
+        double own = h->med(lo, hi, be);
+        double f_e = HZ.v[note[i]];
+        for (long j : rows[i]) {
+            if (note[j] == note[i]) continue;
+            long cb = note[j] - fmin;
+            if (!(0 <= cb && cb < n_bins)) continue;
+            double d = std::fabs(f_e - HZ.v[note[j]]) / binw;
+            if (d > leak_bins) continue;
+            double need = std::max(1.0, margin_db * (d - 0.5) / 1.5);
+            if (own <= h->med_row(lo, hi)[cb] - need) {
+                out_keep[i] = 0;
+                break;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------- drop_straight_harmonic_ghosts
+
+// Mirrors core/poly.py::drop_straight_harmonic_ghosts:1665-1771.
+// line_harmonics (length n_line) selects the frequency-line parent mode;
+// n_line == 0 means interval mode over `intervals`.  sal_guard < 0 disables
+// the guard (python None).  out_keep[i]=0 drops.
+void aegis_poly_drop_straight(
+    void* hp, long E,
+    const long* note, const long* start, const long* end_, const double* sal,
+    const uint8_t* rescued_root,
+    long fmin, long n_bins, double track_max_db,
+    const long* intervals, long n_intervals,
+    double resid_thr, double curv_thr, double rel_factor,
+    double attack_skip_s, long min_frames,
+    double sal_guard,
+    const long* line_harmonics, long n_line, double line_tol_semis,
+    long beat_scan, double beat_floor_db,
+    uint8_t* out_keep) {
+    auto* h = static_cast<EnvCache*>(hp);
+    const double fps = h->fps;
+    auto rows = overlap_rows(start, end_, E);
+    std::vector<long> parents;
+    for (long i = 0; i < E; ++i) {
+        out_keep[i] = 1;
+        long n = note[i];
+        long b0 = n - fmin;
+        if (!(0 <= b0 && b0 < n_bins)) continue;
+        if (rescued_root[i]) continue;
+        parents.clear();
+        if (n_line > 0) {
+            double f_n = midi_to_hz(double(n));
+            for (long j : rows[i]) {
+                if (note[j] >= n) continue;
+                double f_o = HZ.v[note[j]];
+                for (long k = 0; k < n_line; ++k) {
+                    double d = std::fabs(12.0 * std::log2(
+                        f_n / (double(line_harmonics[k]) * f_o)));
+                    if (d <= line_tol_semis) { parents.push_back(j); break; }
+                }
+            }
+        } else {
+            for (long j : rows[i]) {
+                long d = n - note[j];
+                for (long k = 0; k < n_intervals; ++k)
+                    if (intervals[k] == d) { parents.push_back(j); break; }
+            }
+        }
+        if (parents.empty()) continue;
+        if (sal_guard >= 0.0) {
+            double pmax = -1e300;
+            for (long j : parents) pmax = std::max(pmax, sal[j]);
+            if (sal[i] >= sal_guard * pmax) continue;
+        }
+        long lo = start[i] + long(attack_skip_s * fps);
+        long hi = std::min(end_[i] - 1, h->T);
+        if (hi - lo < min_frames) continue;
+        auto rc = h->shape(lo, hi, b0);
+        double r = rc.first, c = rc.second;
+        long p = parents[0];
+        for (long j : parents) if (note[j] < note[p]) p = j;
+        long bp = note[p] - fmin;
+        auto rcp = h->shape(lo, hi, bp);
+        double rp = rcp.first, cp = rcp.second;
+        if (r < std::max(resid_thr, rel_factor * rp) &&
+            c < std::max(curv_thr, rel_factor * cp)) {
+            if (beat_scan) {
+                bool kept = false;
+                for (long up : {12L, 19L, 24L}) {
+                    long b = n + up - fmin;
+                    if (b >= n_bins) continue;
+                    double ev_db = h->med(lo, hi, b);
+                    if (ev_db < track_max_db - beat_floor_db) continue;
+                    std::vector<long> excl = {n, note[p]};
+                    if (foreign_line_near(double(n + up), note, rows[i], excl,
+                                          note[p], h, lo, hi, fmin, n_bins,
+                                          ev_db))
+                        continue;
+                    auto rcb = h->shape(lo, hi, b);
+                    if (rcb.first >= std::max(resid_thr, rel_factor * rp) ||
+                        rcb.second >= std::max(curv_thr, rel_factor * cp)) {
+                        kept = true;
+                        break;
+                    }
+                }
+                if (kept) continue;
+            }
+            out_keep[i] = 0;
+        }
+    }
+}
+
+}  // extern "C"
