@@ -405,10 +405,13 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
     run_s = nz_t[np.concatenate([[0], brk + 1])]
     run_e = nz_t[np.concatenate([brk, [len(nz_t) - 1]])]
     run_n = nz_note[np.concatenate([[0], brk + 1])]
+    # contiguous per-run confidence segments (same element order -> the
+    # max is the identical float; the strided column gather was the cost)
+    conf_T = np.ascontiguousarray(np.asarray(confidence).T)
     for s, e, note in zip(run_s.tolist(), run_e.tolist(), run_n.tolist()):
         if e - s + 1 < min_frames:
             continue
-        conf = float(confidence[s:e + 1, note].max())
+        conf = float(conf_T[note, s:e + 1].max())
         events.append({
             "note": note,
             "start": s,
@@ -454,8 +457,13 @@ def silence_gate(roll: np.ndarray, rms_db: np.ndarray,
 def attach_salience(events: List[dict], salience: np.ndarray) -> List[dict]:
     """Record each event's mean absolute salience (confidence is normalized
     per frame, so concurrent events can't be compared through it)."""
+    # transpose once so every per-event segment is contiguous — the mean
+    # reduces the SAME element sequence (bit-identical; numpy's pairwise
+    # sum follows element order, not memory layout), without the strided
+    # per-column gather each call paid before
+    sal_T = np.ascontiguousarray(np.asarray(salience).T)
     for e in events:
-        seg = salience[e["start"]:e["end"] + 1, e["note"]]
+        seg = sal_T[e["note"], e["start"]:e["end"] + 1]
         e["salience"] = float(seg.mean()) if seg.size else 0.0
     return events
 
@@ -473,6 +481,20 @@ def snap_starts_poly(events: List[dict], onsets: np.ndarray,
     # pick_onsets/refine hand the onsets sorted; the binary-searched
     # latest-onset lookup is then exact (unsorted callers keep the mask)
     sorted_on = len(onsets) < 2 or bool((np.diff(onsets) >= 0).all())
+    if sorted_on and events:
+        from aegis_tpu import native as _nat
+
+        if _nat.get_lib() is not None:
+            order = sorted(events, key=lambda e: (e["note"], e["start"]))
+            new_starts = _nat.poly_snap_starts_native(
+                order, onsets, np.asarray(rms_db), back_frames)
+            out = []
+            for e, ns in zip(order, new_starts.tolist()):
+                d = dict(e)
+                d["start"] = ns
+                out.append(d)
+            out.sort(key=lambda e: (e["start"], e["note"]))
+            return out
     out = [dict(e) for e in sorted(events,
                                    key=lambda e: (e["note"], e["start"]))]
     prev_end: dict = {}
@@ -502,6 +524,13 @@ def decay_prune(events: List[dict], onsets: np.ndarray,
     inter-onset gap while a concurrent event clearly sustains the gap is
     broadband attack energy that briefly won a CQT bin, not a note."""
     on = np.asarray(sorted(onsets), np.int64)
+    if events:
+        from aegis_tpu import native as _nat
+
+        if _nat.get_lib() is not None:
+            keep = _nat.poly_decay_prune_native(events, on, frac,
+                                                total_frames, concurrent_tol)
+            return [e for e, k in zip(events, keep) if k]
     # start-sorted view for the concurrency probe: the candidate set is
     # |o.start - e.start| <= tol, a binary-searchable window (the full
     # per-event scan was O(E^2) and measurably dominated live poly polls
@@ -538,8 +567,15 @@ def onset_birth_gate(events: List[dict], onsets: np.ndarray,
     on = np.asarray(sorted(onsets), np.int64)
     if len(on) == 0:
         return events
-    return [e for e in events
-            if int(np.min(np.abs(on - e["start"]))) <= tol_frames]
+    # nearest-onset distance via the two sorted neighbors (identical to
+    # the min over all onsets it replaces; one vectorized searchsorted
+    # instead of a per-event |on - start| scan)
+    starts = np.fromiter((e["start"] for e in events), np.int64, len(events))
+    pos = np.searchsorted(on, starts)
+    right = on[np.minimum(pos, len(on) - 1)]
+    left = on[np.maximum(pos - 1, 0)]
+    dmin = np.minimum(np.abs(right - starts), np.abs(left - starts))
+    return [e for e, d in zip(events, dmin.tolist()) if d <= tol_frames]
 
 
 #: frame rate the attack-physics gates were truth-validated at (22.05 kHz
@@ -1218,6 +1254,13 @@ def drop_composite_harmonic_ghosts(events: List[dict],
     passes' own collision guards mean a physics-minted event never has
     two detected parent lines, so this judges peel picks only in
     practice."""
+    if events:
+        from aegis_tpu import native as _nat
+
+        if _nat.get_lib() is not None:
+            keep = _nat.poly_drop_composite_native(
+                events, line_harmonics, sal_guard, line_tol_semis)
+            return [e for e, k in zip(events, keep) if k]
     out = []
     rows = _overlap_rows(events)
     h_a = np.asarray(line_harmonics, np.float64)

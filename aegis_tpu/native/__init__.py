@@ -335,3 +335,63 @@ def poly_drop_straight_native(h: EnvHandle, events, fmin, n_bins,
         ctypes.c_double(line_tol_semis), ctypes.c_long(int(beat_scan)),
         ctypes.c_double(beat_floor_db), _ptr(keep, ctypes.c_uint8))
     return keep[: len(events)].astype(bool)
+
+
+def poly_snap_starts_native(events_sorted, onsets, rms_db, back_frames):
+    """New starts for (note, start)-sorted events, mirroring
+    core/poly.py::snap_starts_poly's sorted-onsets path (dtype-faithful
+    diff/argmax).  Returns an int64 array aligned with events_sorted."""
+    lib = get_lib()
+    note, start, end, _ = _event_arrays(events_sorted)
+    ons = np.ascontiguousarray(onsets, np.int64)
+    rms = np.ascontiguousarray(rms_db)
+    is_f32 = rms.dtype == np.float32
+    if not is_f32:
+        rms = np.ascontiguousarray(rms_db, np.float64)
+    out = np.empty(max(len(events_sorted), 1), np.int64)
+    lib.aegis_poly_snap_starts(
+        ctypes.c_long(len(events_sorted)),
+        _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+        _ptr(end, ctypes.c_long),
+        _ptr(ons, ctypes.c_long), ctypes.c_long(len(ons)),
+        rms.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(rms)),
+        ctypes.c_long(int(is_f32)), ctypes.c_long(back_frames),
+        _ptr(out, ctypes.c_long))
+    return out[: len(events_sorted)]
+
+
+def poly_decay_prune_native(events, onsets_sorted, frac, total_frames,
+                            concurrent_tol):
+    """Keep mask mirroring core/poly.py::decay_prune."""
+    lib = get_lib()
+    _, start, end, _ = _event_arrays(events)
+    order = np.argsort(start, kind="stable").astype(np.int64)
+    sorted_starts = start[order].copy()
+    ons = np.ascontiguousarray(onsets_sorted, np.int64)
+    keep = np.zeros(max(len(events), 1), np.uint8)
+    lib.aegis_poly_decay_prune(
+        ctypes.c_long(len(events)),
+        _ptr(start, ctypes.c_long), _ptr(end, ctypes.c_long),
+        _ptr(order, ctypes.c_long), _ptr(sorted_starts, ctypes.c_long),
+        _ptr(ons, ctypes.c_long), ctypes.c_long(len(ons)),
+        ctypes.c_double(frac),
+        ctypes.c_long(-1 if total_frames is None else total_frames),
+        ctypes.c_long(concurrent_tol), _ptr(keep, ctypes.c_uint8))
+    return keep[: len(events)].astype(bool)
+
+
+def poly_drop_composite_native(events, line_harmonics, sal_guard,
+                               line_tol_semis):
+    """Keep mask mirroring core/poly.py::drop_composite_harmonic_ghosts."""
+    lib = get_lib()
+    note, start, end, sal = _event_arrays(events)
+    lh = np.asarray(line_harmonics, np.int64)
+    keep = np.zeros(max(len(events), 1), np.uint8)
+    lib.aegis_poly_drop_composite(
+        ctypes.c_long(len(events)),
+        _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+        _ptr(end, ctypes.c_long), _ptr(sal, ctypes.c_double),
+        _ptr(lh, ctypes.c_long), ctypes.c_long(len(lh)),
+        ctypes.c_double(sal_guard), ctypes.c_double(line_tol_semis),
+        _ptr(keep, ctypes.c_uint8))
+    return keep[: len(events)].astype(bool)

@@ -677,4 +677,136 @@ void aegis_poly_drop_straight(
     }
 }
 
+// --------------------------------------------------------- snap_starts_poly
+
+// Mirrors core/poly.py::snap_starts_poly's sorted-onsets path.  Events
+// arrive in (note, start)-sorted order (the Python wrapper sorts); writes
+// the snapped start per event.  rms comes in its source dtype so the
+// diff/argmax arithmetic rounds exactly like numpy (is_f32 selects).
+void aegis_poly_snap_starts(
+    long E, const long* note, const long* start, const long* end_,
+    const long* onsets, long n_on,
+    const void* rms, long T_rms, long is_f32,
+    long back_frames, long* out_start) {
+    const float* rf = static_cast<const float*>(rms);
+    const double* rd = static_cast<const double*>(rms);
+    std::unordered_map<long, long> prev_end;
+    for (long i = 0; i < E; ++i) {
+        long s = start[i];
+        out_start[i] = s;
+        auto it = prev_end.find(note[i]);
+        long pe = it == prev_end.end() ? -1 : it->second;
+        long lo = std::max(std::max(s - back_frames, pe + 1), 0L);
+        // searchsorted(onsets, s, "right") - 1
+        long j = long(std::upper_bound(onsets, onsets + n_on, s) - onsets) - 1;
+        if (j >= 0 && onsets[j] >= lo) {
+            long o = onsets[j];
+            // seg = rms[o : s+1]; numpy slice clamps to [0, T)
+            long a = std::min(std::max(o, 0L), T_rms);
+            long b = std::min(std::max(s + 1, 0L), T_rms);
+            long n_seg = b - a;
+            if (n_seg >= 2) {
+                // argmax of diff(seg) — first max, dtype-faithful
+                long best_k = 0;
+                if (is_f32) {
+                    float best = rf[a + 1] - rf[a];
+                    for (long k = 1; k < n_seg - 1; ++k) {
+                        float d = rf[a + k + 1] - rf[a + k];
+                        if (d > best) { best = d; best_k = k; }
+                    }
+                } else {
+                    double best = rd[a + 1] - rd[a];
+                    for (long k = 1; k < n_seg - 1; ++k) {
+                        double d = rd[a + k + 1] - rd[a + k];
+                        if (d > best) { best = d; best_k = k; }
+                    }
+                }
+                long ns = o + best_k + 1;
+                if (ns < s) out_start[i] = ns;
+            }
+        }
+        prev_end[note[i]] = end_[i];
+    }
+}
+
+// -------------------------------------------------------------- decay_prune
+
+// Mirrors core/poly.py::decay_prune.  sorted_idx maps start-sorted
+// positions back to original event indices (the `o is not e` identity
+// test); onsets arrive sorted.  total_frames < 0 means python None.
+void aegis_poly_decay_prune(
+    long E, const long* start, const long* end_,
+    const long* sorted_idx, const long* sorted_starts,
+    const long* onsets, long n_on,
+    double frac, long total_frames, long concurrent_tol,
+    uint8_t* out_keep) {
+    for (long i = 0; i < E; ++i) {
+        out_keep[i] = 1;
+        long k = long(std::upper_bound(onsets, onsets + n_on, start[i])
+                      - onsets) - 1;
+        if (k < 0) continue;
+        long gap_end = (k + 1 < n_on) ? onsets[k + 1]
+            : (total_frames >= 0 ? total_frames : end_[i] + 1);
+        long gap = std::max(gap_end - onsets[k], 1L);
+        if (double(end_[i] - start[i] + 1) >= frac * gap) continue;
+        long lo = long(std::lower_bound(sorted_starts, sorted_starts + E,
+                                        start[i] - concurrent_tol)
+                       - sorted_starts);
+        long hi = long(std::upper_bound(sorted_starts, sorted_starts + E,
+                                        start[i] + concurrent_tol)
+                       - sorted_starts);
+        bool sustained = false;
+        for (long p = lo; p < hi; ++p) {
+            long j = sorted_idx[p];
+            if (j != i &&
+                double(end_[j] - start[j] + 1) >= 0.7 * gap) {
+                sustained = true;
+                break;
+            }
+        }
+        if (sustained) out_keep[i] = 0;
+    }
+}
+
+// ------------------------------------------- drop_composite_harmonic_ghosts
+
+// Mirrors core/poly.py::drop_composite_harmonic_ghosts.
+void aegis_poly_drop_composite(
+    long E, const long* note, const long* start, const long* end_,
+    const double* sal,
+    const long* line_harmonics, long n_line,
+    double sal_guard, double line_tol_semis,
+    uint8_t* out_keep) {
+    auto rows = overlap_rows(start, end_, E);
+    std::vector<long> pm_notes;
+    for (long i = 0; i < E; ++i) {
+        out_keep[i] = 1;
+        double f_e = midi_to_hz(double(note[i]));
+        pm_notes.clear();
+        for (long j : rows[i]) {
+            if (note[j] >= note[i]) continue;
+            double f_o = (note[j] >= 0 && note[j] < 192)
+                ? HZ.v[note[j]] : midi_to_hz(double(note[j]));
+            for (long k = 0; k < n_line; ++k) {
+                double d = std::fabs(12.0 * std::log2(
+                    f_e / (double(line_harmonics[k]) * f_o)));
+                if (d <= line_tol_semis) { pm_notes.push_back(note[j]); break; }
+            }
+        }
+        // distinct parent-note count
+        std::vector<long> uniq(pm_notes);
+        std::sort(uniq.begin(), uniq.end());
+        uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+        if (uniq.size() < 2) continue;
+        // psal: max salience over concurrents whose note matches ANY parent
+        double psal = -1e300;
+        for (long j : rows[i]) {
+            bool match = false;
+            for (long pn : uniq) if (note[j] == pn) { match = true; break; }
+            if (match) psal = std::max(psal, sal[j]);
+        }
+        if (sal[i] < sal_guard * psal) out_keep[i] = 0;
+    }
+}
+
 }  // extern "C"
