@@ -154,14 +154,19 @@ def split_events_at_onsets(events: list, onsets: np.ndarray,
     # poll at 5 min was this loop's 1.45M generator steps)
     ons = np.asarray(onsets, np.int64)
     out = []
-    for e in events:
-        # keep each cut at least min_frames from BOTH the event bounds and
-        # the previous accepted cut, so no sub-minimum segment is created.
-        # Strict lower bound: a segment [prev, o-1] has duration
-        # (end - start) == o - prev - 1, so o == prev + min_frames would
-        # emit a segment one frame below the caller's minimum.
-        lo = int(np.searchsorted(ons, e["start"] + min_frames, side="right"))
-        hi = int(np.searchsorted(ons, e["end"] - tail_frames, side="right"))
+    # keep each cut at least min_frames from BOTH the event bounds and
+    # the previous accepted cut, so no sub-minimum segment is created.
+    # Strict lower bound: a segment [prev, o-1] has duration
+    # (end - start) == o - prev - 1, so o == prev + min_frames would
+    # emit a segment one frame below the caller's minimum.  Both window
+    # bounds are ONE vectorized searchsorted over all events (identical
+    # indices to the per-event calls they replace).
+    starts_a = np.fromiter((e["start"] for e in events), np.int64,
+                           len(events))
+    ends_a = np.fromiter((e["end"] for e in events), np.int64, len(events))
+    los = np.searchsorted(ons, starts_a + min_frames, side="right")
+    his = np.searchsorted(ons, ends_a - tail_frames, side="right")
+    for e, lo, hi in zip(events, los.tolist(), his.tolist()):
         cuts = []
         prev = e["start"]
         for o in ons[lo:hi].tolist():

@@ -393,6 +393,37 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
     gap_frames = int((sustain_ms / 1000.0) * sr / hop_length)
 
     events: List[dict] = []
+    conf_arr = np.asarray(confidence)
+    if conf_arr.dtype == np.float32:
+        from aegis_tpu import native as _nat
+
+        if _nat.get_lib() is not None:
+            # C++ run scan (same note-major order, gap merge, min-duration,
+            # full-span confidence max); dict assembly + the python
+            # round() stay here so the floats match the spec path exactly
+            roll_u8 = np.ascontiguousarray(
+                np.asarray(roll, bool).view(np.uint8)
+                if np.asarray(roll).dtype == bool
+                else np.asarray(roll, bool).astype(np.uint8))
+            run_s, run_e, run_n, run_c = _nat.poly_roll_runs_native(
+                roll_u8, np.ascontiguousarray(conf_arr),
+                min_frames, gap_frames)
+            for s, e, note, conf in zip(run_s.tolist(), run_e.tolist(),
+                                        run_n.tolist(), run_c.tolist()):
+                events.append({
+                    "note": note,
+                    "start": s,
+                    "end": e,
+                    "confidence": round(conf, 3),
+                    "velocity": int(velocity[s]),
+                    "track": "main" if conf >= confidence_threshold
+                             else "safe",
+                    "technique": None,
+                    "slope": 0.0,
+                    "rms_energy": float(rms_db[s]),
+                })
+            events.sort(key=lambda ev: (ev["start"], ev["note"]))
+            return events
     # ONE nonzero pass over the transposed plane gives every (note, t)
     # activation grouped by note with t ascending — run boundaries are a
     # note change or a gap > gap_frames+1 (same merge rule as the old
@@ -462,6 +493,15 @@ def attach_salience(events: List[dict], salience: np.ndarray) -> List[dict]:
     # sum follows element order, not memory layout), without the strided
     # per-column gather each call paid before
     sal_T = np.ascontiguousarray(np.asarray(salience).T)
+    if events and sal_T.dtype == np.float32:
+        from aegis_tpu import native as _nat
+
+        if _nat.get_lib() is not None:
+            # C++ float32 pairwise mean — bit-identical to seg.mean()
+            sals = _nat.poly_attach_salience_native(events, sal_T)
+            for e, s in zip(events, sals.tolist()):
+                e["salience"] = s
+            return events
     for e in events:
         seg = sal_T[e["note"], e["start"]:e["end"] + 1]
         e["salience"] = float(seg.mean()) if seg.size else 0.0
@@ -919,6 +959,11 @@ def harmonic_dedup(events: List[dict], sal_ratio: float = 0.55,
     n_ev = len(events)
     if not n_ev:
         return []
+    from aegis_tpu import native as _nat
+
+    if _nat.get_lib() is not None:
+        keep = _nat.poly_harmonic_dedup_native(events, sal_ratio, start_tol)
+        return [e for e, k in zip(events, keep) if k]
     # one vectorized pair sweep instead of the O(E^2) generator scan
     # (same predicates, diagonal = the ``o is not e`` exclusion)
     notes = np.fromiter((e["note"] for e in events), np.int64, n_ev)
@@ -1577,6 +1622,23 @@ def repitch_suboctave_ghosts(events: List[dict], cqt_mag: np.ndarray,
                     else track_peak_db)
     n_fft = n_fft or _default_n_fft(sr)
     binw = sr / n_fft
+
+    if _native_pass_ok(events, fmin, n_bins, cache):
+        from aegis_tpu import native as _nat
+
+        action = _nat.poly_repitch_native(
+            cache._nh, events, binw, fmin, n_bins, track_max_db,
+            margin_db, abs_floor_db, attack_skip_s, min_frames,
+            leak_bins, leak_margin_db)
+        out = []
+        for e, a in zip(events, action.tolist()):
+            if a == 0:
+                out.append(e)
+            elif a == 2:
+                out.append({**e, "note": e["note"] + 12,
+                            "repitched_octave": True})
+        return out
+
     out = []
     rows = _overlap_rows(events)
     for i, e in enumerate(events):
@@ -1670,6 +1732,21 @@ def recover_missing_fifths(events: List[dict], cqt_mag: np.ndarray,
     out = list(events)
     track_max_db = (float(np.max(db)) if track_peak_db is None
                     else track_peak_db)
+
+    if _native_pass_ok(events, fmin, n_bins, cache):
+        from aegis_tpu import native as _nat
+
+        mints = _nat.poly_recover_fifths_native(
+            cache._nh, events, fmin, n_bins, track_max_db, level_floor_db,
+            rel_parent_db, max_resid, attack_skip_s, min_frames)
+        for p, s in mints:
+            new = {**events[p], "note": events[p]["note"] + 7,
+                   "salience": s, "recovered_fifth": True}
+            new.pop("octave_uncertain", None)
+            out.append(new)
+        out.sort(key=lambda ev: (ev["start"], ev["note"]))
+        return out
+
     rows = _overlap_rows(events)
     appended: List[dict] = []
     for i, e in enumerate(events):

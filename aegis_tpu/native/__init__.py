@@ -66,6 +66,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.aegis_env_med.restype = ctypes.c_double
         lib.aegis_poly_rescue.restype = ctypes.c_long
         lib.aegis_poly_recover_octaves.restype = ctypes.c_long
+        lib.aegis_poly_recover_fifths.restype = ctypes.c_long
+        lib.aegis_poly_roll_runs.restype = ctypes.c_long
         _LIB = lib
     except Exception as e:  # no compiler / failed build: numpy fallback
         print(f"[aegis.native] build unavailable ({e}); NumPy fallback",
@@ -395,3 +397,109 @@ def poly_drop_composite_native(events, line_harmonics, sal_guard,
         ctypes.c_double(sal_guard), ctypes.c_double(line_tol_semis),
         _ptr(keep, ctypes.c_uint8))
     return keep[: len(events)].astype(bool)
+
+
+def poly_attach_salience_native(events, salience_T):
+    """Per-event mean salience mirroring core/poly.py::attach_salience
+    (float32 pairwise sum, bit-identical to seg.mean()).  salience_T is the
+    transposed-contiguous float32 plane (notes, T)."""
+    lib = get_lib()
+    note, start, end, _ = _event_arrays(events)
+    out = np.empty(max(len(events), 1), np.float64)
+    lib.aegis_poly_attach_salience(
+        ctypes.c_long(len(events)),
+        _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+        _ptr(end, ctypes.c_long),
+        _ptr(salience_T, ctypes.c_float),
+        ctypes.c_long(salience_T.shape[1]),
+        ctypes.c_long(salience_T.shape[0]),
+        _ptr(out, ctypes.c_double))
+    return out[: len(events)]
+
+
+def poly_harmonic_dedup_native(events, sal_ratio, start_tol):
+    """Keep mask mirroring core/poly.py::harmonic_dedup."""
+    lib = get_lib()
+    note, start, end, sal = _event_arrays(events)
+    rescued = _soa(events, "rescued_root", np.uint8, False)
+    keep = np.zeros(max(len(events), 1), np.uint8)
+    lib.aegis_poly_harmonic_dedup(
+        ctypes.c_long(len(events)),
+        _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+        _ptr(end, ctypes.c_long), _ptr(sal, ctypes.c_double),
+        _ptr(rescued, ctypes.c_uint8),
+        ctypes.c_double(sal_ratio), ctypes.c_long(start_tol),
+        _ptr(keep, ctypes.c_uint8))
+    return keep[: len(events)].astype(bool)
+
+
+def poly_repitch_native(h: EnvHandle, events, binw, fmin, n_bins,
+                        track_max_db, margin_db, abs_floor_db,
+                        attack_skip_s, min_frames, leak_bins,
+                        leak_margin_db):
+    """Action codes (0 keep, 1 drop, 2 re-pitch +12) mirroring
+    core/poly.py::repitch_suboctave_ghosts."""
+    note, start, end, _ = _event_arrays(events)
+    rescued = _soa(events, "rescued_root", np.uint8, False)
+    action = np.zeros(max(len(events), 1), np.uint8)
+    h._lib.aegis_poly_repitch(
+        ctypes.c_void_p(h._h), ctypes.c_long(len(events)),
+        _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+        _ptr(end, ctypes.c_long), _ptr(rescued, ctypes.c_uint8),
+        ctypes.c_double(binw), ctypes.c_long(fmin), ctypes.c_long(n_bins),
+        ctypes.c_double(track_max_db), ctypes.c_double(margin_db),
+        ctypes.c_double(abs_floor_db), ctypes.c_double(attack_skip_s),
+        ctypes.c_long(min_frames), ctypes.c_double(leak_bins),
+        ctypes.c_double(leak_margin_db), _ptr(action, ctypes.c_uint8))
+    return action[: len(events)]
+
+
+def poly_recover_fifths_native(h: EnvHandle, events, fmin, n_bins,
+                               track_max_db, level_floor_db, rel_parent_db,
+                               max_resid, attack_skip_s, min_frames):
+    """Mint list [(parent_index, salience)] mirroring
+    core/poly.py::recover_missing_fifths (appended-tail walk included)."""
+    note, start, end, sal = _event_arrays(events)
+    cap = max(64, len(events))
+    while True:
+        out_parent = np.empty(cap, np.int64)
+        out_sal = np.empty(cap, np.float64)
+        m = h._lib.aegis_poly_recover_fifths(
+            ctypes.c_void_p(h._h), ctypes.c_long(len(events)),
+            _ptr(note, ctypes.c_long), _ptr(start, ctypes.c_long),
+            _ptr(end, ctypes.c_long), _ptr(sal, ctypes.c_double),
+            ctypes.c_long(fmin), ctypes.c_long(n_bins),
+            ctypes.c_double(track_max_db), ctypes.c_double(level_floor_db),
+            ctypes.c_double(rel_parent_db), ctypes.c_double(max_resid),
+            ctypes.c_double(attack_skip_s), ctypes.c_long(min_frames),
+            ctypes.c_long(cap),
+            _ptr(out_parent, ctypes.c_long), _ptr(out_sal, ctypes.c_double))
+        if m < 0:
+            cap = -m + 16
+            continue
+        return [(int(out_parent[i]), float(out_sal[i])) for i in range(m)]
+
+
+def poly_roll_runs_native(roll_u8, conf_f32, min_frames, gap_frames):
+    """(starts, ends, notes, conf_maxes) run arrays mirroring
+    core/poly.py::roll_to_events's note-major scan (gap merge + min-duration
+    + full-span confidence max)."""
+    lib = get_lib()
+    T, n_notes = roll_u8.shape
+    cap = max(64, T // max(min_frames, 1) + 8)
+    while True:
+        out_s = np.empty(cap, np.int64)
+        out_e = np.empty(cap, np.int64)
+        out_n = np.empty(cap, np.int64)
+        out_c = np.empty(cap, np.float64)
+        m = lib.aegis_poly_roll_runs(
+            _ptr(roll_u8, ctypes.c_uint8), _ptr(conf_f32, ctypes.c_float),
+            ctypes.c_long(T), ctypes.c_long(n_notes),
+            ctypes.c_long(min_frames), ctypes.c_long(gap_frames),
+            ctypes.c_long(cap),
+            _ptr(out_s, ctypes.c_long), _ptr(out_e, ctypes.c_long),
+            _ptr(out_n, ctypes.c_long), _ptr(out_c, ctypes.c_double))
+        if m < 0:
+            cap = -m + 16
+            continue
+        return out_s[:m], out_e[:m], out_n[:m], out_c[:m]

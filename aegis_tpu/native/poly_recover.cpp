@@ -83,25 +83,30 @@ void env_shape(const double* env, long T, double fps,
                double* resid_out, double* curv_out,
                double trim_frac = 0.15) {
     if (T <= 0) { *resid_out = NAN; *curv_out = NAN; return; }
-    std::vector<double> t(T);
+    thread_local std::vector<double> t, tk, yk;
+    thread_local std::vector<std::pair<double, long>> order;
+    t.resize(T);
     for (long i = 0; i < T; ++i) t[i] = double(i);
     double a, b;
     linefit(t.data(), env, T, &a, &b);
     long n_trim = static_cast<long>(T * trim_frac);
-    std::vector<double> tk, yk;
     if (n_trim > 0 && T - n_trim >= 4) {
-        std::vector<double> err(T);
-        for (long i = 0; i < T; ++i) err[i] = std::fabs(env[i] - (a * t[i] + b));
-        std::vector<long> order(T);
-        for (long i = 0; i < T; ++i) order[i] = i;
-        std::stable_sort(order.begin(), order.end(),
-                         [&](long x, long y_) { return err[x] < err[y_]; });
-        order.resize(T - n_trim);
+        order.resize(T);
+        for (long i = 0; i < T; ++i)
+            order[i] = {std::fabs(env[i] - (a * t[i] + b)), i};
+        // keep = ascending indices of the T-n_trim smallest residuals;
+        // ties break by index (stable) — see the near-parity note on top
         std::sort(order.begin(), order.end());
+        order.resize(T - n_trim);
+        std::sort(order.begin(), order.end(),
+                  [](const std::pair<double, long>& x,
+                     const std::pair<double, long>& y_) {
+                      return x.second < y_.second;
+                  });
         tk.resize(order.size()); yk.resize(order.size());
         for (size_t i = 0; i < order.size(); ++i) {
-            tk[i] = double(order[i]);
-            yk[i] = env[order[i]];
+            tk[i] = double(order[i].second);
+            yk[i] = env[order[i].second];
         }
         linefit(tk.data(), yk.data(), (long)tk.size(), &a, &b);
     } else {
@@ -128,6 +133,8 @@ void env_shape(const double* env, long T, double fps,
 // over ONE dB plane.  The plane is stored in its source dtype so the
 // even-length median average rounds exactly like numpy does.
 struct EnvCache {
+    // planes are stored TRANSPOSED (B x T) so every per-bin envelope slice
+    // is contiguous — the med/shape gathers were stride-B reads otherwise
     std::vector<float> dbf;    // float32 plane (one of the two is used)
     std::vector<double> dbd;   // float64 plane
     bool is_f32;
@@ -137,7 +144,7 @@ struct EnvCache {
     std::unordered_map<uint64_t, std::pair<double, double>> shapes;
 
     inline double at(long t, long b) const {
-        return is_f32 ? double(dbf[t * B + b]) : dbd[t * B + b];
+        return is_f32 ? double(dbf[b * T + t]) : dbd[b * T + t];
     }
 
     static inline uint64_t key2(long lo, long hi) {
@@ -162,8 +169,8 @@ struct EnvCache {
             if (is_f32) {
                 std::vector<float> col(n);
                 for (long b = 0; b < B; ++b) {
-                    for (long t = 0; t < n; ++t)
-                        col[t] = dbf[(lo_c + t) * B + b];
+                    std::memcpy(col.data(), &dbf[b * T + lo_c],
+                                sizeof(float) * n);
                     std::nth_element(col.begin(), col.begin() + h, col.end());
                     if (n % 2) {
                         row[b] = double(col[h]);
@@ -178,8 +185,8 @@ struct EnvCache {
             } else {
                 std::vector<double> col(n);
                 for (long b = 0; b < B; ++b) {
-                    for (long t = 0; t < n; ++t)
-                        col[t] = dbd[(lo_c + t) * B + b];
+                    std::memcpy(col.data(), &dbd[b * T + lo_c],
+                                sizeof(double) * n);
                     std::nth_element(col.begin(), col.begin() + h, col.end());
                     if (n % 2) {
                         row[b] = col[h];
@@ -208,10 +215,15 @@ struct EnvCache {
         long lo_c = std::min(std::max(lo, 0L), T);
         long hi_c = std::min(std::max(hi, 0L), T);
         long n = hi_c - lo_c;
-        std::vector<double> env(std::max(n, 0L));
-        for (long t = 0; t < n; ++t) env[t] = at(lo_c + t, b);
         double r, c;
-        env_shape(env.data(), n, fps, &r, &c);
+        if (!is_f32 && n > 0) {
+            env_shape(&dbd[b * T + lo_c], n, fps, &r, &c);
+        } else {
+            thread_local std::vector<double> env;
+            env.resize(std::max(n, 0L));
+            for (long t = 0; t < n; ++t) env[t] = at(lo_c + t, b);
+            env_shape(env.data(), n, fps, &r, &c);
+        }
         auto v = std::make_pair(r, c);
         shapes.emplace(k, v);
         return v;
@@ -287,7 +299,10 @@ extern "C" {
 void* aegis_env_new_f32(const float* db, long T, long B, double fps) {
     auto* h = new EnvCache();
     h->is_f32 = true;
-    h->dbf.assign(db, db + T * B);
+    h->dbf.resize(T * B);
+    for (long t = 0; t < T; ++t)
+        for (long b = 0; b < B; ++b)
+            h->dbf[b * T + t] = db[t * B + b];
     h->T = T; h->B = B; h->fps = fps;
     return h;
 }
@@ -295,7 +310,10 @@ void* aegis_env_new_f32(const float* db, long T, long B, double fps) {
 void* aegis_env_new_f64(const double* db, long T, long B, double fps) {
     auto* h = new EnvCache();
     h->is_f32 = false;
-    h->dbd.assign(db, db + T * B);
+    h->dbd.resize(T * B);
+    for (long t = 0; t < T; ++t)
+        for (long b = 0; b < B; ++b)
+            h->dbd[b * T + t] = db[t * B + b];
     h->T = T; h->B = B; h->fps = fps;
     return h;
 }
@@ -766,6 +784,255 @@ void aegis_poly_decay_prune(
         }
         if (sustained) out_keep[i] = 0;
     }
+}
+
+// ---------------------------------------------------------- attach_salience
+
+// numpy's pairwise float32 sum (scalar spec: n<8 naive, n<=128 8-accumulator
+// unrolled, else recursive halving with the split rounded down to a multiple
+// of 8) — verified bit-identical to np.float32 .sum() on this box.
+static float pairwise_sum_f32(const float* a, long n) {
+    if (n < 8) {
+        float s = 0.0f;
+        for (long i = 0; i < n; ++i) s += a[i];
+        return s;
+    }
+    if (n <= 128) {
+        float r[8];
+        for (int j = 0; j < 8; ++j) r[j] = a[j];
+        long i = 8;
+        for (; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; ++j) r[j] += a[i + j];
+        float res = ((r[0] + r[1]) + (r[2] + r[3]))
+                  + ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; ++i) res += a[i];
+        return res;
+    }
+    long n2 = n / 2;
+    n2 -= n2 % 8;
+    return pairwise_sum_f32(a, n2) + pairwise_sum_f32(a + n2, n - n2);
+}
+
+// Mirrors core/poly.py::attach_salience: per-event mean of the float32
+// salience plane (B x T transposed input, contiguous per-note slices).
+// mean = pairwise_sum / n in float32, widened — matching seg.mean().
+void aegis_poly_attach_salience(
+    long E, const long* note, const long* start, const long* end_,
+    const float* sal_T, long T, long n_notes,
+    double* out_sal) {
+    for (long i = 0; i < E; ++i) {
+        long b = note[i];
+        if (b < 0) b += n_notes;  // numpy negative-index semantics
+        long a = std::min(std::max(start[i], 0L), T);
+        long z = std::min(std::max(end_[i] + 1, 0L), T);
+        long n = z - a;
+        if (n <= 0 || b < 0 || b >= n_notes) { out_sal[i] = 0.0; continue; }
+        float s = pairwise_sum_f32(&sal_T[b * T + a], n);
+        out_sal[i] = double(s / float(n));
+    }
+}
+
+// ----------------------------------------------------------- harmonic_dedup
+
+// Mirrors core/poly.py::harmonic_dedup's pair sweep.  out_keep[i]=0 drops
+// (rescued_root events are exempt regardless of domination).
+void aegis_poly_harmonic_dedup(
+    long E, const long* note, const long* start, const long* end_,
+    const double* sal, const uint8_t* rescued_root,
+    double sal_ratio, long start_tol,
+    uint8_t* out_keep) {
+    for (long i = 0; i < E; ++i) {
+        out_keep[i] = 1;
+        if (rescued_root[i]) continue;
+        for (long j = 0; j < E; ++j) {
+            if (j == i) continue;
+            if (!in_harm(note[i] - note[j])) continue;
+            if (!(start[j] - start_tol <= start[i] && start[i] <= end_[j]))
+                continue;
+            if (sal[i] < sal_ratio * sal[j]) { out_keep[i] = 0; break; }
+        }
+    }
+}
+
+// -------------------------------------------------- repitch_suboctave_ghosts
+
+// Mirrors core/poly.py::repitch_suboctave_ghosts.  out_action per event:
+// 0 = keep, 1 = drop (dead + margin but the +12 note already exists),
+// 2 = re-pitch one octave up (tag repitched_octave).
+void aegis_poly_repitch(
+    void* hp, long E,
+    const long* note, const long* start, const long* end_,
+    const uint8_t* rescued_root,
+    double binw, long fmin, long n_bins, double track_max_db,
+    double margin_db, double abs_floor_db, double attack_skip_s,
+    long min_frames, double leak_bins, double leak_margin_db,
+    uint8_t* out_action) {
+    auto* h = static_cast<EnvCache*>(hp);
+    const double fps = h->fps;
+    auto rows = overlap_rows(start, end_, E);
+    for (long i = 0; i < E; ++i) {
+        out_action[i] = 0;
+        long n = note[i];
+        long b0 = n - fmin, b12 = n + 12 - fmin;
+        if (!(0 <= b0 && b0 < n_bins && b12 < n_bins)) continue;
+        if (rescued_root[i]) continue;
+        bool lower = false;
+        for (long j : rows[i]) if (note[j] < n) { lower = true; break; }
+        if (lower) continue;
+        long lo = start[i] + long(attack_skip_s * fps);
+        long hi = std::min(end_[i] - 1, h->T);
+        if (hi - lo < min_frames) continue;
+        double own = h->med(lo, hi, b0);
+        double up = h->med(lo, hi, b12);
+        double f_n = HZ.v[n];
+        bool leak_dead = false;
+        for (long j : rows[i]) {
+            long on = note[j];
+            if (on == n) continue;
+            long ob = on - fmin;
+            if (!(0 <= ob && ob < n_bins)) continue;
+            if (std::fabs(f_n - HZ.v[on]) > leak_bins * binw) continue;
+            if (own <= h->med(lo, hi, ob) - leak_margin_db) {
+                leak_dead = true;
+                break;
+            }
+        }
+        bool dead = own < track_max_db - abs_floor_db || leak_dead;
+        if (dead && up - own >= margin_db) {
+            bool dup = false;
+            for (long j : rows[i])
+                if (note[j] == n + 12) { dup = true; break; }
+            out_action[i] = dup ? 1 : 2;
+        }
+    }
+}
+
+// ----------------------------------------------------- recover_missing_fifths
+
+// Mirrors core/poly.py::recover_missing_fifths, including the appended-tail
+// walk (recovered fifths join later events' guards).  Mints are
+// (parent index, salience) pairs; returns the count or -(needed).
+long aegis_poly_recover_fifths(
+    void* hp, long E,
+    const long* note, const long* start, const long* end_, const double* sal,
+    long fmin, long n_bins, double track_max_db,
+    double level_floor_db, double rel_parent_db, double max_resid,
+    double attack_skip_s, long min_frames,
+    long cap, long* out_parent, double* out_sal) {
+    auto* h = static_cast<EnvCache*>(hp);
+    const double fps = h->fps;
+    auto rows = overlap_rows(start, end_, E);
+    struct Mint { long note, start, end; double sal; };
+    std::vector<Mint> appended;
+    long m = 0;
+    std::vector<long> c_note, c_start;
+    std::vector<double> c_sal;
+    for (long i = 0; i < E; ++i) {
+        long n = note[i];
+        long b0 = n - fmin, b7 = n + 7 - fmin;
+        if (!(0 <= b0 && b0 < n_bins && b7 < n_bins)) continue;
+        // concurrent = base rows + overlapping appended fifths (that order)
+        c_note.clear(); c_sal.clear();
+        for (long j : rows[i]) {
+            c_note.push_back(note[j]);
+            c_sal.push_back(sal[j]);
+        }
+        for (auto& a : appended)
+            if (a.start <= end_[i] && start[i] <= a.end) {
+                c_note.push_back(a.note);
+                c_sal.push_back(a.sal);
+            }
+        bool rim = false;
+        for (long cn : c_note)
+            if (std::labs(cn - (n + 7)) <= 2) { rim = true; break; }
+        if (rim) continue;
+        double sal_i = sal[i];
+        double pmax = sal_i;
+        for (double cs : c_sal) pmax = std::max(pmax, cs);
+        if (sal_i < 0.5 * pmax) continue;
+        bool blocked = false;
+        for (size_t k = 0; k < c_note.size(); ++k)
+            if (c_note[k] < n && c_sal[k] >= 0.5 * sal_i) {
+                blocked = true;
+                break;
+            }
+        if (blocked) continue;
+        bool coll = false;
+        for (long cn : c_note) {
+            for (long hh : HARM)
+                if (std::labs((cn + hh) - (n + 7)) <= 2) { coll = true; break; }
+            if (coll) break;
+        }
+        if (coll) continue;
+        long lo = start[i] + long(attack_skip_s * fps);
+        long hi = std::min(end_[i] - 1, h->T);
+        if (hi - lo < min_frames) continue;
+        double med7 = h->med(lo, hi, b7);
+        if (med7 < track_max_db - level_floor_db) continue;
+        if (med7 < h->med(lo, hi, b0) - rel_parent_db) continue;
+        // untrimmed fit + RMS residual over env7 (core/poly.py:1709-1713)
+        long lo_c = std::min(std::max(lo, 0L), h->T);
+        long hi_c = std::min(std::max(hi, 0L), h->T);
+        long Tn = hi_c - lo_c;
+        std::vector<double> env(std::max(Tn, 0L)), taxis(std::max(Tn, 0L));
+        for (long t = 0; t < Tn; ++t) {
+            env[t] = h->at(lo_c + t, b7);
+            taxis[t] = double(t);
+        }
+        double a_f, b_f;
+        linefit(taxis.data(), env.data(), Tn, &a_f, &b_f);
+        double ss = 0.0;
+        for (long t = 0; t < Tn; ++t) {
+            double d = env[t] - (a_f * taxis[t] + b_f);
+            ss += d * d;
+        }
+        double resid = std::sqrt(ss / Tn);
+        if (resid > max_resid || a_f * fps > 0.0) continue;
+        double lvl = med7 - h->med(lo, hi, b0);
+        double new_sal = sal_i * std::min(std::pow(10.0, lvl / 20.0), 1.0);
+        appended.push_back({n + 7, start[i], end_[i], new_sal});
+        if (m >= cap) return -(m + 1);
+        out_parent[m] = i; out_sal[m] = new_sal; ++m;
+    }
+    return m;
+}
+
+// ------------------------------------------------------- roll run extraction
+
+// Mirrors core/poly.py::roll_to_events's run scan: note-major nonzero runs
+// with the gap-merge rule, min-duration filter, and per-run confidence max
+// over the full [s, e] span.  Returns run count or -(needed).
+long aegis_poly_roll_runs(
+    const uint8_t* roll, const float* conf, long T, long n_notes,
+    long min_frames, long gap_frames,
+    long cap, long* out_s, long* out_e, long* out_note, double* out_conf) {
+    long m = 0;
+    for (long b = 0; b < n_notes; ++b) {
+        long run_s = -1, prev = -1;
+        auto flush = [&](long s, long e) {
+            if (e - s + 1 < min_frames) return;
+            float cmax = conf[s * n_notes + b];
+            for (long t = s + 1; t <= e; ++t)
+                cmax = std::max(cmax, conf[t * n_notes + b]);
+            if (m < cap) {
+                out_s[m] = s; out_e[m] = e; out_note[m] = b;
+                out_conf[m] = double(cmax);
+            }
+            ++m;
+        };
+        for (long t = 0; t < T; ++t) {
+            if (!roll[t * n_notes + b]) continue;
+            if (run_s < 0) {
+                run_s = t;
+            } else if (t - prev > gap_frames + 1) {
+                flush(run_s, prev);
+                run_s = t;
+            }
+            prev = t;
+        }
+        if (run_s >= 0) flush(run_s, prev);
+    }
+    return m > cap ? -m : m;
 }
 
 // ------------------------------------------- drop_composite_harmonic_ghosts
