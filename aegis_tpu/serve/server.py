@@ -909,6 +909,12 @@ class AegisServer:
             return json_response({"session_id": sid,
                                   "engine": engine_kind,
                                   "sample_rate": sess_sr,
+                                  # the session's frame grid, so a live
+                                  # client can place frame-indexed events
+                                  # on its own time axis (the poly
+                                  # streamer scales its hop with sr)
+                                  "hop_length": (getattr(rt, "hop", None)
+                                                 or rt.audio.hop_length),
                                   "lookahead_s": round(rt.lookahead_s, 3)})
 
         @r.post("/api/stream-feed/{sid}")

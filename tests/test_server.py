@@ -738,3 +738,77 @@ def test_stream_client_rate(server_url):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_spa_live_tab_call_sequence(server_url):
+    """The SPA's live-tab flow, exactly as index.html issues it (VERDICT r4
+    #5): stream-start?engine&sr=<AudioContext rate> (response carries the
+    session's OWN hop_length for the client's frame->time axis), ordered
+    ~250 ms int16 feed posts, interleaved stream-events polls (the rolling
+    roll), finalize?midi_program=<patch>, then the offline buttons the SPA
+    re-enables afterwards (/api/midi, /api/tabs) against the same session."""
+    mic_sr = 48000  # a typical AudioContext rate, not the engine default
+    status, _, data = _req(
+        f"{server_url}/api/stream-start?engine=v1&sr={mic_sr}", "POST")
+    j = json.loads(data)
+    sid = j["session_id"]
+    assert j["sample_rate"] == mic_sr
+    assert j["hop_length"] > 0  # the SPA's setGrid() input
+
+    y = two_tone(sr=mic_sr)
+    pcm = np.round(np.clip(y, -1, 1) * 32767).astype("<i2").tobytes()
+    chunk = int(mic_sr * 0.25) * 2  # the SPA's ~250 ms cadence
+    for i in range(0, len(pcm), chunk):
+        status, _, data = _req(f"{server_url}/api/stream-feed/{sid}",
+                               "POST", pcm[i:i + chunk])
+        assert status == 200
+        if i // chunk % 2 == 1:  # the SPA polls every other chunk (~500 ms)
+            status, _, data = _req(f"{server_url}/api/stream-events/{sid}")
+            assert status == 200
+            json.loads(data)["events"]
+
+    status, _, data = _req(
+        f"{server_url}/api/stream-finalize/{sid}?midi_program=27", "POST")
+    j = json.loads(data)
+    assert {e["note"] for e in j["events"]} >= {55, 62}
+    # frame->time must ride the SESSION grid: at 48 kHz the hop scales, so
+    # the notes land at the true wall-clock positions (0.0 s and 0.6 s)
+    hop = json.loads(_req(
+        f"{server_url}/api/stream-start?engine=v1&sr={mic_sr}",
+        "POST")[2])["hop_length"]
+    first_55 = min(e["start"] for e in j["events"] if e["note"] == 55)
+    first_62 = min(e["start"] for e in j["events"] if e["note"] == 62)
+    assert abs(first_62 * hop / mic_sr - 0.6) < 0.15, (first_62, hop)
+    assert first_55 * hop / mic_sr < 0.2
+
+    # the SPA's post-finalize buttons work on the same session
+    status, ctype, data = _req(f"{server_url}/api/midi/{sid}")
+    assert status == 200 and data[:4] == b"MThd"
+    status, _, data = _req(f"{server_url}/api/tabs/{sid}")
+    assert status == 200
+
+
+def test_spa_toplevel_js_declarations_unique():
+    """A duplicate top-level const/let/var in the SPA's single script block
+    is a SyntaxError that kills ALL of its JavaScript (found live in round
+    5: `const DIRTY` for the slider set vs `let DIRTY` for the editor flag
+    — every button dead).  No JS engine ships in this image, so pin the
+    declaration names unique by scan."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "aegis_tpu", "serve", "static",
+        "index.html")
+    src = open(path, encoding="utf-8").read()
+    m = re.search(r"<script>(.*)</script>", src, re.S)
+    assert m, "SPA lost its script block"
+    names = []
+    for decl in re.finditer(
+            r"^(?:const|let|var)\s+([A-Za-z_$][\w$]*(?:\s*=[^,;]*)?"
+            r"(?:\s*,\s*[A-Za-z_$][\w$]*(?:\s*=[^,;]*)?)*)",
+            m.group(1), re.M):
+        for part in decl.group(1).split(","):
+            names.append(part.split("=")[0].strip())
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"duplicate top-level JS declarations: {dupes}"
