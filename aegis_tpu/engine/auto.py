@@ -185,6 +185,14 @@ def polyphony_regions(poly_events: List[dict], total_frames: int,
 
     ordered = sorted(poly_events, key=lambda e: e["start"])
     count = np.zeros(total_frames, np.int32)
+    # STRONG regions: marked by a group whose independent voices SUSTAIN
+    # (>= 12 frames each).  A strummed chord's voices all sustain; the
+    # boundary junk the v1-run demotion below exists for lives 3-8 frames
+    # — so a strong region is exempt from that demotion (measured, mixed
+    # seed 6: the [45,52,57] chord's 33-37-frame group was erased because
+    # pYIN's oscillation minted two short distinct notes and its longest
+    # chord lock ran 10 frames, under the has_long threshold).
+    strong = np.zeros(total_frames, bool)
     i = 0
     while i < len(ordered):
         j = i
@@ -192,11 +200,17 @@ def polyphony_regions(poly_events: List[dict], total_frames: int,
                and ordered[j + 1]["start"] - ordered[i]["start"] <= 2):
             j += 1
         group = ordered[i:j + 1]
-        if (len(_independent_notes(group)) >= min_voices
-                and not _v1_shadow(group)):
+        indep = _independent_notes(group)
+        if len(indep) >= min_voices and not _v1_shadow(group):
             lo = max(min(e["start"] for e in group), 0)
             hi = min(max(e["end"] for e in group) + 1, total_frames)
             count[lo:hi] += min_voices
+            indep_set = set(indep)
+            long_notes = {e["note"] for e in group
+                          if e["note"] in indep_set
+                          and e["end"] - e["start"] + 1 >= 12}
+            if len(long_notes) >= min_voices:
+                strong[lo:hi] = True
         i = j + 1
     chordal = count >= min_voices
     # binary opening on the time axis: drop short True runs, then demote
@@ -222,7 +236,7 @@ def polyphony_regions(poly_events: List[dict], total_frames: int,
                 has_long = any((e["end"] - e["start"] + 1) >= 12
                                for e in inside)
                 if (len(shorts) >= 2 and len(set(shorts)) == len(shorts)
-                        and not has_long):
+                        and not has_long and not strong[i:j].any()):
                     out[i:j] = False
             i = j
         else:
@@ -308,12 +322,22 @@ def route_events(v1_events: List[dict], poly_events: List[dict],
         if e["end"] - e["start"] + 1 >= 12:
             return False
         f_e = midi_to_hz(e["note"])
-        return any(
-            (o := poly_events[j])["note"] < e["note"]
-            and e.get("salience", 0.0) < o.get("salience", 0.0)
-            and any(abs(12.0 * np.log2(f_e / (h * midi_to_hz(o["note"]))))
-                    <= 1.2 for h in range(2, 11))
-            for j in rows[i])
+        for j in rows[i]:
+            o = poly_events[j]
+            if e.get("salience", 0.0) >= o.get("salience", 0.0):
+                continue
+            # sub-octave redirect ghost: a short event whose +12 sits on a
+            # stronger concurrent voice is the repitch signature, too short
+            # for the raw-CQT physics window's min_frames (measured, mixed
+            # seed 10: phantom 40/43 under the real 52/55 at the
+            # chord->run boundary, 4-8 frames at 1/13 the salience)
+            if o["note"] == e["note"] + 12:
+                return True
+            if o["note"] < e["note"] and any(
+                    abs(12.0 * np.log2(f_e / (h * midi_to_hz(o["note"]))))
+                    <= 1.2 for h in range(2, 11)):
+                return True
+        return False
 
     # the peel's range runs to the CQT floor (MIDI 24); in the routing
     # context everything below the guitar's E2 (reference range 40-88,

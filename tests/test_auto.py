@@ -33,14 +33,21 @@ def _f1(eng, y, truth):
 
 def test_mixed_clip_through_one_entry(auto_engine):
     """The VERDICT-r2 done-criterion: a mixed chords+85 ms-arpeggio clip
-    through ONE entry point.  Measured round 3: mean 0.955 over seeds
-    1-10 (min 0.846); poly alone ≤0.58 on the same clips."""
+    through ONE entry point.  Measured round 5 (after the strong-chord
+    demotion exemption + sub-octave short-ghost drop): mean 0.968 over
+    design seeds 1-10, min 0.88 (seed 10); held-out seeds 11-20 mean
+    0.960, min 0.88.  The 0.88 floor is a measured upstream ceiling, not
+    a routing defect: seed 10's run pluck at frame 51 produces NO onset
+    pick in either stream (its attack flux is masked between the 46/54
+    picks while the previous chord's same pitch still rings), so no
+    downstream logic can place the event's start inside the truth
+    tolerance (VALIDATION.md round 5)."""
     f1s = [
         _f1(auto_engine, *generate_mixed_clip(seed))
         for seed in range(1, 11)
     ]
     assert np.mean(f1s) >= 0.95, f1s
-    assert min(f1s) >= 0.82, f1s
+    assert min(f1s) >= 0.87, f1s
 
 
 def test_auto_dominates_single_engines_on_mixed(auto_engine):
