@@ -89,7 +89,11 @@ def _harmonic_dedup_naive(events, sal_ratio=0.55, start_tol=4):
 
 
 def _route_short_ghost_naive(poly_events):
-    # the pre-round-4 generator scan inside route_events, verbatim
+    # the generator-scan form of route_events' short_ghost, kept in
+    # lockstep with its semantics (round 5 added the sub-octave redirect
+    # clause: a short event whose +12 bin holds a stronger concurrent
+    # voice); the equivalence pinned here is the _overlap_rows
+    # candidate-set rewrite, not the predicate itself
     from aegis_tpu.config import midi_to_hz
 
     def ghost(e):
@@ -97,11 +101,14 @@ def _route_short_ghost_naive(poly_events):
             return False
         f_e = midi_to_hz(e["note"])
         return any(
-            o is not e and o["note"] < e["note"]
+            o is not e
             and o["start"] <= e["end"] and e["start"] <= o["end"]
             and e.get("salience", 0.0) < o.get("salience", 0.0)
-            and any(abs(12.0 * np.log2(f_e / (h * midi_to_hz(o["note"]))))
-                    <= 1.2 for h in range(2, 11))
+            and (o["note"] == e["note"] + 12
+                 or (o["note"] < e["note"]
+                     and any(abs(12.0 * np.log2(
+                         f_e / (h * midi_to_hz(o["note"])))) <= 1.2
+                         for h in range(2, 11))))
             for o in poly_events)
 
     return [ghost(e) for e in poly_events]
