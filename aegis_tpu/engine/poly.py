@@ -78,14 +78,81 @@ def dispatch_analyze_poly(y: np.ndarray, sr: int, n_fft: int = 2048,
     return buf, true_frames, max_voices, bins_per_octave
 
 
+class _LazyPlane:
+    """np.ndarray-coercible handle to the f16 CQT plane while its
+    device->host transfer is still in flight.
+
+    The plane is the poly fetch's dominant wire cost (~424 KB at ~21 MB/s
+    marginal through the tunnel, measured round 5: +20 ms over the core
+    columns), but its FIRST consumer is the raw-CQT recovery chain —
+    everything before it (roll segmentation, onset split, snap, birth,
+    rise, salience attach) needs only the core columns.  Fetching the
+    plane in a background thread (np.asarray releases the GIL during the
+    tunnel transfer; two concurrent fetches measured 56 ms vs 86 ms
+    sequential) lets that host work overlap the transfer.  ``np.asarray``
+    on this object joins the thread and unpacks — every existing consumer
+    (refine_poly_events, analyze-auto, npz save, parity asserts) already
+    coerces through np.asarray."""
+
+    def __init__(self, plane_dev, true_frames: int, n_bins: int):
+        import threading
+
+        self._true_frames = true_frames
+        self._n_bins = n_bins
+        self._out = None
+        self._buf = None
+        self._thread = threading.Thread(
+            target=self._fetch, args=(plane_dev,), daemon=True)
+        self._thread.start()
+
+    def _fetch(self, plane_dev):
+        self._buf = np.asarray(plane_dev)
+
+    @property
+    def shape(self):  # known without joining the transfer
+        return (self._true_frames, self._n_bins)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float32)
+
+    ndim = 2
+
+    def __len__(self):
+        return self._true_frames
+
+    def __array__(self, dtype=None, copy=None):
+        if self._out is None:
+            self._thread.join()
+            self._out = P.unpack_cqt_f16(
+                self._buf[: self._true_frames], self._n_bins)
+            self._buf = None
+        return self._out if dtype is None else self._out.astype(dtype)
+
+    def __getitem__(self, idx):
+        return np.asarray(self)[idx]
+
+
 def fetch_analyze_poly(handle) -> Dict[str, np.ndarray]:
     """Blocking half: transfer the packed raw-voice buffer and reconstruct
     the {roll, confidence, salience, rms, onset_env} planes through the
     NumPy oracle (the bucket-padding tail carries ~zero salience, so the
-    global acceptance peak over true frames equals the padded device max)."""
+    global acceptance peak over true frames equals the padded device max).
+    The f16 CQT plane comes back as a :class:`_LazyPlane` whose transfer
+    overlaps the caller's pre-CQT host extraction; its values are the
+    same unpack_cqt_f16 output as before, just later."""
     buf, true_frames, max_voices, bins_per_octave = handle
-    return P.unpack_poly_voices(np.asarray(buf)[:true_frames], max_voices,
-                                bins_per_octave)
+    V = max_voices
+    core_dev = buf[:, : 2 * V + 2]
+    plane_dev = buf[:, 2 * V + 2:]
+    n_cols = int(buf.shape[1]) - (2 * V + 2)
+    lazy = (_LazyPlane(plane_dev, true_frames, 2 * n_cols)
+            if n_cols > 0 else None)
+    out = P.unpack_poly_voices(np.asarray(core_dev)[:true_frames],
+                               max_voices, bins_per_octave)
+    if lazy is not None:
+        out["cqt_mag"] = lazy
+    return out
 
 
 class AegisPolyEngine:

@@ -390,9 +390,10 @@ long aegis_poly_rescue(
             // untrimmed slope gate (core/poly.py:981-985)
             long n_env = std::min(std::max(hi, 0L), h->T)
                        - std::min(std::max(lo, 0L), h->T);
-            std::vector<double> env(std::max(n_env, 0L));
+            thread_local std::vector<double> env, taxis;
+            env.resize(std::max(n_env, 0L));
+            taxis.resize(env.size());
             for (long t = 0; t < n_env; ++t) env[t] = h->at(lo + t, bf);
-            std::vector<double> taxis(env.size());
             for (size_t t = 0; t < env.size(); ++t) taxis[t] = double(t);
             double a_s, b_s;
             linefit(taxis.data(), env.data(), (long)env.size(), &a_s, &b_s);
@@ -974,7 +975,9 @@ long aegis_poly_recover_fifths(
         long lo_c = std::min(std::max(lo, 0L), h->T);
         long hi_c = std::min(std::max(hi, 0L), h->T);
         long Tn = hi_c - lo_c;
-        std::vector<double> env(std::max(Tn, 0L)), taxis(std::max(Tn, 0L));
+        thread_local std::vector<double> env, taxis;
+        env.resize(std::max(Tn, 0L));
+        taxis.resize(std::max(Tn, 0L));
         for (long t = 0; t < Tn; ++t) {
             env[t] = h->at(lo_c + t, b7);
             taxis[t] = double(t);

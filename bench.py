@@ -248,9 +248,10 @@ def measure() -> None:
         raw = v1.audio_to_midi(y, None, fetch_mel=False)
         v1.extract_events(raw, None)
 
-    v1_iter()  # compile
-    print("# v1 60s two-phase:", file=sys.stderr)
-    v1_rtf = duration / _median_time(v1_iter, 3)
+    v1_iter()  # compile; MEASURED below interleaved with the 60 s poly
+    # loop — the tunnel's phase drift between separated blocks used to
+    # dominate the poly/v1 ratio (same warm programs measured 0.55-0.95
+    # across phases), so the ratio's two legs share iterations now
 
     # ---------------- neural (PitchNet) backend on the same track -----------
     from aegis_tpu.models.pitchnet import have_default_weights
@@ -302,8 +303,20 @@ def measure() -> None:
         poly.extract_events(poly.analyze(yp60_off))
 
     poly60_iter()  # compile
-    print("# poly 60s (chord loop):", file=sys.stderr)
-    poly_rtf_60s = 60.0 / _median_time(poly60_iter, 3)
+    print("# v1 60s + poly 60s (interleaved, same tunnel phase):",
+          file=sys.stderr)
+    tv, tp = [], []
+    for _ in range(7):
+        t0 = time.time()
+        v1_iter()
+        tv.append(time.time() - t0)
+        t0 = time.time()
+        poly60_iter()
+        tp.append(time.time() - t0)
+    print(f"#   v1 iters: {[round(t, 3) for t in tv]}", file=sys.stderr)
+    print(f"#   poly iters: {[round(t, 3) for t in tp]}", file=sys.stderr)
+    v1_rtf = duration / sorted(tv)[3]
+    poly_rtf_60s = 60.0 / sorted(tp)[3]
 
     # ---------------- folder sweep: 4 x 60 s dispatch-all-then-fetch --------
     from aegis_tpu.core.analyze import dispatch_analyze, fetch_analyze
