@@ -634,3 +634,39 @@ def test_poly_truth_44k():
         events = eng.extract_events(eng.analyze(y))
         r = note_event_f1(truth, events_to_seconds(events, 44100, 1024))
         assert r["f1"] == 1.0, (seed, r)
+
+
+def test_lazy_plane_fetch_equivalence(tmp_path):
+    """The fused fetch's background-thread CQT plane (engine.poly._LazyPlane)
+    is transparent: same values as an eager unpack, array-protocol
+    properties served without joining, and the npz Phase-1 cache contract
+    round-trips it as a concrete array."""
+    import os
+
+    import numpy as np
+
+    from aegis_tpu.engine.poly import AegisPolyEngine
+
+    y, _ = chord_progression_clip(4)
+    eng = AegisPolyEngine(sample_rate=SR)
+    analysis = eng.analyze(y)
+    plane = analysis["cqt_mag"]
+    T = analysis["roll"].shape[0]
+    assert plane.shape == (T, NBINS) and plane.dtype == np.float32
+    arr = np.asarray(plane)
+    assert arr.shape == (T, NBINS)
+    # second coercion returns the same concrete array (memoized join)
+    assert np.asarray(plane) is arr
+    # __getitem__ matches the coerced array
+    np.testing.assert_array_equal(plane[3:7, 10:20], arr[3:7, 10:20])
+    # npz round trip stores the concrete plane
+    path = os.path.join(tmp_path, "a.npz")
+    np.savez(path, cqt_mag=plane)
+    np.testing.assert_array_equal(dict(np.load(path))["cqt_mag"], arr)
+    # and the refined events are identical to an extraction fed the eager
+    # ndarray in place of the lazy handle
+    ev_lazy = eng.extract_events(analysis)
+    analysis2 = dict(analysis)
+    analysis2["cqt_mag"] = arr
+    ev_eager = eng.extract_events(analysis2)
+    assert ev_lazy == ev_eager and len(ev_lazy) > 0
