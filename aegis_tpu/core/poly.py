@@ -393,6 +393,24 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
     gap_frames = int((sustain_ms / 1000.0) * sr / hop_length)
 
     events: List[dict] = []
+
+    # ONE dict-assembly for both branches below: the native-on and
+    # native-off runs must stay field-for-field identical (the parity
+    # contract tests/test_native_poly.py pins), so there is exactly one
+    # source of truth for the event fields, rounding, and track cutoff
+    def _emit(s: int, e: int, note: int, conf: float) -> None:
+        events.append({
+            "note": note,
+            "start": s,
+            "end": e,
+            "confidence": round(conf, 3),
+            "velocity": int(velocity[s]),
+            "track": "main" if conf >= confidence_threshold else "safe",
+            "technique": None,
+            "slope": 0.0,
+            "rms_energy": float(rms_db[s]),
+        })
+
     conf_arr = np.asarray(confidence)
     if conf_arr.dtype == np.float32:
         from aegis_tpu import native as _nat
@@ -410,18 +428,7 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
                 min_frames, gap_frames)
             for s, e, note, conf in zip(run_s.tolist(), run_e.tolist(),
                                         run_n.tolist(), run_c.tolist()):
-                events.append({
-                    "note": note,
-                    "start": s,
-                    "end": e,
-                    "confidence": round(conf, 3),
-                    "velocity": int(velocity[s]),
-                    "track": "main" if conf >= confidence_threshold
-                             else "safe",
-                    "technique": None,
-                    "slope": 0.0,
-                    "rms_energy": float(rms_db[s]),
-                })
+                _emit(s, e, note, conf)
             events.sort(key=lambda ev: (ev["start"], ev["note"]))
             return events
     # ONE nonzero pass over the transposed plane gives every (note, t)
@@ -442,18 +449,7 @@ def roll_to_events(roll: np.ndarray, confidence: np.ndarray, rms: np.ndarray,
     for s, e, note in zip(run_s.tolist(), run_e.tolist(), run_n.tolist()):
         if e - s + 1 < min_frames:
             continue
-        conf = float(conf_T[note, s:e + 1].max())
-        events.append({
-            "note": note,
-            "start": s,
-            "end": e,
-            "confidence": round(conf, 3),
-            "velocity": int(velocity[s]),
-            "track": "main" if conf >= confidence_threshold else "safe",
-            "technique": None,
-            "slope": 0.0,
-            "rms_energy": float(rms_db[s]),
-        })
+        _emit(s, e, note, float(conf_T[note, s:e + 1].max()))
     events.sort(key=lambda ev: (ev["start"], ev["note"]))
     return events
 

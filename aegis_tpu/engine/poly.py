@@ -101,12 +101,19 @@ class _LazyPlane:
         self._n_bins = n_bins
         self._out = None
         self._buf = None
+        self._err = None
         self._thread = threading.Thread(
             target=self._fetch, args=(plane_dev,), daemon=True)
         self._thread.start()
 
     def _fetch(self, plane_dev):
-        self._buf = np.asarray(plane_dev)
+        # a failed transfer (the tunnel flaps) must surface at the
+        # consumer's coercion with the REAL error, not a cryptic
+        # NoneType crash from a silently-dead thread
+        try:
+            self._buf = np.asarray(plane_dev)
+        except BaseException as e:  # noqa: BLE001 — re-raised on join
+            self._err = e
 
     @property
     def shape(self):  # known without joining the transfer
@@ -124,6 +131,9 @@ class _LazyPlane:
     def __array__(self, dtype=None, copy=None):
         if self._out is None:
             self._thread.join()
+            if self._err is not None:
+                raise RuntimeError(
+                    "CQT-plane device->host transfer failed") from self._err
             self._out = P.unpack_cqt_f16(
                 self._buf[: self._true_frames], self._n_bins)
             self._buf = None

@@ -173,6 +173,31 @@ def _final_json_line(out: str) -> str | None:
     return None
 
 
+def _warm_compiles(timeout_s: float = 3600.0) -> None:
+    """Precompile every big fused program BEFORE the timed child runs.
+
+    The measured child runs under a hard timeout, and timeout-killing a
+    process mid-REMOTE-COMPILE orphans the compile and stalls the device
+    service ~30 min (CLAUDE.md) — so the compiles must be bounded the
+    sanctioned way: pay them here via the warmup command (persistent XLA
+    cache), under a budget generous enough that only a pathological
+    service ever hits it.  With a warm cache this child returns in
+    seconds; the measured child then only dispatches warm programs, which
+    are safe to kill."""
+    cmd = [sys.executable, "-u", "-m", "aegis_tpu", "warmup",
+           "--seconds", "10,30,60,600",
+           "--pipelines", "v1,neural,financial,neural-financial,poly,"
+                          "stream,neural-stream,"
+                          "live-v1,live-financial,live-poly"]
+    try:
+        subprocess.run(cmd, timeout=timeout_s,
+                       stdout=sys.stderr, stderr=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# warmup exceeded {timeout_s:.0f}s -- service pathological; "
+              "waiting out the possible orphaned compile", file=sys.stderr)
+        time.sleep(600.0)
+
+
 def main() -> None:
     if "--measure" in sys.argv[1:]:
         measure()
@@ -182,10 +207,12 @@ def main() -> None:
               file=sys.stderr)
         _cpu_fallback_bench()
         return
-    # First attempt: generous timeout (cold compiles through the tunnel
-    # take minutes).  On a mid-run hang, wait out the measured ~8-10 min
-    # flap recovery, re-probe, and retry warm before demoting the round
-    # artifact to the CPU fallback.
+    _warm_compiles()
+    # First attempt: generous timeout (cold compiles are already paid by
+    # _warm_compiles, so a hang here is a tunnel flap, not a compile —
+    # killing the child is safe).  On a mid-run hang, wait out the
+    # measured ~8-10 min flap recovery, re-probe, and retry warm before
+    # demoting the round artifact to the CPU fallback.
     for attempt, timeout_s in enumerate((2700.0, 2100.0)):
         if attempt:
             print("# waiting 540s for tunnel recovery before the retry",

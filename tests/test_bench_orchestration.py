@@ -74,20 +74,28 @@ def test_measure_flag_routes_to_measured_body(monkeypatch):
 
 
 def test_mid_run_hang_retries_then_falls_back(monkeypatch):
-    """The parent must retry a hung measured run (after a recovery wait +
-    re-probe) and only then demote to the CPU fallback."""
-    calls = {"measured": 0, "probe": 0, "fallback": 0, "sleep": []}
+    """The parent must warm compiles FIRST (a timed-out child must never
+    be mid-remote-compile — killing one orphans the compile and stalls
+    the device service), then retry a hung measured run (after a recovery
+    wait + re-probe) and only then demote to the CPU fallback."""
+    calls = {"measured": 0, "probe": 0, "fallback": 0, "sleep": [],
+             "order": []}
     monkeypatch.setattr(bench, "_probe_device",
                         lambda **kw: calls.__setitem__(
                             "probe", calls["probe"] + 1) or True)
-    monkeypatch.setattr(bench, "_run_measured",
-                        lambda t: calls.__setitem__(
-                            "measured", calls["measured"] + 1) or False)
+    monkeypatch.setattr(bench, "_warm_compiles",
+                        lambda **kw: calls["order"].append("warm"))
+    def _measured(t):
+        calls["measured"] += 1
+        calls["order"].append("measure")
+        return False
+    monkeypatch.setattr(bench, "_run_measured", _measured)
     monkeypatch.setattr(bench, "_cpu_fallback_bench",
                         lambda: calls.__setitem__("fallback", 1))
     monkeypatch.setattr(bench.time, "sleep", calls["sleep"].append)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     bench.main()
+    assert calls["order"][0] == "warm"  # compiles paid before any timeout
     assert calls["measured"] == 2     # one retry after the hang
     assert calls["probe"] >= 2        # initial probe + pre-retry re-probe
     assert calls["fallback"] == 1     # only after both attempts failed
