@@ -540,7 +540,9 @@ def filter_ghost_notes_rsi(
         t = int(e["end"] * spf * 10)
         if s < n_bins:
             density[s : min(max(t, s + 1), n_bins)] += 1
-    rsi_values = trend_ref.rsi(density, period=14)
+    from aegis_tpu.core import trend_fast
+
+    rsi_values = trend_fast.rsi(density, period=14)
     out = []
     for e in events:
         idx = int(e["start"] * spf * 10)

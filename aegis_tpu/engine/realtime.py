@@ -324,9 +324,13 @@ class StreamingTranscriber:
     _TREND_WARMUP = 256
 
     def _trend_full(self, f0_clean: np.ndarray) -> Dict[str, np.ndarray]:
-        from aegis_tpu.ref import trend_ref
+        # the fast host twin of the oracle pass (bit-identical when the
+        # native library is present, else falls back to the oracle): the
+        # oracle's Python loops cost ~68 us/frame, which made every live
+        # financial poll ~35 ms and a 10-minute finalize ~1.8 s
+        from aegis_tpu.core import trend_fast
 
-        fin = trend_ref.analyze_pitch_financial(f0_clean)
+        fin = trend_fast.analyze_pitch_financial(f0_clean)
         return {k: np.asarray(fin[k]) for k in
                 ("trend", "articulations", "slides", "confidence")}
 

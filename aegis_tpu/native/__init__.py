@@ -24,7 +24,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "events_core.cpp"),
-         os.path.join(_HERE, "poly_recover.cpp")]
+         os.path.join(_HERE, "poly_recover.cpp"),
+         os.path.join(_HERE, "trend_core.cpp")]
 _LIB = None
 _TRIED = False
 
@@ -503,3 +504,114 @@ def poly_roll_runs_native(roll_u8, conf_f32, min_frames, gap_frames):
             cap = -m + 16
             continue
         return out_s[:m], out_e[:m], out_n[:m], out_c[:m]
+
+
+# --------------------------------------------------------------------------
+# trend-filter recurrences (trend_core.cpp) — the strictly sequential loops
+# of the financial noise-filter stack.  core/trend_fast.py routes through
+# these (bit-identical to ref/trend_ref.py's Python loops; pinned
+# buffer-for-buffer by tests/test_native_trend.py); reductions and
+# elementwise steps stay in numpy on the caller side.
+
+def _f64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, np.float64)
+
+
+def trend_ema_native(data: np.ndarray, alpha: float) -> np.ndarray:
+    """ref/trend_ref.py::ema's loop (NaN-gap reset)."""
+    lib = get_lib()
+    x = _f64(data)
+    out = np.empty(len(x), np.float64)
+    lib.aegis_trend_ema(_ptr(x, ctypes.c_double), ctypes.c_long(len(x)),
+                        ctypes.c_double(alpha), _ptr(out, ctypes.c_double))
+    return out
+
+
+def trend_kalman_native(data: np.ndarray, process_variance: float,
+                        measurement_variance: float,
+                        x0: float) -> np.ndarray:
+    """ref/trend_ref.py::kalman's loop; ``x0`` is data[argmax(valid)]
+    (the caller guarantees a valid sample exists)."""
+    lib = get_lib()
+    x = _f64(data)
+    out = np.empty(len(x), np.float64)
+    lib.aegis_trend_kalman(
+        _ptr(x, ctypes.c_double), ctypes.c_long(len(x)),
+        ctypes.c_double(process_variance),
+        ctypes.c_double(measurement_variance), ctypes.c_double(x0),
+        _ptr(out, ctypes.c_double))
+    return out
+
+
+def trend_holt_native(data: np.ndarray, alpha: float, beta: float,
+                      level0: float, trend0: float) -> np.ndarray:
+    """ref/trend_ref.py::holt_winters's loop; init values from the first
+    two valid samples (the caller guarantees >= 2)."""
+    lib = get_lib()
+    x = _f64(data)
+    out = np.empty(len(x), np.float64)
+    lib.aegis_trend_holt(
+        _ptr(x, ctypes.c_double), ctypes.c_long(len(x)),
+        ctypes.c_double(alpha), ctypes.c_double(beta),
+        ctypes.c_double(level0), ctypes.c_double(trend0),
+        _ptr(out, ctypes.c_double))
+    return out
+
+
+def trend_artic_native(f0: np.ndarray, upper: np.ndarray,
+                       lower: np.ndarray) -> np.ndarray:
+    """ref/trend_ref.py::detect_articulation_bollinger's state machine."""
+    lib = get_lib()
+    f = _f64(f0)
+    out = np.empty(len(f), np.int8)
+    lib.aegis_trend_artic(
+        _ptr(f, ctypes.c_double), _ptr(_f64(upper), ctypes.c_double),
+        _ptr(_f64(lower), ctypes.c_double), ctypes.c_long(len(f)),
+        _ptr(out, ctypes.c_byte))
+    return out
+
+
+def trend_wilder_native(gains: np.ndarray, losses: np.ndarray, n: int,
+                        period: int, seed_g: float, seed_l: float,
+                        avg_g: np.ndarray, avg_l: np.ndarray) -> None:
+    """ref/trend_ref.py::rsi's Wilder recurrence, filling avg_g/avg_l
+    in-place for i in [period+1, n) (seeds at index ``period`` and the
+    leading NaNs are the caller's)."""
+    lib = get_lib()
+    lib.aegis_trend_wilder(
+        _ptr(_f64(gains), ctypes.c_double),
+        _ptr(_f64(losses), ctypes.c_double),
+        ctypes.c_long(n), ctypes.c_long(period),
+        ctypes.c_double(seed_g), ctypes.c_double(seed_l),
+        _ptr(avg_g, ctypes.c_double), _ptr(avg_l, ctypes.c_double))
+
+
+def trend_kalman_f32_native(data: np.ndarray, process_variance: float,
+                            measurement_variance: float,
+                            x0: float) -> np.ndarray:
+    """ref/trend_ref.py::kalman on a FLOAT32 input (the recurrence runs in
+    float32 under numpy's weak promotion; see trend_core.cpp)."""
+    lib = get_lib()
+    x = np.ascontiguousarray(data, np.float32)
+    out = np.empty(len(x), np.float64)
+    lib.aegis_trend_kalman_f32(
+        _ptr(x, ctypes.c_float), ctypes.c_long(len(x)),
+        ctypes.c_double(process_variance),
+        ctypes.c_double(measurement_variance), ctypes.c_float(x0),
+        _ptr(out, ctypes.c_double))
+    return out
+
+
+def trend_holt_f32_native(data: np.ndarray, alpha: float, beta: float,
+                          level0: float, trend0: float) -> np.ndarray:
+    """ref/trend_ref.py::holt_winters on a FLOAT32 input (float32
+    recurrence, see trend_core.cpp)."""
+    lib = get_lib()
+    x = np.ascontiguousarray(data, np.float32)
+    out = np.empty(len(x), np.float64)
+    lib.aegis_trend_holt_f32(
+        _ptr(x, ctypes.c_float), ctypes.c_long(len(x)),
+        ctypes.c_double(alpha), ctypes.c_double(beta),
+        ctypes.c_float(level0), ctypes.c_float(trend0),
+        _ptr(out, ctypes.c_double))
+    return out
