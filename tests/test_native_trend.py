@@ -174,3 +174,39 @@ def test_unsupported_dtype_falls_back_to_oracle():
     x = np.linspace(100, 200, 50, dtype=np.float16)
     out = F.ema(x, 5)
     _same(out, R.ema(x, 5))
+
+
+def test_live_financial_session_native_on_off(monkeypatch):
+    """End-to-end pin (the test_native_poly pattern): a live financial
+    session's polled AND finalized events are dict-for-dict identical with
+    the fast trend path on vs forced back to the oracle."""
+    from aegis_tpu.engine.realtime import StreamingTranscriber
+
+    sr = 22050
+    t = np.arange(int(sr * 1.2)) / sr
+    note = np.zeros_like(t)
+    for h, a in ((1, 1.0), (2, 0.4), (3, 0.2)):
+        note += a * np.sin(2 * np.pi * 196.0 * h * t)
+    note = (0.5 * note * np.exp(-2.0 * t)).astype(np.float32)
+    y = np.zeros(int(sr * 3.0), np.float32)
+    y[int(0.3 * sr):int(0.3 * sr) + len(note)] += note
+    y[int(1.7 * sr):int(1.7 * sr) + len(note)] += note * 0.9
+
+    def run():
+        rt = StreamingTranscriber(financial=True)
+        chunk = int(0.1 * sr)
+        polls = []
+        for k, i in enumerate(range(0, len(y), chunk)):
+            rt.feed(y[i:i + chunk])
+            if k % 5 == 0:
+                polls.append(rt.poll_events())
+        return polls, rt.finalize()
+
+    polls_fast, final_fast = run()
+    monkeypatch.setattr(F, "analyze_pitch_financial",
+                        R.analyze_pitch_financial)
+    monkeypatch.setattr(F, "rsi", R.rsi)
+    polls_ref, final_ref = run()
+    assert polls_fast == polls_ref
+    assert final_fast == final_ref
+    assert {e["note"] for e in final_fast} == {55}
