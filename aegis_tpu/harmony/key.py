@@ -98,11 +98,56 @@ class HarmonicAnalyzer:
         self, midi_notes: np.ndarray, times: np.ndarray, window_size: float = 2000.0
     ) -> List[Dict]:
         """Per-2s-window chord estimate: modal pitch class as root, quality
-        from the present third."""
+        from the present third.
+
+        One bincount over (window, pitch-class) keys instead of a
+        per-window mask scan (the scan was O(events x windows) — ~3 ms of
+        every 10-minute live financial poll, round 5).  Tie-break parity
+        with the sequential formulation: Counter.most_common picks the
+        FIRST pitch class (by first occurrence in window order) among
+        equal counts, encoded here as count*(E+1) - first_occurrence so
+        argmax decides count first, earliest-seen second.  Non-integer
+        window sizes keep the sequential form (its range() stride
+        truncates, which floor-division windows would not reproduce)."""
         midi_notes = np.asarray(midi_notes)
         times = np.asarray(times)
         if len(midi_notes) == 0:
             return []
+        ws = int(window_size)
+        if ws != window_size or ws <= 0:
+            return self._chord_progression_seq(midi_notes, times, window_size)
+        maxt = int(np.max(times))
+        m = times >= 0
+        if maxt < 0 or not m.any():
+            return []
+        wi = np.floor_divide(times[m], window_size).astype(np.int64)
+        pcs = midi_notes[m].astype(np.int64) % 12
+        W = maxt // ws + 1
+        key = wi * 12 + pcs
+        cnt = np.bincount(key, minlength=W * 12).reshape(W, 12)
+        E = len(key)
+        first = np.full(W * 12, E, np.int64)
+        np.minimum.at(first, key, np.arange(E))
+        score = cnt * (E + 1) - first.reshape(W, 12)
+        roots = np.argmax(score, axis=1)
+        present = cnt > 0
+        chords = []
+        for w in np.nonzero(present.any(axis=1))[0].tolist():
+            root = int(roots[w])
+            if present[w, (root + 4) % 12]:
+                quality = "major"
+            elif present[w, (root + 3) % 12]:
+                quality = "minor"
+            else:
+                quality = "unknown"
+            chords.append({"time": w * ws, "chord": CHROMATIC[root],
+                           "quality": quality})
+        return chords
+
+    @staticmethod
+    def _chord_progression_seq(midi_notes, times, window_size) -> List[Dict]:
+        """The sequential spec (kept as the non-integer-window path and the
+        parity reference for tests)."""
         chords = []
         for t in range(0, int(np.max(times)) + 1, int(window_size)):
             mask = (times >= t) & (times < t + window_size)
@@ -137,7 +182,46 @@ class HarmonicAnalyzer:
         scale_notes = set(self.get_scale_notes(key_info["key"], key_info["mode"]))
         # chord windows are disjoint [t, t+window) at multiples of the
         # window, so the per-event linear scan is a floor-division lookup
-        # (profiled round 4: the scan was 24 ms of a 10-minute live poll)
+        # (profiled round 4: the scan was 24 ms of a 10-minute live poll;
+        # round 5 vectorized the lookup itself — one masked multiply, same
+        # floats: each penalized confidence is multiplied once by the
+        # identical 0.8/0.5 literal)
+        ws = int(window_size)
+        if ws != window_size or ws <= 0:
+            return self._adaptive_filter_seq(midi_notes, times, adjusted,
+                                             scale_notes, chords, window_size)
+        W = max(c["time"] for c in chords) // ws + 1
+        root_arr = np.full(W, -1, np.int64)
+        third_arr = np.zeros(W, np.int64)
+        for c in chords:
+            if c["quality"] == "unknown":
+                continue
+            w = c["time"] // ws
+            root_arr[w] = CHROMATIC.index(c["chord"])
+            third_arr[w] = 4 if c["quality"] == "major" else 3
+        times_a = np.asarray(times)
+        valid = times_a >= 0
+        wi = np.zeros(len(times_a), np.int64)
+        wi[valid] = np.floor_divide(times_a[valid],
+                                    window_size).astype(np.int64)
+        known = valid & (wi < W)
+        wi_c = np.minimum(wi, W - 1)
+        r = root_arr[wi_c]
+        known &= r >= 0
+        pc = np.asarray(midi_notes).astype(np.int64) % 12
+        third = third_arr[wi_c]
+        tone = (pc == r) | (pc == (r + third) % 12) | (pc == (r + 7) % 12)
+        in_scale12 = np.zeros(12, bool)
+        in_scale12[list(scale_notes)] = True
+        pen = known & ~tone
+        adjusted[pen] *= np.where(in_scale12[pc[pen]], 0.8, 0.5)
+        return adjusted
+
+    @staticmethod
+    def _adaptive_filter_seq(midi_notes, times, adjusted, scale_notes,
+                             chords, window_size) -> np.ndarray:
+        """The sequential spec (non-integer-window path; parity reference
+        for tests)."""
         by_start = {c["time"]: c for c in chords}
         for i, (note, time) in enumerate(zip(midi_notes, times)):
             current = (by_start.get(int(time // window_size) * int(window_size))

@@ -106,3 +106,35 @@ def test_name_chord():
     assert name_chord([60, 72]) == "C"               # octave pair collapses
     assert name_chord([]) == ""
     assert name_chord([60, 61, 62, 63]) == "C"       # cluster: bass fallback
+
+
+def test_chord_progression_vectorized_matches_sequential():
+    """The bincount chord-progression + masked adaptive filter (round 5)
+    must reproduce the sequential spec exactly — including Counter's
+    first-occurrence tie-break and the 0.8/0.5 penalty floats — on
+    randomized event lists with negative times and unsorted order."""
+    import numpy as np
+
+    from aegis_tpu.harmony.key import HarmonicAnalyzer
+
+    a = HarmonicAnalyzer()
+    rng = np.random.default_rng(20260821)
+    for _ in range(60):
+        n = int(rng.integers(1, 120))
+        notes = rng.integers(20, 100, n)
+        times = rng.uniform(-500.0, float(rng.uniform(100, 200_000)), n)
+        if rng.random() < 0.3:
+            times = np.sort(times)
+        conf = rng.uniform(0.0, 1.0, n)
+        seq = a._chord_progression_seq(notes, times, 2000.0)
+        assert a.analyze_chord_progression(notes, times) == seq
+        key = a.detect_key(notes)
+        scale = set(a.get_scale_notes(key["key"], key["mode"]))
+        want = a._adaptive_filter_seq(
+            notes, times, np.asarray(conf, np.float64).copy(),
+            scale, seq, 2000.0)
+        got = a.adaptive_filter_by_context(notes, times, conf, key)
+        assert got.tobytes() == want.tobytes()
+    # all-negative times: the sequential range() is empty
+    assert a.analyze_chord_progression(
+        np.array([60, 64]), np.array([-5.0, -1.0])) == []
