@@ -233,6 +233,7 @@ class StreamingTranscriber:
         self._pending = np.zeros(self._ctx, np.float32)
         self._rows: List[np.ndarray] = []         # per-tile (tile, 6) rows
         self._fin_trend_cache = None              # incremental poll trend
+        self._onset_state = None                  # incremental onset pick
         self._hzn: Optional[dict] = None          # finalized-event horizon
         self._ref_power = 0.0
         self._n_fed = 0
@@ -536,12 +537,13 @@ class StreamingTranscriber:
             # no-onset / forward-snap configs bypass the horizon (the
             # neural tail-ghost pass walks event pairs sequentially)
             return self._extract(rows, threshold=self._poll_threshold(rows))
-        from aegis_tpu.core.cqt import pick_onsets
+        from aegis_tpu.core.cqt import pick_onsets_incremental
         from aegis_tpu.ref.dsp_ref import amplitude_to_db
 
         sr, hop = self.audio.sample_rate, self.audio.hop_length
-        onsets = pick_onsets(np.asarray(rows["onset_env"], np.float64),
-                             sr, hop)
+        onsets, self._onset_state = pick_onsets_incremental(
+            np.asarray(rows["onset_env"], np.float64), sr, hop,
+            self._onset_state)
         thr = self._poll_threshold(rows)
         # track-global dB reference + clamp floor: the extractors' rms_db
         # (and hence the noise gate / activation) reference the track max,
@@ -731,6 +733,7 @@ class StreamingPolyTranscriber:
         self._tile_idx = 0
         self._rows: List[np.ndarray] = []     # per-tile (tile, 2V+2+cqt/2)
         self._hzn: Optional[dict] = None      # finalized-event horizon
+        self._onset_state = None              # incremental onset pick
         self._ref_power = 0.0
         self._n_fed = 0
         self._finalized = False
@@ -852,7 +855,7 @@ class StreamingPolyTranscriber:
         kw = self.extract_kwargs
         if not kw.get("use_onsets", True):
             return self._poll_full()
-        from aegis_tpu.core.cqt import pick_onsets
+        from aegis_tpu.core.cqt import pick_onsets_incremental
         from aegis_tpu.core.poly import unpack_poly_voices
         from aegis_tpu.ref.dsp_ref import amplitude_to_db
 
@@ -868,7 +871,8 @@ class StreamingPolyTranscriber:
         rms_peak_db = float(np.max(rms_db))
         env = buf[:, 2 * V + 1].astype(np.float64)
         env[0] = 0.0  # first-tile halo convention (_analysis)
-        onsets = pick_onsets(env, self.sr, self.hop)
+        onsets, self._onset_state = pick_onsets_incremental(
+            env, self.sr, self.hop, self._onset_state)
         plane = np.ascontiguousarray(buf[:, 2 * V + 2:])
         mag_max = np.float32(plane.view(np.float16).max())
         track_peak_db = float(np.max(
