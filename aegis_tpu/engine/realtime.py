@@ -158,6 +158,39 @@ def _shift_events(events: List[dict], off: int) -> List[dict]:
     return events
 
 
+class _RowCat:
+    """Append-only concatenation cache for the per-tile row blocks.
+
+    Every poll re-ran ``np.concatenate(self._rows)`` over the whole
+    session (~5.8 MB across ~1000 tile blocks for a 10-minute poly
+    stream) even though blocks are immutable and only ever appended.
+    This keeps one growing buffer (capacity doubles, amortized O(1) per
+    appended frame) and copies only the new blocks in — the returned
+    view holds bit-identical values to the fresh concatenate (it is the
+    same copy, made once), pinned by tests/test_realtime.py."""
+
+    def __init__(self):
+        self._buf: Optional[np.ndarray] = None
+        self._len = 0
+        self._blocks = 0
+
+    def view(self, rows: List[np.ndarray]) -> np.ndarray:
+        if self._blocks > len(rows):   # defensive: a shrunk list resets
+            self._buf, self._len, self._blocks = None, 0, 0
+        for b in rows[self._blocks:]:
+            need = self._len + len(b)
+            if self._buf is None or need > len(self._buf):
+                cap = max(need, 2 * self._len, 4096)
+                grown = np.empty((cap,) + b.shape[1:], b.dtype)
+                if self._len:
+                    grown[:self._len] = self._buf[:self._len]
+                self._buf = grown
+            self._buf[self._len:need] = b
+            self._len = need
+        self._blocks = len(rows)
+        return self._buf[:self._len]
+
+
 @functools.lru_cache(maxsize=8)
 def _tile_program(audio: AudioConfig, pyin_cfg: PyinConfig,
                   turbo: TurboConfig, financial: bool = False,
@@ -234,6 +267,7 @@ class StreamingTranscriber:
         self._rows: List[np.ndarray] = []         # per-tile (tile, 6) rows
         self._fin_trend_cache = None              # incremental poll trend
         self._onset_state = None                  # incremental onset pick
+        self._cat = _RowCat()                     # append-only row concat
         self._hzn: Optional[dict] = None          # finalized-event horizon
         self._ref_power = 0.0
         self._n_fed = 0
@@ -297,7 +331,7 @@ class StreamingTranscriber:
             return {k: (empty > 0 if k in ("voiced_flag", "rake_mask",
                                            "mute_mask") else empty)
                     for k in spec}
-        buf = np.concatenate(self._rows, axis=0)
+        buf = self._cat.view(self._rows)
         if n_frames is not None:
             buf = buf[:n_frames]
         out = {}
@@ -734,6 +768,7 @@ class StreamingPolyTranscriber:
         self._rows: List[np.ndarray] = []     # per-tile (tile, 2V+2+cqt/2)
         self._hzn: Optional[dict] = None      # finalized-event horizon
         self._onset_state = None              # incremental onset pick
+        self._cat = _RowCat()                 # append-only row concat
         self._ref_power = 0.0
         self._n_fed = 0
         self._finalized = False
@@ -818,7 +853,7 @@ class StreamingPolyTranscriber:
 
         if not self._rows:
             return None
-        buf = np.concatenate(self._rows, axis=0)
+        buf = self._cat.view(self._rows)
         if n_frames is not None:
             buf = buf[:n_frames]
         out = unpack_poly_voices(buf, self.max_voices, self.bpo)
@@ -859,7 +894,7 @@ class StreamingPolyTranscriber:
         from aegis_tpu.core.poly import unpack_poly_voices
         from aegis_tpu.ref.dsp_ref import amplitude_to_db
 
-        buf = np.concatenate(self._rows, axis=0)
+        buf = self._cat.view(self._rows)
         V = self.max_voices
         T = buf.shape[0]
         # track-global scalars, computed exactly as the full extraction

@@ -355,3 +355,26 @@ def test_horizon_poll_equals_full_v1_chug():
     _drive_horizon(rt, y)
     final = rt.finalize()
     assert final and rt.poll_events() == final
+
+
+def test_rowcat_view_equals_fresh_concatenate():
+    """The _RowCat append-only cache must return exactly what a fresh
+    np.concatenate over the row blocks would, at every growth step, and
+    reset itself if the block list ever shrinks."""
+    import numpy as np
+
+    from aegis_tpu.engine.realtime import _RowCat
+
+    rng = np.random.default_rng(1)
+    cat = _RowCat()
+    rows = []
+    for _ in range(40):
+        rows.append(rng.normal(0, 1, (int(rng.integers(1, 50)), 7))
+                    .astype(np.float32))
+        got = cat.view(rows)
+        want = np.concatenate(rows, axis=0)
+        assert got.dtype == want.dtype
+        assert got.tobytes() == want.tobytes()
+    rows = rows[:5]
+    got = cat.view(rows)
+    assert got.tobytes() == np.concatenate(rows, axis=0).tobytes()
